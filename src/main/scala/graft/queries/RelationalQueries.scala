@@ -1,0 +1,474 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** The relational operator suite — one oracle-checked query per operator
+  * family of SURVEY.md §2.B/§2.C, expressed over the driver testdata
+  * tables (TESTDATA.md).
+  *
+  * Conventions that make the DuckDB hash-compare deterministic:
+  *   - Sums over doubles are computed as `SUM(CAST(x AS DECIMAL))`:
+  *     decimal addition is exact and associative, so the result is
+  *     identical regardless of Spark's partial-aggregation order and
+  *     identical to DuckDB's. The final value is cast back to DOUBLE so
+  *     both engines emit the same physical type.
+  *   - Averages are derived as `CAST(sum_dec AS DOUBLE)/count` (single
+  *     deterministic float division), never engine-native AVG on double.
+  *   - Every query has a total ORDER BY on key columns.
+  *   - `events.ts` is compared/grouped at date granularity (the parquet
+  *     carries nanoseconds, Spark truncates to µs — see Tables.events).
+  *
+  * Scale notes: all aggregations are partial-agg friendly (hash agg with
+  * map-side combine); the join queries broadcast the dimension side
+  * automatically (region/nation/customer are far below the broadcast
+  * threshold at any SF; at 100 TB the fact-side scans stay pruned to the
+  * referenced columns only).
+  */
+object RelationalQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — scan + filter + multi-key hash aggregate (B1,B2,B3,B5,B19):
+    * TPC-H Q1-shaped pricing summary. Ref: analysis.ipynb cell 9 (grouped
+    * conditional sums over events) generalized to lineitem. */
+  val q01PricingSummary: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sq"),
+        sum(dec2(col("l_extendedprice"))).as("sbp"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sdp"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        asDouble(col("sq")).as("sum_qty"),
+        asDouble(col("sbp")).as("sum_base_price"),
+        asDouble(col("sdp")).as("sum_disc_price"),
+        round(asDouble(col("sq")) / col("count_order"), 6).as("avg_qty"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — filter with IN / IS NOT NULL / comparison + expression
+    * projection (B1,B2,C4,C6). Ref: analysis.ipynb cells 8,10 WHERE
+    * clauses. */
+  val q02FilterProject: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "view") &&
+        col("value").isNotNull && col("value") > 50)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 1.1, 2).as("adj_value"),
+        to_date(col("ts")).as("event_date"))
+      .orderBy("event_id")
+  }
+
+  val q02Oracle: String =
+    """SELECT event_id, user_id, event_type,
+      |  ROUND(value * 1.1, 2) AS adj_value,
+      |  CAST(ts AS DATE) AS event_date
+      |FROM events
+      |WHERE event_type IN ('purchase','view') AND value IS NOT NULL AND value > 50
+      |ORDER BY event_id""".stripMargin
+
+  /** q03 — multiple COUNT(DISTINCT) in one aggregate (B6; Catalyst plans
+    * this via Expand). Ref: analysis.ipynb cells 7, 18. */
+  val q03MultiDistinct: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        countDistinct(col("event_type")).as("distinct_types"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("total_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val q03Oracle: String =
+    """SELECT user_id,
+      |  COUNT(DISTINCT event_type) AS distinct_types,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+      |  COUNT(*) AS total_events,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q04 — conditional aggregation: SUM(CASE…), COUNT(CASE…),
+    * COUNT(DISTINCT CASE…) (B7,C8). Ref: analysis.ipynb cells 9, 20. */
+  val q04ConditionalAgg: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        asDouble(sum(when(col("event_type") === "purchase", dec2(col("value")))
+          .otherwise(dec2(lit(0))))).as("purchase_value"),
+        count(when(col("event_type") === "error", lit(1))).as("error_events"),
+        countDistinct(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("purchase_days"))
+      .orderBy("user_id")
+  }
+
+  val q04Oracle: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_events,
+      |  COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS purchase_days
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q05 — multi-way inner equi-join over the star schema with
+    * aggregation (B10,B13). nation/region are broadcast (tiny dims);
+    * orders⋈customer shuffles on the key — at 100 TB that's the one
+    * required shuffle and it is partial-aggregated map-side first. */
+  val q05JoinAgg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        asDouble(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q05Oracle: String =
+    """SELECT r_name, n_name,
+      |  COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q06 — left outer join + NULLIF/ROUND guard arithmetic (B12,C6,C7,C9).
+    * Ref: analysis.ipynb cell 10 (users LEFT JOIN watch times). */
+  val q06LeftJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val perCust = o.groupBy("o_custkey").agg(
+      count(lit(1)).as("order_count"),
+      sum(dec2(col("o_totalprice"))).as("spend_dec"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("order_count"), lit(0L)).as("order_count"),
+        coalesce(asDouble(col("spend_dec")), lit(0.0)).as("total_spend"),
+        // no ROUND here: sum/count can land exactly on a half-cent, where
+        // Spark (HALF_UP) and DuckDB disagree; raw IEEE division of the
+        // identical operands is bit-deterministic in both engines.
+        (asDouble(col("spend_dec")) / nullif(col("order_count"), lit(0)))
+          .as("avg_order_value"))
+      .orderBy("c_custkey")
+  }
+
+  val q06Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  COALESCE(order_count, 0) AS order_count,
+      |  COALESCE(CAST(spend_dec AS DOUBLE), 0.0) AS total_spend,
+      |  CAST(spend_dec AS DOUBLE) / NULLIF(order_count, 0) AS avg_order_value
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey, COUNT(*) AS order_count,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      |  FROM orders GROUP BY o_custkey
+      |) po ON c_custkey = po.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07 — SQL-text path: GROUP BY ordinal + HAVING on an aggregate
+    * (B4,B9,A22). Ref: analysis.ipynb cell 8. */
+  val q07OrdinalHaving: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(DISTINCT l_orderkey) AS order_keys,
+        |  COUNT(*) AS line_count
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT l_orderkey) > 10
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  val q07Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(DISTINCT l_orderkey) AS order_keys,
+      |  COUNT(*) AS line_count
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |HAVING COUNT(DISTINCT l_orderkey) > 10
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q08 — ordered string aggregation within groups (B8). The reference
+    * uses DuckDB GROUP_CONCAT(… ORDER BY …) (analysis.ipynb cell 8);
+    * Spark-first form is a sorted collect_set + array_join — pure
+    * built-ins, stays in codegen, no UDAF. */
+  val q08StringAgg: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("event_types"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+  }
+
+  val q08Oracle: String =
+    """SELECT user_id,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q09 — ROW_NUMBER window + top-1-per-group filter (B15,B17). Ref:
+    * analysis.ipynb cell 15 (dominant genre). Deterministic tiebreak on
+    * event_id. */
+  val q09WindowTop1: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("top_event_id"),
+        col("event_type"), col("value").as("top_value"))
+      .orderBy("user_id")
+  }
+
+  val q09Oracle: String =
+    """SELECT user_id, event_id AS top_event_id, event_type, value AS top_value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events
+      |) t WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** q10 — SELECT DISTINCT (B18). Ref: analysis.ipynb cells 6, 20. */
+  val q10Distinct: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+  }
+
+  val q10Oracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q11 — top-k: ORDER BY … DESC LIMIT k (B19,B20 —
+    * TakeOrderedAndProject: no global sort at scale). Ref: analysis.ipynb
+    * cell 7. Deterministic tiebreak on o_orderkey. */
+  val q11TopK: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q11Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q12 — uncorrelated scalar subquery (B16). Ref: analysis.ipynb cell
+    * 19 (pct of total distinct users). */
+  val q12ScalarSubquery: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS unique_users,
+        |  ROUND(100.0 * COUNT(DISTINCT user_id) /
+        |        (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val q12Oracle: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS unique_users,
+      |  ROUND(100.0 * COUNT(DISTINCT user_id) /
+      |        (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q13 — multi-CTE retention funnel with a non-equi (theta) join:
+    * equi key + two range predicates (B11,B14). This is the shape of the
+    * reference's Q2 "subsequent sessions within 3 days" join
+    * (analysis.ipynb cell 14): Spark plans the equi key as the join key
+    * and carries the range conjuncts as a residual condition — never a
+    * cartesian product. */
+  val q13CteRetention: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH first_day AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+        |  FROM events GROUP BY user_id
+        |),
+        |active_3d AS (
+        |  SELECT f.user_id, COUNT(*) AS later_events
+        |  FROM first_day f
+        |  JOIN events e
+        |    ON f.user_id = e.user_id
+        |   AND CAST(e.ts AS DATE) > f.first_date
+        |   AND CAST(e.ts AS DATE) <= date_add(f.first_date, 3)
+        |  GROUP BY f.user_id
+        |)
+        |SELECT
+        |  COUNT(*) AS total_users,
+        |  COUNT(a.user_id) AS retained_users,
+        |  ROUND(100.0 * COUNT(a.user_id) / COUNT(*), 2) AS retention_pct
+        |FROM first_day f
+        |LEFT JOIN active_3d a ON f.user_id = a.user_id""".stripMargin)
+  }
+
+  val q13Oracle: String =
+    """WITH first_day AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+      |  FROM events GROUP BY user_id
+      |),
+      |active_3d AS (
+      |  SELECT f.user_id, COUNT(*) AS later_events
+      |  FROM first_day f
+      |  JOIN events e
+      |    ON f.user_id = e.user_id
+      |   AND CAST(e.ts AS DATE) > f.first_date
+      |   AND CAST(e.ts AS DATE) <= f.first_date + 3
+      |  GROUP BY f.user_id
+      |)
+      |SELECT
+      |  COUNT(*) AS total_users,
+      |  COUNT(a.user_id) AS retained_users,
+      |  ROUND(100.0 * COUNT(a.user_id) / COUNT(*), 2) AS retention_pct
+      |FROM first_day f
+      |LEFT JOIN active_3d a ON f.user_id = a.user_id""".stripMargin
+
+  /** q14 — UNION (distinct) of two heterogeneous projections (B21 — noted
+    * absent in the reference, provided for completeness). */
+  val q14Union: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    c.union(sup).distinct().orderBy("id", "name")
+  }
+
+  val q14Oracle: String =
+    """SELECT c_custkey AS id, c_name AS name FROM customer
+      |UNION
+      |SELECT s_suppkey AS id, s_name AS name FROM supplier
+      |ORDER BY id, name""".stripMargin
+
+  /** q16 — scalar string functions: split_part, ||-concat, substring,
+    * length, CASE (C1,C2,C3,C8). Ref: analysis.ipynb cells 6-8 session-id
+    * parsing. */
+  val q16StringFuncs: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        expr("split_part(source, 'c', 2)").as("src_num"),
+        concat(col("lang"), lit("_"), col("source")).as("lang_src"),
+        substring(col("text"), 1, 10).as("prefix"),
+        length(col("text")).as("text_len"),
+        when(col("n_chars") > 300, lit("long")).otherwise(lit("short")).as("size_class"))
+      .orderBy("doc_id")
+  }
+
+  val q16Oracle: String =
+    """SELECT doc_id,
+      |  split_part(source, 'c', 2) AS src_num,
+      |  lang || '_' || source AS lang_src,
+      |  SUBSTRING(text, 1, 10) AS prefix,
+      |  LENGTH(text) AS text_len,
+      |  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** q17 — date functions: cast-to-date, date arithmetic (+INTERVAL),
+    * year extraction, month truncation (C4,C5). Ref: analysis.ipynb cell
+    * 14 DATE_ADD retention window. */
+  val q17DateFuncs: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        trunc(col("o_orderdate"), "month").as("order_month"))
+      .orderBy("o_orderkey")
+  }
+
+  val q17Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Name → query map consumed by SparkEntry. */
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_multi_distinct" -> q03MultiDistinct,
+    "q04_conditional_agg" -> q04ConditionalAgg,
+    "q05_join_agg" -> q05JoinAgg,
+    "q06_left_join" -> q06LeftJoin,
+    "q07_ordinal_having" -> q07OrdinalHaving,
+    "q08_string_agg" -> q08StringAgg,
+    "q09_window_top1" -> q09WindowTop1,
+    "q10_distinct" -> q10Distinct,
+    "q11_topk" -> q11TopK,
+    "q12_scalar_subquery" -> q12ScalarSubquery,
+    "q13_cte_retention" -> q13CteRetention,
+    "q14_union" -> q14Union,
+    "q16_string_funcs" -> q16StringFuncs,
+    "q17_date_funcs" -> q17DateFuncs)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_filter_project" -> q02Oracle,
+    "q03_multi_distinct" -> q03Oracle,
+    "q04_conditional_agg" -> q04Oracle,
+    "q05_join_agg" -> q05Oracle,
+    "q06_left_join" -> q06Oracle,
+    "q07_ordinal_having" -> q07Oracle,
+    "q08_string_agg" -> q08Oracle,
+    "q09_window_top1" -> q09Oracle,
+    "q10_distinct" -> q10Oracle,
+    "q11_topk" -> q11Oracle,
+    "q12_scalar_subquery" -> q12Oracle,
+    "q13_cte_retention" -> q13Oracle,
+    "q14_union" -> q14Oracle,
+    "q16_string_funcs" -> q16Oracle,
+    "q17_date_funcs" -> q17Oracle)
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads each SparkEntry query result (parquet written by `graft.Verify`)
+and the dumped oracle_sql.json, runs the oracle SQL in DuckDB over the
+same testdata parquet, and compares: schema (sorted column names), row
+count, and cell-exact values (floats compared exactly; also reports the
+max abs diff when exact fails so tolerance issues are visible).
+"""
+import duckdb, pandas as pd, numpy as np, json, sys, glob, os
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+
+
+def norm(col):
+    s = col
+    if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (pd.Timestamp,)):
+        s = pd.to_datetime(s)
+    # datetime-likes → ns datetime64
+    if str(s.dtype).startswith("datetime64") or (
+        s.dtype == object and len(s.dropna()) and type(s.dropna().iloc[0]).__name__ in ("date", "datetime", "Timestamp")
+    ):
+        s = pd.to_datetime(s)
+        try:
+            s = s.dt.tz_localize(None)
+        except (TypeError, AttributeError):
+            pass
+        return s.astype("datetime64[ns]")
+    if str(s.dtype) in ("float32",):
+        return s.astype("float64")
+    if str(s.dtype).startswith("int") or str(s.dtype).startswith("uint"):
+        return s.astype("int64")
+    if s.dtype == object and len(s.dropna()) and type(s.dropna().iloc[0]).__name__ == "Decimal":
+        return s.astype("float64")
+    return s
+
+
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        sdf = pd.read_parquet(f"{out}/{name}")
+    except Exception as e:
+        print(f"FAIL {name}: spark result unreadable: {e}")
+        n_fail += 1
+        continue
+    try:
+        odf = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        n_fail += 1
+        continue
+    sdf = sdf[sorted(sdf.columns)]
+    odf = odf[sorted(odf.columns)]
+    if list(sdf.columns) != list(odf.columns):
+        print(f"FAIL {name}: cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+        n_fail += 1
+        continue
+    if len(sdf) != len(odf):
+        print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+        n_fail += 1
+        continue
+    bad = []
+    for c in sdf.columns:
+        a, b = norm(sdf[c]).reset_index(drop=True), norm(odf[c]).reset_index(drop=True)
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = a.astype("float64"); b = b.astype("float64")
+            eq = (a.isna() & b.isna()) | (a == b)
+            if not eq.all():
+                d = (a - b).abs().max()
+                bad.append(f"{c} (maxdiff={d}, n_bad={int((~eq).sum())})")
+        else:
+            eq = (a.isna() & b.isna()) | (a == b)
+            if not eq.all():
+                i = int(np.argmax(~eq.values))
+                bad.append(f"{c} (first bad row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r})")
+    if bad:
+        print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(sdf)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
