@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     RelationalQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles
 }

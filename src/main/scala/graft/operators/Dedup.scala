@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (content fingerprint), exact-similarity via an
+  * inverted shingle index, MinHash+LSH, and SimHash.
+  *
+  * Scale design notes (target: 100 TB of documents, 1000 executors):
+  *   - Signatures (MinHash, SimHash) are single-projection expressions —
+  *     zero shuffles to compute; the only shuffles are the groupBy/join
+  *     on *candidate keys* (fingerprint, band hash), which is the
+  *     theoretical minimum communication for the problem.
+  *   - Candidate generation is always index-based (equi-join on a short
+  *     key); nothing here is O(n²) in documents.
+  *   - `maxDocFreq` optionally drops ubiquitous shingles before the
+  *     inverted-index join — the standard skew guard when a boilerplate
+  *     shingle would otherwise create a quadratic hot key.
+  */
+object Dedup {
+
+  /** Exact dedup groups by content fingerprint (md5 of the raw text).
+    * One hash-aggregate; map-side partial aggregation keeps the shuffle
+    * proportional to the number of *distinct* documents. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** Near-duplicate pairs by exact n-gram Jaccard, generated through an
+    * inverted shingle index (shingle → posting list) instead of a
+    * cartesian product: docs sharing no shingle are never paired.
+    * Jaccard is |common| / (|A| + |B| - |common|) — computed from
+    * counts, so the expensive array ops happen once per document, not
+    * per pair. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("doc"),
+      shingles(col(textCol), n).as("sh"))
+      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val posting = maxDocFreq match {
+      case Some(limit) =>
+        // skew guard: drop shingles whose posting list exceeds `limit`
+        val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= limit).select("s")
+        sh.join(freq, "s")
+      case None => sh
+    }
+    val a = posting.as("a")
+    val b = posting.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-duplicate pairs. k-component signatures are cut
+    * into `bands` bands of k/bands rows; documents colliding in any band
+    * become candidates; candidates are scored by signature-estimated
+    * Jaccard. With k=64, bands=16 (r=4) the LSH S-curve crosses ~0.5 —
+    * tuned for finding ≥0.8-similar training-corpus duplicates. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = df.select(
+      col(idCol).as("doc"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    // band keys in one projection: hash of each signature slice
+    val banded = sig.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
+        xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
+    * banded into `bands` contiguous slices for candidate generation (a
+    * pair within `maxHamming` of each other must agree on at least one
+    * band when bands > maxHamming), then exact Hamming filter. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, bands: Int = 8, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val sig = df.select(
+      col(idCol).as("doc"),
+      simhashBits(tokens(col(textCol)), bits).as("sig"))
+    val banded = sig.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
+        xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpecBase {
+
+  private def truthPairs(): Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exactGroups fingerprints every distinct document") {
+    val docs = Tables.documents(spark, sfDir)
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val total = groups.collect().map(_.getAs[Long]("n_docs")).sum
+    assert(total === docs.count())
+  }
+
+  test("ngramJaccardPairs finds the planted near-duplicates with high similarity") {
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.nonEmpty, "synthetic corpus plants near-dup pairs")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("minhashPairs recovers the exact-jaccard ground truth (recall ≥ 0.9, no spurious pairs below 0.3)") {
+    val truth = truthPairs()
+    val found = Dedup.minhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhashPairs recovers most planted near-duplicates") {
+    val truth = truthPairs()
+    val found = Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.7, s"simhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("maxDocFreq skew guard only prunes, never invents pairs") {
+    val unpruned = truthPairs()
+    val pruned = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = Some(50L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pruned -- unpruned).isEmpty)
+  }
+}
