@@ -1,0 +1,92 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Layered object-store layout + IO, the Spark counterpart of the
+  * reference's MinIO client (src/connect/minio_client.py) and bucket
+  * prefixes (config/dev.env:11-13). Paths go through the Hadoop
+  * FileSystem API, so the same code serves file:// in tests and s3a:// on
+  * a cluster — nothing here assumes a local disk.
+  */
+case class LayerPaths(root: String) {
+  def landing: String = s"$root/landing"
+  def raw: String = s"$root/raw"
+  def trusted: String = s"$root/trusted"
+  /** Hive-style raw key for one daily file
+    * (landing_to_raw_processor.py:95). */
+  def rawKey(date: String, fileName: String): String =
+    s"$raw/ingestion_date=$date/$fileName"
+  /** Trusted table root; partitions land under it
+    * (raw_to_trusted_processor.py:167). */
+  def trustedTable(suffix: String): String = s"$trusted/$suffix"
+}
+
+object Storage {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive listing by prefix — ref minio_client.py:106-112. */
+  def listObjects(spark: SparkSession, prefix: String): Seq[String] = {
+    val f = fs(spark, prefix)
+    val p = new Path(prefix)
+    if (!f.exists(p)) return Seq.empty
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) buf += it.next().getPath.toString
+    buf.toSeq
+  }
+
+  /** Byte-identical copy (landing → raw keeps source formats verbatim —
+    * ref minio_client.py:114-124; deliberately NOT a Spark job: raw
+    * preserves schema-on-read). */
+  def copyObject(spark: SparkSession, source: String, target: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fs(spark, source)
+    val dstFs = fs(spark, target)
+    dstFs.mkdirs(new Path(target).getParent)
+    FileUtil.copy(srcFs, new Path(source), dstFs, new Path(target),
+      false, true, conf)
+  }
+
+  /** ref minio_client.py:126-133. */
+  def deleteObject(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).delete(new Path(path), true)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** CSV scan, header + inferred types — ref minio_client.py:96-104. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** JSON-Lines scan — ref raw_to_trusted_processor.py:60-79 (line
+    * split + json.loads); Spark's json source is JSONL-native. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Typed parquet scan over a trusted table (schema-on-read like the
+    * Trino external tables — trino_client.py:86-96). */
+  def readParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** Snappy-parquet partitioned write — ref raw_to_trusted_processor
+    * .py:164-211 (snappy is Spark's parquet default). Dynamic partition
+    * overwrite replaces only the written date's partition, so daily
+    * reruns are idempotent without clobbering history. */
+  def writeTrusted(df: DataFrame, partitionCol: String, tableRoot: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(tableRoot)
+
+  /** CSV sink — ref minio_client.py:60-70. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
