@@ -41,9 +41,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("doc"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), shinglesFromTokens(col("toks"), n).as("sh"))
       .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     val posting = maxDocFreq match {
       case Some(limit) =>
@@ -66,6 +66,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Candidate pairs from banded signatures (`doc, sig, band, bkey`):
+    * group each LSH bucket once and enumerate member pairs via an
+    * indexed-lambda explode. This beats the natural self-join on
+    * (band,bkey), which computes the signature plan twice (Spark cannot
+    * reuse the exchange into a broadcast build side) — one pass + one
+    * shuffle instead. Bucket skew = B² pairs for a B-member bucket is
+    * inherent to LSH; callers control it via band width. */
+  private def bucketPairs(banded: DataFrame): DataFrame =
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("doc").as("doc_x"), b.getField("doc").as("doc_y"),
+            a.getField("sig").as("sig_x"), b.getField("sig").as("sig_y"))))))
+        .as("p"))
+      .select(
+        least(col("p.doc_x"), col("p.doc_y")).as("doc_a"),
+        greatest(col("p.doc_x"), col("p.doc_y")).as("doc_b"),
+        when(col("p.doc_x") < col("p.doc_y"), col("p.sig_x"))
+          .otherwise(col("p.sig_y")).as("sig_a"),
+        when(col("p.doc_x") < col("p.doc_y"), col("p.sig_y"))
+          .otherwise(col("p.sig_x")).as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
   /** MinHash + LSH near-duplicate pairs. k-component signatures are cut
     * into `bands` bands of k/bands rows; documents colliding in any band
     * become candidates; candidates are scored by signature-estimated
@@ -77,23 +102,16 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = df.select(
-      col(idCol).as("doc"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val sig = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        minhashSignature(shinglesFromTokens(col("toks"), n), k).as("sig"))
     // band keys in one projection: hash of each signature slice
     val banded = sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc") < col("b.doc"))
-      .select(
-        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
+    bucketPairs(banded)
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -115,14 +133,7 @@ object Dedup {
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc") < col("b.doc"))
-      .select(
-        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    bucketPairs(banded)
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -17,36 +17,41 @@ object TextAnalysis {
   /** Per-document token statistics. All ratios are int/int → double
     * divisions, so results are bit-deterministic across engines. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
+    // materialize the token array in its own projection: it is consumed
+    // by 4 expressions below, and re-splitting the text per consumer is
+    // the dominant cost (interpreted HOFs get no CSE)
+    val t = col("__toks")
     val nTok = size(t)
     val nDistinct = size(array_distinct(t))
     val nStop = size(filter(t, tok => tok.isInCollection(stopwords)))
-    df.select(
-      col(idCol),
-      nTok.cast("long").as("n_tokens"),
-      nDistinct.cast("long").as("n_distinct_tokens"),
-      (length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok)
-        .as("avg_token_len"),
-      (nStop.cast("double") / nTok).as("stopword_ratio"),
-      (nDistinct.cast("double") / nTok).as("distinct_ratio"))
+    df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        nDistinct.cast("long").as("n_distinct_tokens"),
+        (length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok)
+          .as("avg_token_len"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (nDistinct.cast("double") / nTok).as("distinct_ratio"))
   }
 
   /** Composite quality score in [0,~2]: rewards lexical diversity and
     * reasonable length, penalizes stopword stuffing. Deterministic
     * double arithmetic (no rounding). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
+    val t = col("__toks")
     val nTok = size(t)
     val distinctRatio = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(filter(t, tok => tok.isInCollection(stopwords)))
       .cast("double") / nTok
     val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
-    df.select(
-      col(idCol),
-      nTok.cast("long").as("n_tokens"),
-      distinctRatio.as("distinct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      (distinctRatio + lengthScore - stopRatio).as("quality_score"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (distinctRatio + lengthScore - stopRatio).as("quality_score"))
   }
 
   /** Heuristic language ID via stopword-profile overlap (n-gram/stopword
@@ -60,17 +65,18 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
       "de" -> Seq("der", "die", "und", "das", "ist", "von", "den"),
       "zh" -> Seq("的", "了", "是", "我", "不", "在", "有"))
-    val toks = array_distinct(tokens(col(textCol)))
+    val toks = col("__toks")
     val scored = array(profiles.map { case (lang, words) =>
       struct(
         size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
-    df.select(
-      col(idCol),
-      best.getField("lang").as("predicted_lang"),
-      best.getField("score").cast("long").as("profile_hits"))
+    df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
+      .select(
+        col(idCol),
+        best.getField("lang").as("predicted_lang"),
+        best.getField("score").cast("long").as("profile_hits"))
   }
 
   /** Content fingerprint: md5 over case/whitespace-normalized text —

@@ -50,7 +50,14 @@ object Tables {
 
   /** Register every table as a temp view (idempotent) so SQL-text entry
     * points (SURVEY §2 A22) can run against the same relations the DuckDB
-    * oracle sees. Views are lazy — no materialization happens here. */
+    * oracle sees. Views are lazy — no materialization happens here — but
+    * creating them reads parquet footers, so registration is memoized
+    * per (session, dir): repeated query invocations in one session pay
+    * nothing. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((System.identityHashCode(spark).toString, dir)))
+      all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }
