@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline operators as driver-gated queries over the
@@ -139,7 +139,17 @@ object TrainingDataQueries {
       Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
       .orderBy("vec_id", "neighbor_id")
 
+  /** mm_features — multimodal binary-column plumbing: synthesize media
+    * rows from the documents table, extract per-item features via typed
+    * mapPartitions (decode stubbed — see operators.Multimodal). Rows-only
+    * check: the stub checksum/entropy have no SQL oracle. */
+  val mmFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticMediaFromText(Tables.documents(s, dir), "doc_id", "text"))
+      .toDF().orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
+    "mm_features" -> mmFeatures,
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+import graft.fixtures.StreamProFixture
+import graft.pipeline.SchemaRegistry
+
+class StreamingIngestSpec extends SparkSpecBase {
+
+  lazy val landing: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    StreamProFixture.writeLanding(dir)
+    s"$dir/landing"
+  }
+
+  test("file-source stream ingests landing JSONL into the trusted parquet layout") {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val stream = StreamingIngest.eventsStream(spark, landing)
+    assert(stream.isStreaming)
+    val q = StreamingIngest.trustedSink(stream, out, ckpt,
+      StreamProFixture.IngestionDate)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() > 1000)
+    assert(written.columns.contains(SchemaRegistry.PartitionCol))
+    // partition directory layout matches the batch pipeline's
+    assert(new java.io.File(
+      s"$out/${SchemaRegistry.PartitionCol}=${StreamProFixture.IngestionDate}").exists())
+  }
+
+  test("windowed watch-time aggregation with watermark produces per-minute totals") {
+    val out = Files.createTempDirectory("graft-stream-agg").toString
+    val ckpt = Files.createTempDirectory("graft-stream-agg-ckpt").toString
+    val agg = StreamingIngest.watchTimePerMinute(
+      StreamingIngest.eventsStream(spark, landing))
+    val q = agg.writeStream
+      .format("memory").queryName("watch_per_min")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("watch_per_min")
+    // watermark closed all windows (fixture data is bounded)
+    assert(rows.count() > 0)
+    val u78 = rows.filter(col("user_id") === "user_78")
+      .agg(sum("watch_seconds")).collect()(0).getDouble(0)
+    // user_78 watches 39.0 (first session) + 9 × 6.0 subsequent = 93.0,
+    // but append mode only emits windows the watermark has passed: the
+    // final session (day 4, 12:00) sits within the 10-minute watermark
+    // of max event time and is correctly held back in state → 87.0.
+    assert(u78 === 39.0 + 8 * 6.0)
+  }
+
+  test("gap-based sessionization emits closed sessions with bounded state") {
+    val events = spark.read.schema(SchemaRegistry.events.schema)
+      .json(s"$landing/*.jsonl")
+      .filter(col("user_id") === "user_1")
+    // batch DataFrame through the same code path requires a stream: feed
+    // via a memory-less micro-batch by writing to a temp dir stream
+    val dir = Files.createTempDirectory("graft-sess-src")
+    events.coalesce(1).write.mode("overwrite").json(dir.toString)
+    val stream = spark.readStream.schema(SchemaRegistry.events.schema)
+      .json(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val sessions = StreamingIngest.sessionize(spark, stream, gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // fixture: user_1 has 10 sessions (5 days × 2), each a burst of
+    // events ≤ minutes apart, 6h gaps between bursts → ≥9 closed
+    // sessions emitted (the final one may still be open in state)
+    val n = spark.table("sessions").count()
+    assert(n >= 9, s"expected ≥9 closed sessions, got $n")
+    assert(spark.table("sessions").filter(col("n_events") <= 0).count() === 0)
+  }
+}
