@@ -387,6 +387,40 @@ object RelationalQueries {
       |SELECT s_suppkey AS id, s_name AS name FROM supplier
       |ORDER BY id, name""".stripMargin
 
+  /** q15 — ROLLUP grouping sets (B22 — absent from the reference,
+    * provided for engine completeness): revenue at (region, nation),
+    * per-region subtotal, and grand total. */
+  val q15Rollup: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        asDouble(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("order_count"), col("revenue"))
+      .orderBy("region", "nation")
+  }
+
+  val q15Oracle: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |  COALESCE(n_name, 'ALL') AS nation,
+      |  COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
   /** q16 — scalar string functions: split_part, ||-concat, substring,
     * length, CASE (C1,C2,C3,C8). Ref: analysis.ipynb cells 6-8 session-id
     * parsing. */
@@ -451,10 +485,12 @@ object RelationalQueries {
     "q12_scalar_subquery" -> q12ScalarSubquery,
     "q13_cte_retention" -> q13CteRetention,
     "q14_union" -> q14Union,
+    "q15_rollup" -> q15Rollup,
     "q16_string_funcs" -> q16StringFuncs,
     "q17_date_funcs" -> q17DateFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q15_rollup" -> q15Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project" -> q02Oracle,
     "q03_multi_distinct" -> q03Oracle,

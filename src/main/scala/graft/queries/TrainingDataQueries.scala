@@ -148,8 +148,20 @@ object TrainingDataQueries {
       Multimodal.syntheticMediaFromText(Tables.documents(s, dir), "doc_id", "text"))
       .toDF().orderBy("media_id")
 
+  /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
+    * LSH buckets (rows-only; the scale path for vector dedup — exact
+    * all-pairs cosine is quadratic). Few bits → high recall at our
+    * corpus size; pairs above 0.9 cosine are near-dups. */
+  val ddEmbedding: Q = (s, dir) =>
+    SimilaritySearch.lshNeighbors(
+      Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, nBits = 4, k = 5)
+      .filter(col("cos") >= 0.9)
+      .filter(col("vec_id") < col("neighbor_id"))
+      .orderBy("vec_id", "neighbor_id")
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> mmFeatures,
+    "dd_embedding" -> ddEmbedding,
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
