@@ -99,13 +99,21 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, native: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // native path: codegen'd Catalyst expression (graft.plans.
+    // MinHashSignature) — bit-identical to the HOF formulation, but the
+    // k×n loop compiles instead of interpreting; registered on demand
+    // via GraftExtensions.
+    val sigCol =
+      if (native) {
+        graft.GraftExtensions.register(df.sparkSession)
+        call_function("graft_minhash", shinglesFromTokens(col("toks"), n), lit(k))
+      } else minhashSignature(shinglesFromTokens(col("toks"), n), k)
     val sig = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"),
-        minhashSignature(shinglesFromTokens(col("toks"), n), k).as("sig"))
+      .select(col("doc"), sigCol.as("sig"))
     // band keys in one projection: hash of each signature slice
     val banded = sig.select(
       col("doc"), col("sig"),

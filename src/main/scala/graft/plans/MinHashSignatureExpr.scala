@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature over an array<string> of shingles — the one
+  * place in this engine where built-in operators genuinely can't deliver
+  * (SURVEY.md §4 "custom-code spots"): Spark's higher-order functions
+  * are interpreted (no whole-stage codegen, no CSE), and a k-component
+  * signature is a tight k×n numeric loop. This UnaryExpression supplies
+  * both `nullSafeEval` and `doGenCode`, so the loop compiles to straight
+  * Java inside the surrounding WholeStageCodegen span.
+  *
+  * Semantics are bit-identical to
+  * `graft.functions.TextFunctions.minhashSignature` (same xxhash64 seed
+  * 42 base hash, same (a_i·h + b_i) mod 2³¹−1 universal-hash family,
+  * same fixed coefficient seed), which the spec asserts — the expression
+  * is a faster plan for the same function, not a new function.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val (coefA, coefB) = MinHashSignature.coefficients(k)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = MinHashSignature.baseHash(arr.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val v = (coefA(i) * h + coefB(i)) % MinHashSignature.P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", coefB, "long[]")
+    val cls = MinHashSignature.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |final int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    final long $h = $cls.MODULE$$.baseHash($arr.getUTF8String($j));
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      final long $v = ($aRef[$i] * $h + $bRef[$i]) % ${MinHashSignature.P}L;
+         |      if ($v < $sig[$i]) $sig[$i] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** 2³¹−1, prime — keeps a·h+b < 2⁶² (ANSI-safe) and positive. */
+  val P: Long = 2147483647L
+
+  /** Same coefficient stream as TextFunctions.minhashSignature. */
+  def coefficients(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x5EED5EED)
+    def draw(lo: Long): Long = ((rnd.nextLong() & Long.MaxValue) % (P - lo)) + lo
+    val a = Array.fill(k)(draw(1L))
+    val b = Array.fill(k)(draw(0L))
+    (a, b)
+  }
+
+  /** pmod(xxhash64(s), P) with Spark's default seed 42 — matches the
+    * built-in `xxhash64` the HOF formulation uses. */
+  def baseHash(s: UTF8String): Long = {
+    val h = XxHash64Function.hash(s, StringType, 42L) % P
+    if (h < 0) h + P else h
+  }
+}
