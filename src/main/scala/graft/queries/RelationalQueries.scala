@@ -469,6 +469,32 @@ object RelationalQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q18 — semi/anti joins (EXISTS / NOT EXISTS): customers with at
+    * least one high-value order vs. customers with no orders at all.
+    * left_semi/left_anti never materialize the right side's columns —
+    * at scale they beat IN-subquery rewrites by shuffling only keys. */
+  val q18SemiAnti: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val big = o.filter(col("o_totalprice") > 100000)
+    val withBig = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("segment"))
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_orders").as("segment"))
+    withBig.unionAll(noOrders).orderBy("c_custkey", "segment")
+  }
+
+  val q18Oracle: String =
+    """SELECT c_custkey, c_name, 'has_big_order' AS segment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_orders' AS segment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey, segment""".stripMargin
+
   /** Name → query map consumed by SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -487,10 +513,12 @@ object RelationalQueries {
     "q14_union" -> q14Union,
     "q15_rollup" -> q15Rollup,
     "q16_string_funcs" -> q16StringFuncs,
-    "q17_date_funcs" -> q17DateFuncs)
+    "q17_date_funcs" -> q17DateFuncs,
+    "q18_semi_anti" -> q18SemiAnti)
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Oracle,
+    "q18_semi_anti" -> q18Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project" -> q02Oracle,
     "q03_multi_distinct" -> q03Oracle,
