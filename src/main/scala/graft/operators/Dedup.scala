@@ -125,6 +125,29 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** MinHash LSH candidates re-ranked by *exact* n-gram Jaccard — the
+    * standard production dedup pipeline: LSH bounds the candidate set
+    * (recall), the exact join-back gives precision. `candThreshold` is
+    * the permissive signature-estimate cut; `threshold` is the exact
+    * cut. Cost: the shingle arrays are joined back only for candidate
+    * pairs (≪ n²). */
+  def minhashPairsVerified(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      candThreshold: Double = 0.3, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashPairs(df, idCol, textCol, n, k, bands, candThreshold)
+      .select("doc_a", "doc_b")
+    val sh = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), shinglesFromTokens(col("toks"), n).as("sh"))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
     * banded into `bands` contiguous slices for candidate generation (a
     * pair within `maxHamming` of each other must agree on at least one

@@ -58,6 +58,14 @@ object TrainingDataQueries {
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
+  /** dd_minhash_verified — LSH candidates re-ranked by exact Jaccard
+    * (rows-only: output equals dd_ngram_jaccard whenever LSH recall is
+    * total, which the spec asserts on the fixture corpus — but LSH is
+    * probabilistic, so it is not oracle-gated). */
+  val ddMinhashVerified: Q = (s, dir) =>
+    Dedup.minhashPairsVerified(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
   /** dd_simhash — 64-bit SimHash banded near-dup pairs (rows-only). */
   val ddSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -165,6 +173,7 @@ object TrainingDataQueries {
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
+    "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
     "ta_token_stats" -> taTokenStats,
     "ta_quality" -> taQuality,

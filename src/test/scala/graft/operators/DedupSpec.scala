@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"simhash recall $recall over ${truth.size} true pairs")
   }
 
+  test("minhashPairsVerified equals the exact-jaccard ground truth on this corpus") {
+    val truth = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val verified = Dedup.minhashPairsVerified(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified === truth)
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
