@@ -21,7 +21,8 @@ object Bench {
     "q04_conditional_agg", "q05_join_agg", "q06_left_join",
     "q07_ordinal_having", "q08_string_agg", "q09_window_top1",
     "q10_distinct", "q11_topk", "q12_scalar_subquery",
-    "q13_cte_retention", "q14_union", "q16_string_funcs", "q17_date_funcs",
+    "q13_cte_retention", "q14_union", "q15_rollup", "q16_string_funcs",
+    "q17_date_funcs", "q18_semi_anti", "q19_json_extract",
     "dd_exact", "dd_minhash", "ta_token_stats", "ta_langid",
     "ss_topk_cosine")
 

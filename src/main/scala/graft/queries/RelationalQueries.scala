@@ -495,6 +495,34 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey, segment""".stripMargin
 
+  /** q19 — semi-structured JSON extraction from a string column
+    * (events.props): get_json_object path extraction + typed cast +
+    * aggregation over the extracted value. At scale this is the schema-
+    * on-read escape hatch for ragged event payloads. */
+  val q19JsonExtract: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("user_id")
+      .agg(
+        count(col("k")).as("n_props"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).cast("long").as("sum_k"))
+      .orderBy("user_id")
+  }
+
+  val q19Oracle: String =
+    """SELECT user_id,
+      |  COUNT(CAST(props->>'k' AS INTEGER)) AS n_props,
+      |  MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+      |  MAX(CAST(props->>'k' AS INTEGER)) AS max_k,
+      |  CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Name → query map consumed by SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -514,11 +542,13 @@ object RelationalQueries {
     "q15_rollup" -> q15Rollup,
     "q16_string_funcs" -> q16StringFuncs,
     "q17_date_funcs" -> q17DateFuncs,
-    "q18_semi_anti" -> q18SemiAnti)
+    "q18_semi_anti" -> q18SemiAnti,
+    "q19_json_extract" -> q19JsonExtract)
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
+    "q19_json_extract" -> q19Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project" -> q02Oracle,
     "q03_multi_distinct" -> q03Oracle,
