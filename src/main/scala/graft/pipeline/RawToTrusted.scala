@@ -82,8 +82,21 @@ class RawToTrusted(
   override def postProcess(result: JobResult): Unit =
     tables.filterNot(t => failedTables.contains(t.name)).foreach { t =>
       val root = paths.trustedTable(t.locationSuffix)
-      if (Storage.exists(spark, root))
-        spark.read.parquet(root).createOrReplaceTempView(t.trustedName)
+      if (Storage.exists(spark, root)) {
+        // read with the registry schema: the hive-layout partition value
+        // "2025-09-09" would otherwise be *inferred* as DATE, breaking
+        // the reference's string semantics (SURVEY.md §7 hazard (f)).
+        // In lax mode the column set is unknown, so disable partition
+        // type inference instead.
+        val df =
+          if (enforceSchema) Storage.readParquet(spark, root, t.withPartition)
+          else {
+            spark.conf.set(
+              "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+            spark.read.parquet(root)
+          }
+        df.createOrReplaceTempView(t.trustedName)
+      }
     }
 
   final def runWithFailures(): JobResult = {

@@ -523,6 +523,36 @@ object RelationalQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q20 — window analytics beyond ROW_NUMBER: LAG for gap-to-previous
+    * and an unbounded-preceding running sum per customer over order
+    * time. One window partition shuffle serves both functions. */
+  val q20WindowRunning: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("prev_order_date", lag(to_date(col("o_orderdate")), 1).over(w))
+      .withColumn("running_spend",
+        asDouble(sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("prev_order_date"), col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q20Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  LAG(CAST(o_orderdate AS DATE), 1) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Name → query map consumed by SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -543,12 +573,14 @@ object RelationalQueries {
     "q16_string_funcs" -> q16StringFuncs,
     "q17_date_funcs" -> q17DateFuncs,
     "q18_semi_anti" -> q18SemiAnti,
-    "q19_json_extract" -> q19JsonExtract)
+    "q19_json_extract" -> q19JsonExtract,
+    "q20_window_running" -> q20WindowRunning)
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,
+    "q20_window_running" -> q20Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project" -> q02Oracle,
     "q03_multi_distinct" -> q03Oracle,

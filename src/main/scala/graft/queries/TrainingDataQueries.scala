@@ -167,8 +167,26 @@ object TrainingDataQueries {
       .filter(col("vec_id") < col("neighbor_id"))
       .orderBy("vec_id", "neighbor_id")
 
+  /** sk_sketches — approximate aggregates (HLL++ distinct count,
+    * approximate percentiles): the constant-memory alternative to exact
+    * distinct/percentile at 100 TB (rows-only: sketch results are
+    * engine-specific by design; the spec bounds their error against the
+    * exact values instead). */
+  val skSketches: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> mmFeatures,
+    "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,

@@ -71,6 +71,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(counts("trusted_events") > 1000)
   }
 
+  test("daily partitions accumulate: a second ingestion date does not clobber the first") {
+    results
+    val paths = LayerPaths(root)
+    val d2 = "2025-09-10"
+    // second day's drop: copy the first day's landing files under the new date
+    for (t <- Seq("users", "videos", "devices")) {
+      Storage.copyObject(spark,
+        s"$root/landing/${t}_${StreamProFixture.IngestionDate}.csv",
+        s"$root/landing/${t}_$d2.csv")
+    }
+    Storage.copyObject(spark,
+      s"$root/landing/events_${StreamProFixture.IngestionDate}.jsonl",
+      s"$root/landing/events_$d2.jsonl")
+    val day2 = Pipeline.run(spark, Pipeline.Config(root, d2))
+    assert(day2.forall(_.success))
+    val users = spark.table("trusted_users") // registry-typed (string partition col)
+    val dates = users.select("ingestion_date").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(dates === Array(StreamProFixture.IngestionDate, d2))
+    // partition pruning still reads exactly one day
+    assert(users.filter(org.apache.spark.sql.functions.col("ingestion_date") ===
+      StreamProFixture.IngestionDate).count() === 100)
+  }
+
   test("per-table failure isolation: a broken table does not sink the others") {
     val dir = Files.createTempDirectory("graft-isolation")
     StreamProFixture.writeLanding(dir)
