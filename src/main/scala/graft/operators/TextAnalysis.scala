@@ -75,7 +75,9 @@ object TextAnalysis {
     df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
       .select(
         col(idCol),
-        best.getField("lang").as("predicted_lang"),
+        // zero profile hits = no evidence → "und", not an arbitrary tie
+        when(best.getField("score") === 0, lit("und"))
+          .otherwise(best.getField("lang")).as("predicted_lang"),
         best.getField("score").cast("long").as("profile_hits"))
   }
 

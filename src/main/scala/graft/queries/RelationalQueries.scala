@@ -79,14 +79,17 @@ object RelationalQueries {
         col("value").isNotNull && col("value") > 50)
       .select(
         col("event_id"), col("user_id"), col("event_type"),
-        round(col("value") * 1.1, 2).as("adj_value"),
+        // no ROUND: v*1.1 can land exactly on a half-cent where Spark
+        // (HALF_UP on the shortest decimal repr) and DuckDB disagree —
+        // raw IEEE multiplication is bit-identical in both engines
+        (col("value") * 1.1).as("adj_value"),
         to_date(col("ts")).as("event_date"))
       .orderBy("event_id")
   }
 
   val q02Oracle: String =
     """SELECT event_id, user_id, event_type,
-      |  ROUND(value * 1.1, 2) AS adj_value,
+      |  value * 1.1 AS adj_value,
       |  CAST(ts AS DATE) AS event_date
       |FROM events
       |WHERE event_type IN ('purchase','view') AND value IS NOT NULL AND value > 50
