@@ -46,17 +46,26 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     names.foreach { n =>
       try exec(n, sfDir)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
     }
+    // A failed query records -1, never its elapsed-time-to-failure — a
+    // fast crash must not masquerade as a fast success in the JSON line.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try exec(name, sfDir)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { exec(name, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures poison the headline total too (a negative total is an
+    // unmissable signal), rather than shrinking it
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,13 +22,29 @@ object TextFunctions {
     * for every shingle element (measured 3× re-evaluation → ~4s of the
     * original 10s dd_minhash time at sf0.1). */
   def shinglesFromTokens(tok: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(tok) - n, lit(-1)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*)))
+    // Guard the short-document case explicitly: Spark's sequence(0, stop)
+    // steps DOWNWARD when stop < 0 (sequence(0,-1) = [0,-1], not []), so
+    // an unguarded range would index out of bounds on any doc with fewer
+    // than n tokens (ANSI mode then throws INVALID_ARRAY_INDEX).
+    val sh = array_distinct(transform(
+      sequence(lit(0), size(tok) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*)))
+    when(size(tok) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
+  /** Base hash for signature schemes: the first 15 hex chars of md5 as
+    * a 60-bit non-negative long, mod P. Chosen over xxhash64 for CROSS-
+    * ENGINE VERIFIABILITY — DuckDB computes the identical value as
+    * `('0x' || substr(md5(s),1,15))::BIGINT % P`, which makes the whole
+    * MinHash/LSH pipeline oracle-checkable, not just spec-tested. (md5
+    * costs ~10× xxhash64 per shingle; at scan-bound 100 TB scale the
+    * swap back is one line in `baseHash` + the native expression.) */
+  private[graft] val P = 2147483647L // 2^31 - 1, prime
+  def baseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+
   /** MinHash signature: `k` independent min-hashes over `shingleArr`.
-    * Component i is min over shingles of xxhash64(shingle, i).
+    * Component i is min over shingles of universal-hash_i(baseHash(shingle)).
     *
     * Shaped as ONE `aggregate` over the shingle array (element-wise min
     * of per-shingle hash vectors) rather than `transform(0..k-1, i =>
@@ -38,19 +54,25 @@ object TextFunctions {
     * outer lambda and it is re-evaluated k times per row — measured 64×
     * slowdown at sf0.1. With the array as the aggregate *input* it is
     * evaluated exactly once per row. Still zero shuffles. */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    // k universal-hash coefficient pairs (fixed seed → identical on every
-    // executor); h_i = (a_i*h + b_i) mod p with p = 2^31-1 and h,a,b < p,
-    // so products stay < 2^62 (no ANSI overflow) and the mod breaks the
-    // monotonicity that would otherwise make every component pick the
-    // same min shingle. One string hash per shingle instead of k.
-    val P = 2147483647L // 2^31 - 1, prime
+  /** k universal-hash coefficient pairs (fixed seed → identical on every
+    * executor and embeddable as oracle-SQL literals); h_i = (a_i*h + b_i)
+    * mod P with h,a,b < P, so products stay < 2^62 (no ANSI overflow)
+    * and the mod breaks the monotonicity that would otherwise make every
+    * component pick the same min shingle. */
+  def minhashCoefficients(k: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(0x5EED5EED)
     def draw(lo: Long): Long = ((rnd.nextLong() & Long.MaxValue) % (P - lo)) + lo
-    val aLit = array(Array.fill(k)(draw(1L)).map(lit): _*)
-    val bLit = array(Array.fill(k)(draw(0L)).map(lit): _*)
+    val a = Array.fill(k)(draw(1L))
+    val b = Array.fill(k)(draw(0L))
+    (a, b)
+  }
+
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val (coefA, coefB) = minhashCoefficients(k)
+    val aLit = array(coefA.map(lit): _*)
+    val bLit = array(coefB.map(lit): _*)
     aggregate(
-      transform(shingleArr, s => pmod(xxhash64(s), lit(P))),
+      transform(shingleArr, s => baseHash(s)),
       array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(
         acc,
@@ -64,25 +86,39 @@ object TextFunctions {
     aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
 
-  /** SimHash bit vector (length `bits`) over whitespace tokens: bit j is
-    * 1 iff the sum over tokens of ±1 votes is positive, where token t's
-    * vote for bit j is the parity of xxhash64(t, j) — 64 independent
-    * hash functions rather than 64 bits of one hash (Spark's shiftright
-    * needs a literal shift; seeded re-hash is equivalent and stays a
-    * pure column expression). One projection, no shuffle. */
-  def simhashBits(tokenArr: Column, bits: Int): Column =
+  /** SimHash bit vector (length `bits`, must be 64) over whitespace
+    * tokens: bit j is 1 iff the sum over tokens of ±1 votes is positive,
+    * where token t's vote for bit j is bit j of t's 64-bit hash — the
+    * classic single-hash SimHash. The hash is md5's first 16 hex chars
+    * split into two 32-bit words (cross-engine verifiable: DuckDB
+    * recomputes them with the same substr/hex-cast, so dd_simhash is
+    * oracle-gated). Per-token hashes are materialized FIRST (the
+    * aggregate input — evaluated once per token), never inside the vote
+    * lambda where interpreted HOFs would recompute md5 per bit. One
+    * projection, no shuffle. */
+  def simhashBits(tokenArr: Column, bits: Int): Column = {
+    require(bits == 64, "simhashBits derives votes from one 64-bit hash")
+    // hash words: [hi32, lo32] from md5 hex chars 1-8 / 9-16
+    val tokHashes = transform(tokenArr, t => array(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long")))
     transform(
-      // one pass over tokens accumulating all `bits` vote counters —
-      // same single-evaluation rationale as minhashSignature
       aggregate(
-        tokenArr,
+        tokHashes,
         array_repeat(lit(0L), bits),
-        (acc, t) => zip_with(
+        (acc, h) => zip_with(
           acc,
-          transform(sequence(lit(0), lit(bits - 1)), j =>
-            when(pmod(xxhash64(t, j), lit(2L)) === 0, 1L).otherwise(-1L)),
+          transform(sequence(lit(0), lit(bits - 1)), j => {
+            // bit j of the 64-bit hash: word hi for j<32, lo after;
+            // (word >> (31 - j%32)) & 1 — identical arithmetic in DuckDB
+            val word = element_at(h, when(j < 32, 1).otherwise(2))
+            val bit = call_function("shiftright", word, lit(31) - pmod(j, lit(32)))
+              .bitwiseAND(lit(1L))
+            when(bit === 1, 1L).otherwise(-1L)
+          }),
           (a, b) => a + b)),
       v => when(v > 0, 1).otherwise(0))
+  }
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(bitsA: Column, bitsB: Column): Column =

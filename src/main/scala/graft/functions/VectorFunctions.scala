@@ -20,16 +20,41 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH bucket id for a vector: `nBits` sign bits,
-    * hyperplane components derived deterministically from xxhash64 so
-    * every executor computes identical planes with no broadcast state.
-    * Component j of plane h = (xxhash64(h, j) mod 2001)/1000 - 1 ∈ [-1,1].
-    */
-  def hyperplaneBits(v: Column, nBits: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(nBits - 1)), h => {
-      val proj = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, j) =>
-        acc + element_at(v, j + 1) *
-          ((pmod(xxhash64(h, j), lit(2001L)).cast("double") / 1000.0) - 1.0))
-      when(proj > 0, 1).otherwise(0)
-    })
+  /** splitmix64 finalizer — the plane-component PRNG. Chosen over
+    * scala.util.Random because it is trivially reproducible in any
+    * language (the driver-side oracle tooling mirrors it in Python). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH, materialized as
+    * PLAN-TIME literals (not per-row hash calls): identical on every
+    * executor with zero broadcast state, and — because each component is
+    * an exact binary fraction k/1024 ∈ [-1,1] whose decimal rendering
+    * round-trips exactly — embeddable verbatim in cross-engine SQL, so
+    * the whole LSH pipeline is DuckDB-oracle-checkable. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x5CA1AB1EL): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (h, j) =>
+      ((mix64(seed + h * 4096L + j) >>> 32) % 2048 - 1024) / 1024.0
+    }
+
+  /** Sign-LSH bucket key: one character ('0'/'1') per hyperplane, the
+    * sign of v·plane. The dot products are plain literal-array zip_with
+    * aggregates — sequential left-to-right accumulation, bit-identical
+    * to DuckDB's list_dot_product against the same literals. */
+  def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { p =>
+      val proj = dot(v, array(p.map(lit): _*))
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** The same bucket expression as DuckDB SQL over a DOUBLE[] column
+    * named `colName` — literal-for-literal identical planes. */
+  def hyperplaneBitsSql(colName: String, planes: Array[Array[Double]]): String =
+    planes.map { p =>
+      s"(CASE WHEN list_dot_product($colName, [${p.mkString(",")}]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 }

@@ -113,12 +113,20 @@ object Dedup {
       } else minhashSignature(shinglesFromTokens(col("toks"), n), k)
     val sig = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      // docs shorter than the shingle width have NO shingles; left in,
+      // they would all share the identity signature and spuriously pair
+      // with each other at est_jaccard = 1.0
+      .filter(size(col("toks")) >= n)
       .select(col("doc"), sigCol.as("sig"))
-    // band keys in one projection: hash of each signature slice
+    // band keys in one projection: each signature slice rendered as a
+    // string (not hashed — the join key must be recomputable by the
+    // DuckDB oracle, and the slice itself is exactly as shuffle-compact
+    // at r=4 components)
     val banded = sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
-        xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
+        array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
+        .as(Seq("band", "bkey")))
     bucketPairs(banded)
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
@@ -163,7 +171,8 @@ object Dedup {
     val banded = sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
-        xxhash64(slice(col("sig"), i * r + 1, lit(r)), i))).as(Seq("band", "bkey")))
+        array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
+        .as(Seq("band", "bkey")))
     bucketPairs(banded)
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)

@@ -36,14 +36,16 @@ object SimilaritySearch {
   /** LSH-bucketed all-pairs neighbor search: every vector is assigned a
     * `nBits`-bit hyperplane bucket; candidates are bucket-mates; each
     * vector keeps its `k` nearest by exact cosine re-rank. Recall is
-    * tunable via nBits (fewer bits → bigger buckets → higher recall). */
+    * tunable via nBits (fewer bits → bigger buckets → higher recall).
+    * Hyperplanes are plan-time literals (VectorFunctions.hyperplanes) —
+    * deterministic, broadcast-free, and DuckDB-oracle-expressible. */
   def lshNeighbors(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 6, k: Int = 3): DataFrame = {
-    val bucketed = corpus.select(
-      col(idCol).as("vec_id"),
-      asDoubles(col(vecCol)).as("v"),
-      hyperplaneBits(asDoubles(col(vecCol)), nBits, dim).as("bucket"))
+    val planes = hyperplanes(nBits, dim)
+    val bucketed = corpus
+      .select(col(idCol).as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"), hyperplaneBits(col("v"), planes).as("bucket"))
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

@@ -91,9 +91,19 @@ class RawToTrusted(
         val df =
           if (enforceSchema) Storage.readParquet(spark, root, t.withPartition)
           else {
-            spark.conf.set(
-              "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-            spark.read.parquet(root)
+            // lax mode needs string-typed partition columns for this one
+            // read; save/restore the session conf so we don't silently
+            // change partition typing for every later read in the session
+            val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            val prev = spark.conf.getOption(key)
+            spark.conf.set(key, "false")
+            // (safe: partition-column typing is resolved eagerly while
+            // the relation is created, not at action time)
+            try spark.read.parquet(root)
+            finally prev match {
+              case Some(v) => spark.conf.set(key, v)
+              case None    => spark.conf.unset(key)
+            }
           }
         df.createOrReplaceTempView(t.trustedName)
       }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -16,10 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Java inside the surrounding WholeStageCodegen span.
   *
   * Semantics are bit-identical to
-  * `graft.functions.TextFunctions.minhashSignature` (same xxhash64 seed
-  * 42 base hash, same (a_i·h + b_i) mod 2³¹−1 universal-hash family,
-  * same fixed coefficient seed), which the spec asserts — the expression
-  * is a faster plan for the same function, not a new function.
+  * `graft.functions.TextFunctions.minhashSignature` (same md5-derived
+  * 60-bit base hash — chosen so DuckDB can recompute it and the whole
+  * dedup pipeline is oracle-gated — same (a_i·h + b_i) mod 2³¹−1
+  * universal-hash family, same fixed coefficient seed), which the spec
+  * asserts — the expression is a faster plan for the same function, not
+  * a new function.
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
@@ -92,19 +94,27 @@ object MinHashSignature {
   /** 2³¹−1, prime — keeps a·h+b < 2⁶² (ANSI-safe) and positive. */
   val P: Long = 2147483647L
 
-  /** Same coefficient stream as TextFunctions.minhashSignature. */
-  def coefficients(k: Int): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(0x5EED5EED)
-    def draw(lo: Long): Long = ((rnd.nextLong() & Long.MaxValue) % (P - lo)) + lo
-    val a = Array.fill(k)(draw(1L))
-    val b = Array.fill(k)(draw(0L))
-    (a, b)
+  /** Same coefficient stream as TextFunctions.minhashCoefficients. */
+  def coefficients(k: Int): (Array[Long], Array[Long]) =
+    graft.functions.TextFunctions.minhashCoefficients(k)
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** pmod(xxhash64(s), P) with Spark's default seed 42 — matches the
-    * built-in `xxhash64` the HOF formulation uses. */
+  /** First 15 hex chars of md5 as a 60-bit long, mod P — i.e. the top
+    * 60 bits of the digest's first 8 bytes (big-endian), exactly what
+    * `conv(substr(md5(s),1,15),16,10)` (Spark) and
+    * `('0x' || substr(md5(s),1,15))::BIGINT` (DuckDB) parse. Matches
+    * TextFunctions.baseHash bit-for-bit. */
   def baseHash(s: UTF8String): Long = {
-    val h = XxHash64Function.hash(s, StringType, 42L) % P
-    if (h < 0) h + P else h
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (bytes(i) & 0xffL); i += 1 }
+    (be >>> 4) % P
   }
 }

@@ -348,7 +348,7 @@ object RelationalQueries {
         |SELECT
         |  COUNT(*) AS total_users,
         |  COUNT(a.user_id) AS retained_users,
-        |  ROUND(100.0 * COUNT(a.user_id) / COUNT(*), 2) AS retention_pct
+        |  CAST(100.0 AS DOUBLE) * COUNT(a.user_id) / COUNT(*) AS retention_pct
         |FROM first_day f
         |LEFT JOIN active_3d a ON f.user_id = a.user_id""".stripMargin)
   }
@@ -370,7 +370,7 @@ object RelationalQueries {
       |SELECT
       |  COUNT(*) AS total_users,
       |  COUNT(a.user_id) AS retained_users,
-      |  ROUND(100.0 * COUNT(a.user_id) / COUNT(*), 2) AS retention_pct
+      |  CAST(100.0 AS DOUBLE) * COUNT(a.user_id) / COUNT(*) AS retention_pct
       |FROM first_day f
       |LEFT JOIN active_3d a ON f.user_id = a.user_id""".stripMargin
 

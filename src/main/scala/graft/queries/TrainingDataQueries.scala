@@ -7,11 +7,17 @@ import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline operators as driver-gated queries over the
-  * `documents` and `embeddings` testdata tables. SQL-expressible ops
-  * carry a DuckDB oracle; signature-based ops (MinHash/SimHash/LSH —
-  * xxhash64 has no DuckDB twin) are declared without an oracle and get
-  * the driver's rows-only check, with their correctness asserted in
-  * ScalaTest specs instead.
+  * `documents` and `embeddings` testdata tables.
+  *
+  * Every probabilistic operator here (MinHash, SimHash, hyperplane LSH)
+  * is deliberately built from cross-engine-recomputable primitives —
+  * md5-derived hashes, literal coefficient/hyperplane arrays, slice-
+  * string band keys — precisely so it can carry a full DuckDB oracle:
+  * both engines run the SAME randomized algorithm, so outputs must
+  * hash-match exactly, not just statistically. The only rows-only
+  * queries left are mm_features (JVM-stubbed media decode) and
+  * sk_sketches (engine-specific sketch internals by design); both are
+  * spec-tested instead.
   */
 object TrainingDataQueries {
 
@@ -51,25 +57,120 @@ object TrainingDataQueries {
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs (rows-only:
-    * xxhash64 signatures have no DuckDB equivalent; spec-tested against
-    * dd_ngram_jaccard ground truth). */
+  /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
+    * oracle-gated: the md5-derived base hash, the universal-hash
+    * coefficient literals, the band keys (signature slices, not opaque
+    * hashes) and the estimated-Jaccard re-rank are all recomputable in
+    * DuckDB SQL, so even the PROBABILISTIC pipeline is checked exactly —
+    * both engines run the same LSH, so they must emit the same pairs. */
   val ddMinhash: Q = (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
-  /** dd_minhash_verified — LSH candidates re-ranked by exact Jaccard
-    * (rows-only: output equals dd_ngram_jaccard whenever LSH recall is
-    * total, which the spec asserts on the fixture corpus — but LSH is
-    * probabilistic, so it is not oracle-gated). */
+  /** Shared oracle prefix: tokens → shingles → md5 base hashes →
+    * 64-component signatures with the same (a·h+b) mod P family and the
+    * same coefficient stream as TextFunctions.minhashCoefficients. */
+  private def minhashOraclePrefix: String = {
+    val (a, b) = graft.functions.TextFunctions.minhashCoefficients(64)
+    val aL = a.mkString("[", ",", "]")
+    val bL = b.mkString("[", ",", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM tok WHERE len(t) >= 3
+       |), hs AS (
+       |  SELECT doc_id, s, list_transform(s, x ->
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hv
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, s, list_transform(range(64), i ->
+       |    list_min(list_transform(hv, h -> (($aL)[i+1] * h + ($bL)[i+1]) % 2147483647))) AS sig
+       |  FROM hs
+       |), banded AS (
+       |  SELECT doc_id, sig, r.band AS band,
+       |    array_to_string(sig[(r.band*4+1):(r.band*4+4)], '_') AS bkey
+       |  FROM sig, range(16) r(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |)""".stripMargin
+  }
+
+  val ddMinhashOracle: String =
+    s"""$minhashOraclePrefix
+       |SELECT doc_a, doc_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dd_minhash_verified — LSH candidates (permissive est ≥ 0.3 cut)
+    * re-ranked by exact shingle Jaccard (≥ 0.5). Oracle-gated like
+    * dd_minhash. */
   val ddMinhashVerified: Q = (s, dir) =>
     Dedup.minhashPairsVerified(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
-  /** dd_simhash — 64-bit SimHash banded near-dup pairs (rows-only). */
+  val ddMinhashVerifiedOracle: String =
+    s"""$minhashOraclePrefix
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |      len(list_distinct(sa.s || sb.s)) AS jaccard
+       |  FROM (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.3) c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |)
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dd_simhash — 64-bit single-hash SimHash, 8 banded slices, Hamming
+    * ≤ 3. Oracle-gated: the md5-derived hash words and bit votes are
+    * recomputed in DuckDB with the same shifts. */
   val ddSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
+
+  val ddSimhashOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, list_transform(t, s ->
+      |    [('0x' || substr(md5(s), 1, 8))::BIGINT,
+      |     ('0x' || substr(md5(s), 9, 8))::BIGINT]) AS hs
+      |  FROM tok
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(64), j -> CASE WHEN
+      |      list_sum(list_transform(hs, h ->
+      |        CASE WHEN ((h[(j // 32) + 1] >> CAST(31 - (j % 32) AS INTEGER)) & 1) = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 ELSE 0 END) AS sig
+      |  FROM th
+      |), banded AS (
+      |  SELECT doc_id, sig, r.band AS band,
+      |    array_to_string(sig[(r.band*8+1):(r.band*8+8)], '_') AS bkey
+      |  FROM sig, range(8) r(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(range(64), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = cand.doc_a
+      |  JOIN sig sb ON sb.doc_id = cand.doc_b
+      |)
+      |SELECT doc_a, doc_b, hamming FROM scored
+      |WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** ta_token_stats — per-document token statistics. */
   val taTokenStats: Q = (s, dir) =>
@@ -102,11 +203,34 @@ object TrainingDataQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** ta_langid — heuristic stopword-profile language ID (rows-only: the
-    * heuristic itself is the operator; spec-tested for determinism). */
+  /** ta_langid — heuristic stopword-profile language ID. Oracle-gated:
+    * the profile argmax (ties toward the lexicographically larger code,
+    * zero hits → "und") is plain SQL over the same profile lists. */
   val taLangid: Q = (s, dir) =>
     TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  val taLangidOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+      |), scores AS (
+      |  SELECT doc_id, p.lang, CAST(len(list_intersect(t, p.words)) AS BIGINT) AS score
+      |  FROM toks CROSS JOIN (
+      |    VALUES ('en', ['the','a','of','and','to','in','is']),
+      |           ('es', ['el','la','de','y','que','en','los']),
+      |           ('fr', ['le','la','de','et','les','des','un']),
+      |           ('de', ['der','die','und','das','ist','von','den']),
+      |           ('zh', ['的','了','是','我','不','在','有'])) AS p(lang, words)
+      |), best AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      |  FROM scores
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang,
+      |  score AS profile_hits
+      |FROM best WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** ta_fingerprint — normalized content fingerprint (md5 over
     * lower/trim). */
@@ -140,12 +264,41 @@ object TrainingDataQueries {
       |LIMIT 10""".stripMargin
 
   /** ss_ann_lsh — hyperplane-LSH bucketed neighbor search, k=3 per
-    * vector (rows-only: the scale path; recall spec-tested against the
-    * brute-force baseline). */
+    * vector. Fully oracle-gated: the hyperplanes are plan-time binary-
+    * fraction literals, so the identical LSH computation is expressible
+    * in DuckDB (lshOracle below) — bucket assignment, candidate join,
+    * cosine re-rank and top-k all hash-match. */
   val ssAnnLsh: Q = (s, dir) =>
     SimilaritySearch.lshNeighbors(
       Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
       .orderBy("vec_id", "neighbor_id")
+
+  /** DuckDB twin of SimilaritySearch.lshNeighbors over `embeddings`,
+    * with the same literal hyperplanes; `extraPredicate` narrows the
+    * final selection (dd_embedding's near-dup cut). */
+  private def lshOracle(nBits: Int, k: Int, extraPredicate: String = "TRUE"): String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    val bucket = hyperplaneBitsSql("v", hyperplanes(nBits, 64))
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, $bucket AS bucket FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM p
+       |)
+       |SELECT vec_id, neighbor_id, cos FROM r
+       |WHERE rn <= $k AND ($extraPredicate)
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
+  val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
   /** mm_features — multimodal binary-column plumbing: synthesize media
     * rows from the documents table, extract per-item features via typed
@@ -157,15 +310,20 @@ object TrainingDataQueries {
       .toDF().orderBy("media_id")
 
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
-    * LSH buckets (rows-only; the scale path for vector dedup — exact
-    * all-pairs cosine is quadratic). Few bits → high recall at our
-    * corpus size; pairs above 0.9 cosine are near-dups. */
+    * LSH buckets (the scale path for vector dedup — exact all-pairs
+    * cosine is quadratic). Oracle-gated like ss_ann_lsh. The 0.4 cut is
+    * calibrated to this synthetic corpus (its max pairwise cosine is
+    * ~0.51 — truly random vectors have no 0.9-neighbors); a production
+    * near-dup cut over trained embeddings would sit at 0.9+. */
   val ddEmbedding: Q = (s, dir) =>
     SimilaritySearch.lshNeighbors(
       Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, nBits = 4, k = 5)
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= 0.4)
       .filter(col("vec_id") < col("neighbor_id"))
       .orderBy("vec_id", "neighbor_id")
+
+  val ddEmbeddingOracle: String =
+    lshOracle(nBits = 4, k = 5, extraPredicate = "cos >= 0.4 AND vec_id < neighbor_id")
 
   /** sk_sketches — approximate aggregates (HLL++ distinct count,
     * approximate percentiles): the constant-memory alternative to exact
@@ -203,8 +361,14 @@ object TrainingDataQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
+    "dd_embedding" -> ddEmbeddingOracle,
+    "dd_minhash" -> ddMinhashOracle,
+    "dd_minhash_verified" -> ddMinhashVerifiedOracle,
+    "dd_simhash" -> ddSimhashOracle,
     "ta_token_stats" -> taTokenStatsOracle,
     "ta_quality" -> taQualityOracle,
+    "ta_langid" -> taLangidOracle,
     "ta_fingerprint" -> taFingerprintOracle,
-    "ss_topk_cosine" -> ssTopkCosineOracle)
+    "ss_topk_cosine" -> ssTopkCosineOracle,
+    "ss_ann_lsh" -> ssAnnLshOracle)
 }

@@ -55,9 +55,17 @@ object Tables {
     * per (session, dir): repeated query invocations in one session pay
     * nothing. */
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.add((System.identityHashCode(spark).toString, dir)))
-      all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      // keyed by the session OBJECT (weakly, so dropped sessions don't
+      // pin memory) and tracking the LAST dir registered: switching a
+      // session between sfDirs re-registers every time, so SQL-text
+      // queries can never silently read a stale scale factor.
+      if (registered.get(spark) != dir) {
+        all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
+    }
 }

@@ -42,6 +42,9 @@ class TopKAggregatorSpec extends SparkSpecBase {
       .mapValues(e => (e._2, e._3))
       .agg(new TopKAggregator(3).toColumn.name("top"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_topkaggregator") || plan.contains("partial_"), plan)
+    // must match the aggregator's OWN partial mode — a generic
+    // "partial_" would be satisfied by any partial aggregate and could
+    // never catch this Aggregator losing map-side combining
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan)
   }
 }

@@ -51,6 +51,28 @@ class DedupSpec extends SparkSpecBase {
     assert(verified === truth)
   }
 
+  test("short and empty documents survive every dedup operator (no out-of-bounds shingles)") {
+    import spark.implicits._
+    // real corpora contain docs shorter than the shingle width n=3 — an
+    // unguarded sequence(0, size-n) steps DOWNWARD below zero and throws
+    val docs = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "exactly three tokens"),
+      (5L, "a full length document with plenty of tokens to shingle"),
+      (6L, "a full length document with plenty of tokens to shingle"))
+      .toDF("doc_id", "text")
+    val ngram = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+    val mhv = Dedup.minhashPairsVerified(docs, "doc_id", "text").collect()
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+    // docs 5/6 are identical → every operator must still pair them,
+    // while the sub-n docs (1,2,3) must be silently shingle-less
+    assert(ngram.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
+    assert(mhv.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).contains((5L, 6L)))
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
