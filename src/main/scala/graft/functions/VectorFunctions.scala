@@ -36,10 +36,15 @@ object VectorFunctions {
     * an exact binary fraction k/1024 ∈ [-1,1] whose decimal rendering
     * round-trips exactly — embeddable verbatim in cross-engine SQL, so
     * the whole LSH pipeline is DuckDB-oracle-checkable. */
-  def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x5CA1AB1EL): Array[Array[Double]] =
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x5CA1AB1EL): Array[Array[Double]] = {
+    // stride 2^32 between planes keeps component streams disjoint for any
+    // realistic dim (a 4096 stride would alias plane h component j with
+    // plane h+1 component j-4096, silently correlating hyperplanes)
+    require(dim > 0 && dim.toLong < 0x100000000L, s"dim $dim out of range")
     Array.tabulate(nBits, dim) { (h, j) =>
-      ((mix64(seed + h * 4096L + j) >>> 32) % 2048 - 1024) / 1024.0
+      ((mix64(seed + h * 0x100000000L + j) >>> 32) % 2048 - 1024) / 1024.0
     }
+  }
 
   /** Sign-LSH bucket key: one character ('0'/'1') per hyperplane, the
     * sign of v·plane. The dot products are plain literal-array zip_with

@@ -22,6 +22,20 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Named defaults shared between the Spark operators and the DuckDB
+    * oracle templates (TrainingDataQueries): deriving the oracle's
+    * constants from the same definitions keeps the two sides in lockstep —
+    * changing a default here regenerates the matching oracle SQL instead
+    * of silently desynchronizing the gate. */
+  val DefaultShingleN = 3
+  val DefaultMinhashK = 64
+  val DefaultMinhashBands = 16
+  val DefaultMinhashThreshold = 0.5
+  val DefaultCandThreshold = 0.3
+  val DefaultSimhashBits = 64
+  val DefaultSimhashBands = 8
+  val DefaultMaxHamming = 3
+
   /** Exact dedup groups by content fingerprint (md5 of the raw text).
     * One hash-aggregate; map-side partial aggregation keeps the shuffle
     * proportional to the number of *distinct* documents. */
@@ -39,7 +53,7 @@ object Dedup {
     * per pair. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5,
+      n: Int = DefaultShingleN, threshold: Double = DefaultMinhashThreshold,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
@@ -98,8 +112,9 @@ object Dedup {
     * tuned for finding ≥0.8-similar training-corpus duplicates. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, native: Boolean = true): DataFrame = {
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands,
+      threshold: Double = DefaultMinhashThreshold, native: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // native path: codegen'd Catalyst expression (graft.plans.
@@ -141,8 +156,10 @@ object Dedup {
     * pairs (≪ n²). */
   def minhashPairsVerified(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16,
-      candThreshold: Double = 0.3, threshold: Double = 0.5): DataFrame = {
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands,
+      candThreshold: Double = DefaultCandThreshold,
+      threshold: Double = DefaultMinhashThreshold): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol, n, k, bands, candThreshold)
       .select("doc_a", "doc_b")
     val sh = df
@@ -162,12 +179,18 @@ object Dedup {
     * band when bands > maxHamming), then exact Hamming filter. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64, bands: Int = 8, maxHamming: Int = 3): DataFrame = {
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
-    val sig = df.select(
-      col(idCol).as("doc"),
-      simhashBits(tokens(col(textCol)), bits).as("sig"))
+    val sig = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      // degenerate-doc guard: tokens('') = [''] so every empty/whitespace
+      // doc would share one signature, spuriously pairing at hamming 0 —
+      // and at scale a mass of degenerate docs is one LSH bucket with a
+      // B² pair blowup. Require ≥ minTokens non-empty tokens.
+      .filter(size(array_remove(col("toks"), "")) >= minTokens)
+      .select(col("doc"), simhashBits(col("toks"), bits).as("sig"))
     val banded = sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>

@@ -43,19 +43,26 @@ object TrainingDataQueries {
         n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
-  val ddNgramJaccardOracle: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    range(len(string_split(text,' ')) - 2),
-      |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
-      |  )) AS s
-      |  FROM documents)
-      |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+  /** DuckDB n-gram shingle expression over a token-array SQL expression —
+    * the oracle templates interpolate the SAME named defaults the Spark
+    * operators use (Dedup.Default*), so a default change regenerates the
+    * matching oracle instead of silently desynchronizing the gate. */
+  private def duckShingles(tArr: String, n: Int): String =
+    s"list_distinct(list_transform(range(len($tArr) - ${n - 1}), i -> " +
+      (1 to n).map(j => s"$tArr[i+$j]").mkString(" || ' ' || ") + "))"
+
+  val ddNgramJaccardOracle: String = {
+    val n = Dedup.DefaultShingleN
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
+       |  FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= ${Dedup.DefaultMinhashThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash
@@ -71,34 +78,38 @@ object TrainingDataQueries {
     * 64-component signatures with the same (a·h+b) mod P family and the
     * same coefficient stream as TextFunctions.minhashCoefficients. */
   private def minhashOraclePrefix: String = {
-    val (a, b) = graft.functions.TextFunctions.minhashCoefficients(64)
+    val n = Dedup.DefaultShingleN
+    val k = Dedup.DefaultMinhashK
+    val bands = Dedup.DefaultMinhashBands
+    val r = k / bands
+    val P = graft.functions.TextFunctions.P
+    val (a, b) = graft.functions.TextFunctions.minhashCoefficients(k)
     val aL = a.mkString("[", ",", "]")
     val bL = b.mkString("[", ",", "]")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |), sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-       |  FROM tok WHERE len(t) >= 3
+       |  SELECT doc_id, ${duckShingles("t", n)} AS s
+       |  FROM tok WHERE len(t) >= $n
        |), hs AS (
        |  SELECT doc_id, s, list_transform(s, x ->
-       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hv
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hv
        |  FROM sh
        |), sig AS (
-       |  SELECT doc_id, s, list_transform(range(64), i ->
-       |    list_min(list_transform(hv, h -> (($aL)[i+1] * h + ($bL)[i+1]) % 2147483647))) AS sig
+       |  SELECT doc_id, s, list_transform(range($k), i ->
+       |    list_min(list_transform(hv, h -> (($aL)[i+1] * h + ($bL)[i+1]) % $P))) AS sig
        |  FROM hs
        |), banded AS (
        |  SELECT doc_id, sig, r.band AS band,
-       |    array_to_string(sig[(r.band*4+1):(r.band*4+4)], '_') AS bkey
-       |  FROM sig, range(16) r(band)
+       |    array_to_string(sig[(r.band*$r+1):(r.band*$r+$r)], '_') AS bkey
+       |  FROM sig, range($bands) r(band)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |), scored AS (
        |  SELECT doc_a, doc_b,
-       |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64 AS est_jaccard
+       |    CAST(len(list_filter(range($k), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / $k AS est_jaccard
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = cand.doc_a
        |  JOIN sig sb ON sb.doc_id = cand.doc_b
@@ -108,7 +119,7 @@ object TrainingDataQueries {
   val ddMinhashOracle: String =
     s"""$minhashOraclePrefix
        |SELECT doc_a, doc_b, est_jaccard FROM scored
-       |WHERE est_jaccard >= 0.5
+       |WHERE est_jaccard >= ${Dedup.DefaultMinhashThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dd_minhash_verified — LSH candidates (permissive est ≥ 0.3 cut)
@@ -124,11 +135,11 @@ object TrainingDataQueries {
        |  SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
        |      len(list_distinct(sa.s || sb.s)) AS jaccard
-       |  FROM (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.3) c
+       |  FROM (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= ${Dedup.DefaultCandThreshold}) c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b
        |)
-       |WHERE jaccard >= 0.5
+       |WHERE jaccard >= ${Dedup.DefaultMinhashThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dd_simhash — 64-bit single-hash SimHash, 8 banded slices, Hamming
@@ -138,9 +149,12 @@ object TrainingDataQueries {
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
-  val ddSimhashOracle: String =
-    """WITH tok AS (
+  val ddSimhashOracle: String = {
+    val bands = Dedup.DefaultSimhashBands
+    val rw = Dedup.DefaultSimhashBits / bands
+    s"""WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
       |), th AS (
       |  SELECT doc_id, list_transform(t, s ->
       |    [('0x' || substr(md5(s), 1, 8))::BIGINT,
@@ -155,8 +169,8 @@ object TrainingDataQueries {
       |  FROM th
       |), banded AS (
       |  SELECT doc_id, sig, r.band AS band,
-      |    array_to_string(sig[(r.band*8+1):(r.band*8+8)], '_') AS bkey
-      |  FROM sig, range(8) r(band)
+      |    array_to_string(sig[(r.band*$rw+1):(r.band*$rw+$rw)], '_') AS bkey
+      |  FROM sig, range($bands) r(band)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b
@@ -169,8 +183,9 @@ object TrainingDataQueries {
       |  JOIN sig sb ON sb.doc_id = cand.doc_b
       |)
       |SELECT doc_a, doc_b, hamming FROM scored
-      |WHERE hamming <= 3
+      |WHERE hamming <= ${Dedup.DefaultMaxHamming}
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** ta_token_stats — per-document token statistics. */
   val taTokenStats: Q = (s, dir) =>
@@ -311,19 +326,31 @@ object TrainingDataQueries {
 
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
     * LSH buckets (the scale path for vector dedup — exact all-pairs
-    * cosine is quadratic). Oracle-gated like ss_ann_lsh. The 0.4 cut is
-    * calibrated to this synthetic corpus (its max pairwise cosine is
-    * ~0.51 — truly random vectors have no 0.9-neighbors); a production
-    * near-dup cut over trained embeddings would sit at 0.9+. */
-  val ddEmbedding: Q = (s, dir) =>
+    * cosine is quadratic). Oracle-gated like ss_ann_lsh. The cosine cut
+    * is an explicit PARAMETER threaded into both the Spark query and the
+    * DuckDB oracle: `EmbFixtureThreshold` = 0.4 is a fixture calibration
+    * (this synthetic random corpus has max pairwise cosine ≈ 0.51, so the
+    * production cut returns nothing); `EmbProductionThreshold` = 0.9 is
+    * what a trained-embedding near-dup pass would use. */
+  private[queries] val EmbNBits = 4
+  private[queries] val EmbK = 5
+  private[queries] val EmbFixtureThreshold = 0.4
+  val EmbProductionThreshold = 0.9
+
+  def ddEmbeddingAt(threshold: Double): Q = (s, dir) =>
     SimilaritySearch.lshNeighbors(
-      Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, nBits = 4, k = 5)
-      .filter(col("cos") >= 0.4)
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, nBits = EmbNBits, k = EmbK)
+      .filter(col("cos") >= threshold)
       .filter(col("vec_id") < col("neighbor_id"))
       .orderBy("vec_id", "neighbor_id")
 
-  val ddEmbeddingOracle: String =
-    lshOracle(nBits = 4, k = 5, extraPredicate = "cos >= 0.4 AND vec_id < neighbor_id")
+  def ddEmbeddingOracleAt(threshold: Double): String =
+    lshOracle(nBits = EmbNBits, k = EmbK,
+      extraPredicate = s"cos >= $threshold AND vec_id < neighbor_id")
+
+  val ddEmbedding: Q = ddEmbeddingAt(EmbFixtureThreshold)
+  val ddEmbeddingOracle: String = ddEmbeddingOracleAt(EmbFixtureThreshold)
 
   /** sk_sketches — approximate aggregates (HLL++ distinct count,
     * approximate percentiles): the constant-memory alternative to exact

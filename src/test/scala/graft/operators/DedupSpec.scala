@@ -70,7 +70,9 @@ class DedupSpec extends SparkSpecBase {
     assert(ngram.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
     assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
     assert(mhv.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
-    assert(sh.map(r => (r.getLong(0), r.getLong(1))).contains((5L, 6L)))
+    // exact set (not `contains`): the degenerate-doc guard keeps the
+    // empty doc out of the signature table, so no spurious short-doc pairs
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
   }
 
   test("maxDocFreq skew guard only prunes, never invents pairs") {
