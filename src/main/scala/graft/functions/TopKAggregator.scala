@@ -15,6 +15,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer is a sorted-ascending List (head = weakest), capped at k;
   * merge is a bounded merge of two ≤k lists. Deterministic tiebreak on
   * payload keeps results reproducible across partitionings.
+  *
+  * Exact-duplicate inputs collapse to one buffer entry — multi-table LSH
+  * feeds the same (score, payload) once per colliding plane table, and a
+  * duplicate must not occupy two of the k slots.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
@@ -22,8 +26,9 @@ class TopKAggregator(k: Int)
   override def zero: List[(Double, Long)] = Nil
 
   private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
-    // ascending by (score, payload); drop the weakest when over k
-    val merged = (x :: buf).sortBy(identity)
+    // ascending by (score, payload), exact dups collapsed; drop the
+    // weakest when over k
+    val merged = (x :: buf).distinct.sortBy(identity)
     if (merged.size > k) merged.drop(merged.size - k) else merged
   }
 
@@ -32,7 +37,7 @@ class TopKAggregator(k: Int)
     else buf
 
   override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
-    val merged = (a ++ b).sortBy(identity)
+    val merged = (a ++ b).distinct.sortBy(identity)
     if (merged.size > k) merged.drop(merged.size - k) else merged
   }
 

@@ -49,4 +49,35 @@ class SimilaritySearchSpec extends SparkSpecBase {
     // conservative floor.
     assert(hits.toDouble / total >= 0.2, s"recall@1 = $hits/$total")
   }
+
+  test("nBitsFor grows bucket count with the corpus (the 100× scale-up knob)") {
+    // 1000 docs / 256-per-bucket target → 4 buckets → 2 bits
+    assert(SimilaritySearch.nBitsFor(1000) === 2)
+    // 100× corpus → ~7 more bits, keeping expected bucket size constant
+    assert(SimilaritySearch.nBitsFor(100000) === 9)
+    assert(SimilaritySearch.nBitsFor(100000000) === 19)
+    // monotone and capped
+    assert(SimilaritySearch.nBitsFor(Long.MaxValue / 2) === 30)
+  }
+
+  test("multiple plane tables amplify recall without changing per-pair semantics") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // ground truth top-1 for the first 15 vectors
+    val truth = (0L until 15L).map { q =>
+      val query = emb.filter(col("vec_id") === q).select(col("embedding").as("qvec"))
+      q -> SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") =!= q), "vec_id", "embedding", query, 1)
+        .collect().head.getAs[Long]("vec_id")
+    }.toMap
+    def recall(nTables: Int): Double = {
+      val nn = SimilaritySearch.lshNeighbors(emb, "vec_id", "embedding",
+        dim = 64, nBits = 6, k = 1, nTables = nTables)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+      truth.count { case (q, best) => nn.get(q).contains(best) }.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1, s"recall@1 one table $r1, three tables $r3")
+    assert(r3 > 0.0)
+  }
 }

@@ -52,6 +52,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PushedFilters") && p.contains("In(event_type"), p)
   }
 
+  test("ss_ann_lsh: one corpus scan, one hash shuffle, no all-pairs window") {
+    val p = plan("ss_ann_lsh")
+    // the bucketed projection is computed ONCE (a self-join would scan +
+    // project the corpus twice), candidates and the per-vector top-k stay
+    // inside the bucket group (a row_number window would shuffle every
+    // candidate pair), and the only hash exchange is the bucket groupBy
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans === 1, s"$scans corpus scans:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"$exchanges hash exchanges:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("dd_minhash: signature computation has no shuffle before banding") {
     val p = plan("dd_minhash")
     // exactly the candidate-generation aggregate shuffles; signatures are
