@@ -36,6 +36,16 @@ object Dedup {
   val DefaultSimhashBands = 8
   val DefaultMaxHamming = 3
 
+  /** Default skew-guard posture for the inverted-index join: drop
+    * shingles present in more than 10% of documents (boilerplate — a
+    * quadratic hot key in the posting-list join), but never drop a
+    * shingle shared by ≤ `MinDocFreqFloor` docs (tiny corpora and genuine
+    * duplicate groups must keep their evidence). Relative, so the guard
+    * survives a 100× corpus scale-up where any absolute cutoff goes
+    * stale. */
+  val DefaultMaxDocFreqFraction = 0.1
+  val MinDocFreqFloor = 5L
+
   /** Exact dedup groups by content fingerprint (md5 of the raw text).
     * One hash-aggregate; map-side partial aggregation keeps the shuffle
     * proportional to the number of *distinct* documents. */
@@ -54,18 +64,40 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, threshold: Double = DefaultMinhashThreshold,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), shinglesFromTokens(col("toks"), n).as("sh"))
       .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val posting = maxDocFreq match {
-      case Some(limit) =>
-        // skew guard: drop shingles whose posting list exceeds `limit`
-        val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= limit).select("s")
-        sh.join(freq, "s")
-      case None => sh
+    // Skew guard (ON by default): drop shingles whose posting list
+    // exceeds the limit — min of the absolute cap and the relative cap,
+    // the latter floored at MinDocFreqFloor. The relative limit is a
+    // 1-row broadcast computed IN-PLAN from count(docs): no driver-side
+    // action, and the fraction stays meaningful at any corpus size.
+    // Guarding under-counts `common` for pairs sharing a dropped shingle
+    // (na/nb keep the full shingle counts), so it can only LOWER a
+    // pair's jaccard — prune-only, never inventing pairs.
+    val posting = (maxDocFreq, maxDocFreqFraction) match {
+      case (None, None) => sh
+      case (abs, frac) =>
+        val limitDf = {
+          val base = frac match {
+            case Some(f) =>
+              df.select(greatest(lit(MinDocFreqFloor.toDouble),
+                count(lit(1)).cast("double") * f).as("df_limit"))
+            case None =>
+              df.sparkSession.range(1).select(lit(Double.MaxValue).as("df_limit"))
+          }
+          abs match {
+            case Some(a) => base.select(least(col("df_limit"), lit(a.toDouble)).as("df_limit"))
+            case None    => base
+          }
+        }
+        val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(limitDf))
+          .filter(col("df") <= col("df_limit")).select("s")
+        sh.join(keep, "s")
     }
     val a = posting.as("a")
     val b = posting.as("b")

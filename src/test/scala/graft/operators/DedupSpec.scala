@@ -75,6 +75,35 @@ class DedupSpec extends SparkSpecBase {
     assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 6L)))
   }
 
+  test("relative doc-freq guard prunes boilerplate candidates ≥10× without changing the ≥0.5 result set") {
+    import spark.implicits._
+    // 60 docs, every one ending in the same 7-token boilerplate (its 5
+    // pure-boilerplate shingles have df=60 — the quadratic hot key); docs
+    // 58/59 are planted duplicates sharing 30 unique tokens
+    val boiler = "this document is provided entirely as is"
+    val docs = (0 until 60).map { i =>
+      val unique =
+        if (i >= 58) (0 until 30).map(j => s"dup$j").mkString(" ")
+        else (0 until 30).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"$unique $boiler")
+    }.toDF("doc_id", "text")
+    def pairs(guarded: Boolean, threshold: Double): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = threshold,
+        maxDocFreqFraction = if (guarded) Some(Dedup.DefaultMaxDocFreqFraction) else None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate pairs (threshold 0): boilerplate joins every doc to every
+    // other → C(60,2); the guard collapses that to the planted pair
+    val candUnguarded = pairs(guarded = false, threshold = 0.0).size
+    val candGuarded = pairs(guarded = true, threshold = 0.0).size
+    assert(candUnguarded === 60 * 59 / 2)
+    assert(candGuarded >= 1 && candUnguarded >= 10 * candGuarded,
+      s"unguarded $candUnguarded vs guarded $candGuarded")
+    // ...without changing the ≥0.5-Jaccard result set
+    assert(pairs(guarded = true, threshold = 0.5) ===
+      pairs(guarded = false, threshold = 0.5))
+    assert(pairs(guarded = true, threshold = 0.5) === Set((58L, 59L)))
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
