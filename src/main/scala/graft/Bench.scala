@@ -9,10 +9,13 @@ package graft
   * registration — steady-state measurement, as a resident engine would
   * behave), then is timed with a `noop` sink (forces full
   * materialization of every row — `count()` would let Catalyst prune
-  * the plan to a metadata count).
+  * the plan to a metadata count). Each query is timed REPS times
+  * (default 3) and the MEDIAN is reported: a single contended sample on
+  * a shared machine must not masquerade as a 2× regression (round-2
+  * post-mortem: driver recorded 35.6s, a clean rerun measured 14.7s).
   */
 object Bench {
-  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.{DataFrame, SparkSession}
 
   /** The timed set: the relational operator suite + the scalable
     * curation ops. The quadratic-oracle and pair-enumeration dedup
@@ -25,12 +28,44 @@ object Bench {
     "q10_distinct", "q11_topk", "q12_scalar_subquery",
     "q13_cte_retention", "q14_union", "q15_rollup", "q16_string_funcs",
     "q17_date_funcs", "q18_semi_anti", "q19_json_extract",
-    "dd_exact", "dd_minhash", "ta_token_stats", "ta_langid",
-    "ss_topk_cosine")
+    "q20_window_running",
+    "dd_exact", "dd_minhash", "dd_minhash_xx",
+    "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
+    "ta_langid", "ss_topk_cosine")
+
+  /** Bench-only variants, outside the driver correctness gate:
+    * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine
+    * oracle exists for xxhash64 — DuckDB has no such function — so it is
+    * spec-anchored instead, and benched here to track the md5-vs-fast
+    * gap that dominates dedup cost at scan-bound scale). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // signature-stage-only probes isolate the base-hash cost (end-to-end
+    // dd_minhash is band-join dominated at small SF, which would hide it)
+    def sigOnly(fast: Boolean): (SparkSession, String) => DataFrame = (s, dir) => {
+      graft.GraftExtensions.register(s)
+      graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextFunctions.shinglesFromTokens(col("toks"), graft.operators.Dedup.DefaultShingleN).as("sh"))
+        .select(col("doc_id"),
+          call_function("graft_minhash", col("sh"),
+            lit(graft.operators.Dedup.DefaultMinhashK), lit(fast)).as("sig"))
+    }
+    Map(
+      "dd_minhash_xx" -> ((s, dir) =>
+        graft.operators.Dedup.minhashPairs(
+          graft.sources.Tables.documents(s, dir), "doc_id", "text", fast = true)
+          .orderBy("doc_a", "doc_b")),
+      "mh_sig_md5" -> sigOnly(fast = false),
+      "mh_sig_xx" -> sigOnly(fast = true))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,10 +75,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
+      SparkEntry.queries.getOrElse(name, benchOnly(name))(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = headline.filter(SparkEntry.queries.contains)
+    val names = headline.filter(n =>
+      SparkEntry.queries.contains(n) || benchOnly.contains(n))
     names.foreach { n =>
       try exec(n, sfDir)
       catch { case e: Throwable =>
@@ -52,13 +88,17 @@ object Bench {
     }
     // A failed query records -1, never its elapsed-time-to-failure — a
     // fast crash must not masquerade as a fast success in the JSON line.
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { exec(name, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+      try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        -1.0
       }
+    }
+    val results = names.map { name =>
+      val ts = Seq.fill(math.max(1, reps))(timeOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,12 +26,16 @@ object GraftExtensions {
     FunctionIdentifier("graft_minhash"),
     new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
     (args: Seq[Expression]) => {
-      require(args.size == 2, "graft_minhash(shingles, k)")
+      require(args.size == 2 || args.size == 3, "graft_minhash(shingles, k[, fast])")
       val k = args(1) match {
         case Literal(v: Int, _) => v
         case other => sys.error(s"graft_minhash k must be an int literal, got $other")
       }
-      MinHashSignature(args.head, k)
+      val fast = args.lift(2).map {
+        case Literal(v: Boolean, _) => v
+        case other => sys.error(s"graft_minhash fast must be a bool literal, got $other")
+      }.getOrElse(false)
+      MinHashSignature(args.head, k, fast)
     })
 
   /** Idempotent runtime registration into an existing session. */

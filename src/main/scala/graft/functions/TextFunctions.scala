@@ -32,16 +32,20 @@ object TextFunctions {
     when(size(tok) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
-  /** Base hash for signature schemes: the first 15 hex chars of md5 as
-    * a 60-bit non-negative long, mod P. Chosen over xxhash64 for CROSS-
-    * ENGINE VERIFIABILITY — DuckDB computes the identical value as
+  /** Base hash for signature schemes. Default: the first 15 hex chars of
+    * md5 as a 60-bit non-negative long, mod P. Chosen over xxhash64 for
+    * CROSS-ENGINE VERIFIABILITY — DuckDB computes the identical value as
     * `('0x' || substr(md5(s),1,15))::BIGINT % P`, which makes the whole
-    * MinHash/LSH pipeline oracle-checkable, not just spec-tested. (md5
-    * costs ~10× xxhash64 per shingle; at scan-bound 100 TB scale the
-    * swap back is one line in `baseHash` + the native expression.) */
+    * MinHash/LSH pipeline oracle-checkable, not just spec-tested.
+    *
+    * `fast = true` swaps in xxhash64 (≈10× cheaper per shingle — at
+    * 100 TB the hash is the dominant dedup term, so production corpora
+    * without a cross-engine gate should run fast mode; LSH statistics are
+    * identical, only the concrete pairs near the threshold wobble). */
   private[graft] val P = 2147483647L // 2^31 - 1, prime
-  def baseHash(s: Column): Column =
-    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+  def baseHash(s: Column, fast: Boolean = false): Column =
+    if (fast) pmod(xxhash64(s), lit(P))
+    else pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
 
   /** MinHash signature: `k` independent min-hashes over `shingleArr`.
     * Component i is min over shingles of universal-hash_i(baseHash(shingle)).
@@ -67,12 +71,12 @@ object TextFunctions {
     (a, b)
   }
 
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
+  def minhashSignature(shingleArr: Column, k: Int, fast: Boolean = false): Column = {
     val (coefA, coefB) = minhashCoefficients(k)
     val aLit = array(coefA.map(lit): _*)
     val bLit = array(coefB.map(lit): _*)
     aggregate(
-      transform(shingleArr, s => baseHash(s)),
+      transform(shingleArr, s => baseHash(s, fast)),
       array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(
         acc,

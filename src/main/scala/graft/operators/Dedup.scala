@@ -146,18 +146,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
       bands: Int = DefaultMinhashBands,
-      threshold: Double = DefaultMinhashThreshold, native: Boolean = true): DataFrame = {
+      threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
+      fast: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // native path: codegen'd Catalyst expression (graft.plans.
     // MinHashSignature) — bit-identical to the HOF formulation, but the
     // k×n loop compiles instead of interpreting; registered on demand
-    // via GraftExtensions.
+    // via GraftExtensions. `fast` swaps the md5-derived base hash for
+    // xxhash64 (the production mode when no cross-engine oracle is
+    // needed; see TextFunctions.baseHash).
     val sigCol =
       if (native) {
         graft.GraftExtensions.register(df.sparkSession)
-        call_function("graft_minhash", shinglesFromTokens(col("toks"), n), lit(k))
-      } else minhashSignature(shinglesFromTokens(col("toks"), n), k)
+        call_function("graft_minhash", shinglesFromTokens(col("toks"), n), lit(k), lit(fast))
+      } else minhashSignature(shinglesFromTokens(col("toks"), n), k, fast)
     val sig = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       // docs shorter than the shingle width have NO shingles; left in,

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * asserts — the expression is a faster plan for the same function, not
   * a new function.
   */
-case class MinHashSignature(child: Expression, k: Int)
+case class MinHashSignature(child: Expression, k: Int, fast: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,7 +44,9 @@ case class MinHashSignature(child: Expression, k: Int)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = MinHashSignature.baseHash(arr.getUTF8String(j))
+        val h =
+          if (fast) MinHashSignature.fastHash(arr.getUTF8String(j))
+          else MinHashSignature.baseHash(arr.getUTF8String(j))
         var i = 0
         while (i < k) {
           val v = (coefA(i) * h + coefB(i)) % MinHashSignature.P
@@ -68,13 +70,14 @@ case class MinHashSignature(child: Expression, k: Int)
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val n = ctx.freshName("n")
+      val hashFn = if (fast) "fastHash" else "baseHash"
       s"""
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |final int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$arr.isNullAt($j)) {
-         |    final long $h = $cls.MODULE$$.baseHash($arr.getUTF8String($j));
+         |    final long $h = $cls.MODULE$$.$hashFn($arr.getUTF8String($j));
          |    for (int $i = 0; $i < $k; $i++) {
          |      final long $v = ($aRef[$i] * $h + $bRef[$i]) % ${MinHashSignature.P}L;
          |      if ($v < $sig[$i]) $sig[$i] = $v;
@@ -116,5 +119,15 @@ object MinHashSignature {
     var i = 0
     while (i < 8) { be = (be << 8) | (bytes(i) & 0xffL); i += 1 }
     (be >>> 4) % P
+  }
+
+  /** Fast mode: Spark's own xxhash64 (seed 42 — identical to the
+    * built-in `xxhash64()` function, so the HOF formulation
+    * `pmod(xxhash64(s), P)` matches bit-for-bit), then mod P. ~10×
+    * cheaper than md5; no cross-engine oracle, spec-anchored instead. */
+  def fastHash(s: UTF8String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    ((h % P) + P) % P
   }
 }
