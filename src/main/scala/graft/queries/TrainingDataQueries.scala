@@ -354,20 +354,49 @@ object TrainingDataQueries {
 
   /** sk_sketches — approximate aggregates (HLL++ distinct count,
     * approximate percentiles): the constant-memory alternative to exact
-    * distinct/percentile at 100 TB (rows-only: sketch results are
-    * engine-specific by design; the spec bounds their error against the
-    * exact values instead). */
+    * distinct/percentile at 100 TB. Sketch INTERNALS are engine-specific,
+    * so raw sketch values can't hash-match DuckDB — instead the query
+    * emits exact aggregates alongside deterministic WITHIN-BOUND booleans
+    * (|approx−exact| inside the sketch's guarantee), and the oracle
+    * recomputes the exact columns with literal TRUEs: if Spark's sketch
+    * ever violates its bound the boolean flips and the hash gate fails.
+    * Bounds are generous multiples of the configured guarantees (rsd
+    * 0.02 → 0.1 cap; accuracy 1000 → ±0.1% rank → ±5%/±0.5% windows) so
+    * partition-order wobble in the quantile summary can't flake the
+    * gate. */
   val skSketches: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"),
+        expr("percentile(value, 0.985)").as("p985"),
+        expr("percentile(value, 0.995)").as("p995"))
+      .select(
+        col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("approx_users_ok"),
+        col("p50_approx").between(col("p45"), col("p55")).as("p50_ok"),
+        col("p99_approx").between(col("p985"), col("p995")).as("p99_ok"))
       .orderBy("event_type")
   }
+
+  val skSketchesOracle: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_users_ok,
+      |  TRUE AS p50_ok,
+      |  TRUE AS p99_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "mm_features" -> mmFeatures,
@@ -386,6 +415,7 @@ object TrainingDataQueries {
     "ss_ann_lsh" -> ssAnnLsh)
 
   val oracles: Map[String, String] = Map(
+    "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,

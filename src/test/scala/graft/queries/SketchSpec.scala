@@ -8,13 +8,15 @@ class SketchSpec extends SparkSpecBase {
     val rows = TrainingDataQueries.skSketches(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
-      val p50 = r.getAs[Double]("p50_value")
-      val p99 = r.getAs[Double]("p99_value")
-      assert(p50 <= p99)
+      assert(r.getAs[Long]("n_events") > 0)
+      assert(r.getAs[Long]("exact_users") > 0)
+      // the within-bound booleans ARE the sketch-error assertions now —
+      // and the same booleans gate the DuckDB hash compare (the oracle
+      // emits literal TRUEs), so a bound violation fails both CI and the
+      // driver's correctness gate
+      assert(r.getAs[Boolean]("approx_users_ok"), r.toString)
+      assert(r.getAs[Boolean]("p50_ok"), r.toString)
+      assert(r.getAs[Boolean]("p99_ok"), r.toString)
     }
   }
 }
