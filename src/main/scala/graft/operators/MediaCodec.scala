@@ -1,0 +1,145 @@
+package graft.operators
+
+/** Minimal pure-JVM media codecs for two PUBLIC container formats — BMP
+  * (BITMAPINFOHEADER, 24bpp, bottom-up) and WAV (RIFF PCM) — so the
+  * multimodal feature path decodes REAL bytes: magic numbers, header
+  * fields, and sample statistics all come from parsing the payload, not
+  * from a stub. Layouts follow the public specifications (Windows BMP
+  * file header + BITMAPINFOHEADER; RIFF/WAVE with `fmt ` and `data`
+  * chunks); no external libraries, so the decoders run inside executor
+  * `mapPartitions` with zero dependencies.
+  *
+  * Decoders return None on any malformed input (wrong magic, truncated
+  * header, out-of-range fields) — decode-failure tolerance is part of
+  * the operator contract at 100 TB, where a corpus always contains
+  * corrupt members.
+  */
+object MediaCodec {
+
+  // ---- little-endian primitives ------------------------------------
+  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+    le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+  }
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    rd16(b, off) | (rd16(b, off + 2) << 16)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+  private def putTag(b: Array[Byte], off: Int, t: String): Unit = {
+    val a = t.getBytes("US-ASCII"); System.arraycopy(a, 0, b, off, 4)
+  }
+
+  // ---- BMP ----------------------------------------------------------
+  val BmpHeaderSize = 54 // 14-byte file header + 40-byte BITMAPINFOHEADER
+
+  /** 24bpp bottom-up BMP. Rows must already be 4-byte aligned
+    * (width*3 % 4 == 0) so `pixels` is exactly the pixel array. */
+  def encodeBmp24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    require(width * 3 % 4 == 0, s"row stride ${width * 3} not 4-byte aligned")
+    require(pixels.length == width * height * 3,
+      s"expected ${width * height * 3} pixel bytes, got ${pixels.length}")
+    val b = new Array[Byte](BmpHeaderSize + pixels.length)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 2, b.length) // file size
+    le32(b, 10, BmpHeaderSize) // pixel-data offset
+    le32(b, 14, 40) // BITMAPINFOHEADER size
+    le32(b, 18, width)
+    le32(b, 22, height)
+    le16(b, 26, 1) // planes
+    le16(b, 28, 24) // bits per pixel
+    le32(b, 34, pixels.length) // image size
+    System.arraycopy(pixels, 0, b, BmpHeaderSize, pixels.length)
+    b
+  }
+
+  case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int, meanPixel: Double)
+
+  /** Parse a 24bpp BMP: magic, header geometry, then the mean over the
+    * PIXEL bytes (row padding excluded). */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < BmpHeaderSize || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = rd32(bytes, 10)
+    val width = rd32(bytes, 18)
+    val height = rd32(bytes, 22)
+    val bpp = rd16(bytes, 28)
+    if (width <= 0 || height <= 0 || bpp != 24 || dataOff < BmpHeaderSize) return None
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    if (dataOff.toLong + stride.toLong * height > bytes.length) return None
+    var sum = 0L
+    var row = 0
+    while (row < height) {
+      val base = dataOff + row * stride
+      var i = 0
+      while (i < rowBytes) { sum += bytes(base + i) & 0xff; i += 1 }
+      row += 1
+    }
+    val n = rowBytes.toLong * height
+    Some(BmpInfo(width, height, bpp, sum.toDouble / n))
+  }
+
+  // ---- WAV ----------------------------------------------------------
+  val WavHeaderSize = 44 // RIFF + fmt(16) + data header
+
+  /** Mono 8-bit PCM WAV (unsigned samples). */
+  def encodeWavPcm8(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0, "sample rate must be positive")
+    val b = new Array[Byte](WavHeaderSize + samples.length)
+    putTag(b, 0, "RIFF")
+    le32(b, 4, b.length - 8)
+    putTag(b, 8, "WAVE")
+    putTag(b, 12, "fmt ")
+    le32(b, 16, 16) // fmt chunk size
+    le16(b, 20, 1) // PCM
+    le16(b, 22, 1) // channels
+    le32(b, 24, sampleRate)
+    le32(b, 28, sampleRate) // byte rate = rate * channels * bits/8
+    le16(b, 32, 1) // block align
+    le16(b, 34, 8) // bits per sample
+    putTag(b, 36, "data")
+    le32(b, 40, samples.length)
+    System.arraycopy(samples, 0, b, WavHeaderSize, samples.length)
+    b
+  }
+
+  case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Long, meanSample: Double)
+
+  /** Walk the RIFF chunk list (fmt before data, as written by any
+    * conforming encoder) and compute sample stats for 8-bit PCM. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < WavHeaderSize) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12
+    var rate, channels, bits = -1
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = rd32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          if (rd16(bytes, off + 8) != 1) return None // PCM only
+          channels = rd16(bytes, off + 10)
+          rate = rd32(bytes, off + 12)
+          bits = rd16(bytes, off + 22)
+        case "data" =>
+          if (rate <= 0 || channels != 1 || bits != 8) return None
+          var sum = 0L
+          var i = 0
+          while (i < size) { sum += bytes(off + 8 + i) & 0xff; i += 1 }
+          val mean = if (size == 0) 0.0 else sum.toDouble / size
+          return Some(WavInfo(rate, channels, bits, size.toLong, mean))
+        case _ => // skip unknown chunk (word-aligned)
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+}

@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * run per-partition over iterators so a real codec drops in without
   * touching the dataflow.
   *
-  * The actual byte decoding is STUBBED (this environment has no image/
-  * audio libraries): `decodeStub` derives deterministic pseudo-features
-  * from the bytes. Everything around it — schema, partition sizing,
-  * typed Dataset plumbing, batch shape — is real and tested. Swap
-  * `decodeStub` for a JNI/javacv call and nothing else changes.
+  * Decoding is REAL for two public formats: BMP and WAV payloads are
+  * parsed byte-for-byte by `MediaCodec` (magic, header geometry, sample
+  * stats), and `extractDecodedFeatures` dispatches by sniffing the
+  * payload — an undecodable container (here: the mp4 rows; in
+  * production: any corrupt member) degrades to a metadata-only row
+  * rather than failing the job. `decodeStub` remains as the
+  * content-agnostic pseudo-feature path (checksum/entropy work on any
+  * bytes); a JNI/javacv codec for further formats drops into the same
+  * mapPartitions contract.
   *
   * Scale notes: media rows are 10⁴-10⁷ bytes, so the operative limits
   * are row-group size and partition bytes, not row counts. `repartitionForMedia`
@@ -128,24 +132,80 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Decoded per-item features — every non-null value here came out of
+    * a REAL header/sample parse (MediaCodec), which is what makes the
+    * mm_features query oracle-able: the synthesis is deterministic from
+    * (doc_id, text), so DuckDB can recompute what the decode MUST find
+    * from the text alone, verifying the encode→bytes→parse round trip
+    * cross-engine. */
+  case class DecodedFeatures(
+      media_id: Long,
+      kind: String,
+      format: String,
+      n_bytes: Long,
+      width: Option[Long], // BMP only
+      height: Option[Long], // BMP only
+      sample_rate: Option[Long], // WAV only
+      n_samples: Option[Long], // WAV only
+      mean_byte: Option[Double]) // mean decoded pixel/sample value
+
+  /** Feature extraction through the real codecs, dispatching by payload
+    * sniffing. Undecodable containers degrade to metadata-only rows —
+    * at 100 TB a corpus always contains corrupt members, and one of them
+    * must not kill the job. */
+  def extractDecodedFeatures(media: Dataset[MediaRow]): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bytes = Option(r.bytes).getOrElse(Array.emptyByteArray)
+      val base = DecodedFeatures(r.media_id, r.kind, r.format,
+        bytes.length.toLong, None, None, None, None, None)
+      MediaCodec.decodeBmp(bytes) match {
+        case Some(b) => base.copy(
+          width = Some(b.width.toLong), height = Some(b.height.toLong),
+          mean_byte = Some(b.meanPixel))
+        case None => MediaCodec.decodeWav(bytes) match {
+          case Some(w) => base.copy(
+            sample_rate = Some(w.sampleRate.toLong),
+            n_samples = Some(w.nSamples),
+            mean_byte = Some(w.meanSample))
+          case None => base
+        }
+      }
+    })
+  }
+
   /** Synthesize a media table from any text column (this container has
-    * no real media files): bytes = UTF-8 of the text, metadata derived
-    * deterministically. Lets the whole multimodal path run on the
-    * standard `documents` testdata. */
+    * no real media FILES, but the payloads are real media BYTES): image
+    * rows carry a well-formed 24bpp BMP whose pixels are the text bytes,
+    * audio rows a PCM-8 WAV whose samples are the text bytes, and video
+    * rows a deliberately undecodable payload (exercising the corrupt-
+    * member path). Lets the whole multimodal pipeline — encode, decode,
+    * feature extraction, oracle — run on the standard `documents`
+    * testdata. */
   def syntheticMediaFromText(
       df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
-      element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"),
-      (pmod(col(idCol), lit(4)) * 160 + 320).cast("int").as("width"),
-      (pmod(col(idCol), lit(3)) * 120 + 240).cast("int").as("height"),
-      (length(col(textCol)) * 100).cast("long").as("duration_ms"),
-      encode(col(textCol), "UTF-8").as("bytes"))
-      .as[MediaRow]
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val l = bytes.length
+        (id % 3) match {
+          case 0 =>
+            // width 4 → 12-byte rows, already 4-byte aligned (no padding);
+            // pixels = text bytes truncated (or zero-padded when l < 12)
+            val h = math.max(1, l / 12)
+            val pixels = java.util.Arrays.copyOf(bytes, 12 * h)
+            MediaRow(id, "image", "bmp", 4, h, l * 100L,
+              MediaCodec.encodeBmp24(4, h, pixels))
+          case 1 =>
+            val rate = (8000 + (id % 5) * 2000).toInt
+            MediaRow(id, "audio", "wav", 0, 0, l * 100L,
+              MediaCodec.encodeWavPcm8(rate, bytes))
+          case _ =>
+            MediaRow(id, "video", "mp4", 0, 0, l * 100L, bytes)
+        }
+      }
   }
 }

@@ -14,10 +14,10 @@ import graft.sources.Tables
   * md5-derived hashes, literal coefficient/hyperplane arrays, slice-
   * string band keys — precisely so it can carry a full DuckDB oracle:
   * both engines run the SAME randomized algorithm, so outputs must
-  * hash-match exactly, not just statistically. The only rows-only
-  * queries left are mm_features (JVM-stubbed media decode) and
-  * sk_sketches (engine-specific sketch internals by design); both are
-  * spec-tested instead.
+  * hash-match exactly, not just statistically. As of round 3 EVERY query
+  * here is oracle-gated: mm_features via deterministic synthesis + real
+  * BMP/WAV decode (DuckDB recomputes what the parse must find), and
+  * sk_sketches via exact aggregates + within-bound booleans.
   */
 object TrainingDataQueries {
 
@@ -315,14 +315,39 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
-  /** mm_features — multimodal binary-column plumbing: synthesize media
-    * rows from the documents table, extract per-item features via typed
-    * mapPartitions (decode stubbed — see operators.Multimodal). Rows-only
-    * check: the stub checksum/entropy have no SQL oracle. */
+  /** mm_features — multimodal binary columns with a REAL decode: image
+    * rows are well-formed 24bpp BMPs and audio rows PCM-8 WAVs (built by
+    * MediaCodec from the document text), parsed back header-by-header in
+    * executor mapPartitions; video rows are deliberately undecodable and
+    * degrade to metadata-only. FULLY oracle-gated: the synthesis is
+    * deterministic from (doc_id, text), so DuckDB recomputes what the
+    * decoder MUST find — geometry, sample counts, byte sizes, and the
+    * mean pixel/sample value — verifying the encode→bytes→parse round
+    * trip cross-engine. */
   val mmFeatures: Q = (s, dir) =>
-    Multimodal.extractFeatures(
+    Multimodal.extractDecodedFeatures(
       Multimodal.syntheticMediaFromText(Tables.documents(s, dir), "doc_id", "text"))
       .toDF().orderBy("media_id")
+
+  val mmFeaturesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS m, length(text) AS l,
+      |    greatest(1, length(text) // 12) AS h,
+      |    list_transform(range(length(text)), i -> ascii(text[i+1:i+1])) AS bs
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |  CAST(CASE m WHEN 0 THEN 54 + 12*h WHEN 1 THEN 44 + l ELSE l END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN m = 0 THEN 4 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m = 0 THEN h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN m = 1 THEN 8000 + (doc_id % 5) * 2000 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN m = 1 THEN l END AS BIGINT) AS n_samples,
+      |  CASE WHEN m = 0 THEN CAST(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])) AS DOUBLE) / (12.0 * h)
+      |       WHEN m = 1 THEN CAST(list_sum(bs) AS DOUBLE) / l END AS mean_byte
+      |FROM d
+      |ORDER BY media_id""".stripMargin
 
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
     * LSH buckets (the scale path for vector dedup — exact all-pairs
@@ -415,6 +440,7 @@ object TrainingDataQueries {
     "ss_ann_lsh" -> ssAnnLsh)
 
   val oracles: Map[String, String] = Map(
+    "mm_features" -> mmFeaturesOracle,
     "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,

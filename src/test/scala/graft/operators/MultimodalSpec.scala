@@ -28,6 +28,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1.forall(_.n_bytes > 0))
   }
 
+  test("BMP codec round-trip with hand-computed golden values") {
+    // 4×1 image, pixels = "abcdefghijkl" (12 bytes)
+    val pixels = "abcdefghijkl".getBytes("US-ASCII")
+    val bmp = MediaCodec.encodeBmp24(4, 1, pixels)
+    assert(bmp.length === 54 + 12)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val info = MediaCodec.decodeBmp(bmp).get
+    assert(info.width === 4 && info.height === 1 && info.bitsPerPixel === 24)
+    // mean over bytes 'a'(97)..'l'(108): (97+108)*12/2/12 = 102.5
+    assert(info.meanPixel === 102.5)
+    // corrupt magic → decode-failure tolerance, not an exception
+    bmp(0) = 'X'.toByte
+    assert(MediaCodec.decodeBmp(bmp).isEmpty)
+  }
+
+  test("WAV codec round-trip with hand-computed golden values") {
+    val samples = "abc".getBytes("US-ASCII")
+    val wav = MediaCodec.encodeWavPcm8(10000, samples)
+    assert(wav.length === 44 + 3)
+    val info = MediaCodec.decodeWav(wav).get
+    assert(info.sampleRate === 10000 && info.channels === 1 && info.bitsPerSample === 8)
+    assert(info.nSamples === 3L)
+    assert(info.meanSample === (97 + 98 + 99) / 3.0)
+    // truncated payload → None
+    assert(MediaCodec.decodeWav(wav.take(40)).isEmpty)
+  }
+
+  test("decoded features: golden values per kind, undecodable rows degrade to metadata-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abcdefghijklmnopqrstuvwx"), // image: l=24, h=2, pixels = 24 bytes
+      (1L, "abc"), // audio: rate 8000+(1%5)*2000 = 10000
+      (2L, "xyz")) // video: undecodable
+      .toDF("doc_id", "text")
+    val f = Multimodal.extractDecodedFeatures(
+      Multimodal.syntheticMediaFromText(docs, "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    val img = f(0)
+    assert(img.format === "bmp" && img.n_bytes === 54 + 24)
+    assert(img.width === Some(4L) && img.height === Some(2L))
+    assert(img.mean_byte === Some(('a' to 'x').map(_.toInt).sum / 24.0))
+    val wav = f(1)
+    assert(wav.format === "wav" && wav.n_bytes === 44 + 3)
+    assert(wav.sample_rate === Some(10000L) && wav.n_samples === Some(3L))
+    assert(wav.mean_byte === Some((97 + 98 + 99) / 3.0))
+    val vid = f(2)
+    assert(vid.format === "mp4" && vid.n_bytes === 3)
+    assert(vid.width.isEmpty && vid.sample_rate.isEmpty && vid.mean_byte.isEmpty)
+  }
+
   test("repartitionForMedia sizes partitions by payload bytes") {
     val df = media.toDF()
     val re = Multimodal.repartitionForMedia(df, "bytes", targetBytes = 16 * 1024)
