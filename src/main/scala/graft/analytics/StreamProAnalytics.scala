@@ -28,16 +28,20 @@ object StreamProAnalytics {
       |FROM trusted_events
       |GROUP BY user_id""".stripMargin)
 
-  /** Session-id structure for one user — cell 6 (SPLIT_PART parsing). */
+  /** Session-id structure for one user — cell 6 (SPLIT_PART parsing).
+    * The user value goes through a named parameter bind, not string
+    * interpolation (the reference f-strings its value in — cell 6; a
+    * bind costs nothing and can't be injected through). */
   def sessionStructure(spark: SparkSession, userId: String): DataFrame = spark.sql(
-    s"""SELECT DISTINCT
-       |  session_id,
-       |  SPLIT_PART(session_id, '_', 1) || '_' || SPLIT_PART(session_id, '_', 2) as user_part,
-       |  SPLIT_PART(session_id, '_', 4) as day_index,
-       |  SPLIT_PART(session_id, '_', 5) as sub_session_index
-       |FROM trusted_events
-       |WHERE user_id = '$userId'
-       |ORDER BY session_id""".stripMargin)
+    """SELECT DISTINCT
+      |  session_id,
+      |  SPLIT_PART(session_id, '_', 1) || '_' || SPLIT_PART(session_id, '_', 2) as user_part,
+      |  SPLIT_PART(session_id, '_', 4) as day_index,
+      |  SPLIT_PART(session_id, '_', 5) as sub_session_index
+      |FROM trusted_events
+      |WHERE user_id = :userId
+      |ORDER BY session_id""".stripMargin,
+    Map("userId" -> userId))
 
   /** Per-user session overview, top 10 — cell 7. */
   def userSessionOverview(spark: SparkSession): DataFrame = spark.sql(
@@ -391,23 +395,25 @@ object StreamProAnalytics {
   }
 
   /** Sample users of the worst combo — cell 23 (parameterized second
-    * SQL round-trip driven by the previous result). */
+    * SQL round-trip driven by the previous result). Values bind as named
+    * parameters rather than interpolating into the SQL text. */
   def q3WorstComboUsers(spark: SparkSession, deviceOs: String, appVersion: String): DataFrame = spark.sql(
-    s"""WITH user_first_sessions AS (
-       |  SELECT user_id, MIN(session_id) as first_session_id
-       |  FROM trusted_events GROUP BY user_id
-       |),
-       |user_device_info AS (
-       |  SELECT DISTINCT ufs.user_id, e.device_os, e.app_version
-       |  FROM user_first_sessions ufs
-       |  INNER JOIN trusted_events e
-       |    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
-       |)
-       |SELECT user_id
-       |FROM user_device_info
-       |WHERE device_os = '$deviceOs' AND app_version = '$appVersion'
-       |ORDER BY user_id
-       |LIMIT 10""".stripMargin)
+    """WITH user_first_sessions AS (
+      |  SELECT user_id, MIN(session_id) as first_session_id
+      |  FROM trusted_events GROUP BY user_id
+      |),
+      |user_device_info AS (
+      |  SELECT DISTINCT ufs.user_id, e.device_os, e.app_version
+      |  FROM user_first_sessions ufs
+      |  INNER JOIN trusted_events e
+      |    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+      |)
+      |SELECT user_id
+      |FROM user_device_info
+      |WHERE device_os = :deviceOs AND app_version = :appVersion
+      |ORDER BY user_id
+      |LIMIT 10""".stripMargin,
+    Map("deviceOs" -> deviceOs, "appVersion" -> appVersion))
 
   /** Table row counts — cell 3. */
   def tableCounts(spark: SparkSession): Map[String, Long] =

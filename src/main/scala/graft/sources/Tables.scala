@@ -31,9 +31,20 @@ object Tables {
       case other    => spark.read.parquet(path(dir, other))
     }
 
-  /** events with `ts` as a proper TimestampType (µs). */
+  /** events with `ts` as a proper TimestampType (µs).
+    *
+    * The nanosAsLong flag is set once per session and deliberately NOT
+    * restored: Spark consults it again at every EXECUTION of an
+    * events-derived plan (parquet footer → Catalyst conversion happens
+    * per scan, not just at read-schema time), so a save/restore around
+    * this read would make a later action on the returned DataFrame throw
+    * PARQUET_TYPE_ILLEGAL. Scoped alternative for sessions that must not
+    * carry the flag: run events queries in `spark.newSession()`. The
+    * flag's only effect on unrelated reads is that other ns-timestamp
+    * parquet also loads (as long) instead of erroring. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(key).forall(_ != "true")) spark.conf.set(key, "true")
     spark.read.parquet(path(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.StructType
   * FileSystem API, so the same code serves file:// in tests and s3a:// on
   * a cluster — nothing here assumes a local disk.
   */
-case class LayerPaths(root: String) {
-  def landing: String = s"$root/landing"
-  def raw: String = s"$root/raw"
-  def trusted: String = s"$root/trusted"
+case class LayerPaths(
+    root: String,
+    landingPrefix: String = "landing",
+    rawPrefix: String = "raw",
+    trustedPrefix: String = "trusted") {
+  def landing: String = s"$root/$landingPrefix"
+  def raw: String = s"$root/$rawPrefix"
+  def trusted: String = s"$root/$trustedPrefix"
   /** Hive-style raw key for one daily file
     * (landing_to_raw_processor.py:95). */
   def rawKey(date: String, fileName: String): String =

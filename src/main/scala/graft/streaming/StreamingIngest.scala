@@ -67,6 +67,35 @@ object StreamingIngest {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("watch_seconds"), col("watch_events"))
 
+  /** Batch twin of `sessionize`: gap-based sessions via lag + a running
+    * sum of session-start flags — the standard window formulation. Kept
+    * semantically in lockstep with the streaming path and asserted equal
+    * on the same fixture (StreamingIngestSpec), which anchors the
+    * stateful flatMapGroupsWithState logic to a closed-form definition:
+    * the streaming output must equal this batch result minus each user's
+    * final session (which the stream correctly holds open in state). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60 * 1000L
+    val w = Window.partitionBy("user_id").orderBy("event_time")
+    events
+      .withColumn("event_time", to_timestamp(col("timestamp")))
+      .select(col("user_id"), col("event_time"))
+      .withColumn("prev", lag("event_time", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_millis(col("event_time")) - unix_millis(col("prev")) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sess_no", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_no")
+      .agg(
+        min("event_time").as("session_start"),
+        max("event_time").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
   case class SessionEvent(user_id: String, event_time: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, events: Long)
   case class SessionOut(

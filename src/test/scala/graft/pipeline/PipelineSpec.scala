@@ -95,6 +95,39 @@ class PipelineSpec extends SparkSpecBase {
       StreamProFixture.IngestionDate).count() === 100)
   }
 
+  test("env config profiles select layer prefixes and root (ref config/{env}.env)") {
+    val dir = Files.createTempDirectory("graft-profile")
+    StreamProFixture.writeLanding(dir)
+    val confDir = Files.createTempDirectory("graft-conf")
+    Files.write(confDir.resolve("test.env"), java.util.Arrays.asList(
+      "ENV=test",
+      "# comment lines and blanks are ignored",
+      "",
+      s"MINIO_BUCKET=$dir",
+      "LANDING_PREFIX=landing",
+      "RAW_PREFIX=bronze",
+      "TRUSTED_PREFIX=silver"))
+    val cfg = Pipeline.Config.fromProfile(
+      EnvProfile.load(confDir.toString, Some("test")), None,
+      StreamProFixture.IngestionDate)
+    assert(cfg.root === dir.toString)
+    assert(cfg.rawPrefix === "bronze" && cfg.trustedPrefix === "silver")
+    val rs = Pipeline.run(spark, cfg)
+    assert(rs.forall(_.success), rs.map(_.error).mkString("; "))
+    assert(Storage.exists(spark,
+      s"$dir/bronze/ingestion_date=${StreamProFixture.IngestionDate}"))
+    assert(Storage.exists(spark, s"$dir/silver"))
+    // an explicit --root override beats the profile's bucket
+    assert(Pipeline.Config.fromProfile(
+      EnvProfile.load(confDir.toString, Some("test")), Some("/elsewhere"),
+      "2025-09-09").root === "/elsewhere")
+    // unknown env name falls back to dev.env, mirroring the reference
+    Files.write(confDir.resolve("dev.env"),
+      java.util.Arrays.asList("MINIO_BUCKET=/fallback"))
+    assert(EnvProfile.load(confDir.toString, Some("staging"))("MINIO_BUCKET")
+      === "/fallback")
+  }
+
   test("per-table failure isolation: a broken table does not sink the others") {
     val dir = Files.createTempDirectory("graft-isolation")
     StreamProFixture.writeLanding(dir)

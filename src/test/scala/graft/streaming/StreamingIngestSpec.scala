@@ -84,4 +84,41 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(n >= 9, s"expected ≥9 closed sessions, got $n")
     assert(spark.table("sessions").filter(col("n_events") <= 0).count() === 0)
   }
+
+  test("streaming sessionize equals the batch window formulation (minus held-open finals)") {
+    val events = spark.read.schema(SchemaRegistry.events.schema)
+      .json(s"$landing/*.jsonl")
+      .filter(col("user_id").isin("user_1", "user_2", "user_3"))
+    val dir = Files.createTempDirectory("graft-sess-eq-src")
+    events.coalesce(1).write.mode("overwrite").json(dir.toString)
+    val stream = spark.readStream.schema(SchemaRegistry.events.schema)
+      .json(dir.toString)
+    val ckpt = Files.createTempDirectory("graft-sess-eq-ckpt").toString
+    val q = StreamingIngest.sessionize(spark, stream, gapMinutes = 30)
+      .writeStream
+      .format("memory").queryName("sessions_eq")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("user_id"),
+      r.getAs[java.sql.Timestamp]("session_start").getTime,
+      r.getAs[java.sql.Timestamp]("session_end").getTime,
+      r.getAs[Long]("n_events"))
+    val streamed = spark.table("sessions_eq").collect().map(key).toSet
+    val batch = StreamingIngest.sessionizeBatch(events, gapMinutes = 30)
+      .collect().map(key).toSet
+    // the stream must emit EXACTLY the batch sessions, except each user's
+    // final session, which stays open (the watermark never passes
+    // last+gap on bounded input) — the closed-form anchor for the
+    // stateful path
+    val heldOpen = batch -- streamed
+    assert(streamed.subsetOf(batch),
+      s"stream invented sessions: ${streamed -- batch}")
+    assert(heldOpen.size === 3, s"expected 3 held-open finals, got $heldOpen")
+    val finals = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(heldOpen === finals)
+  }
 }
