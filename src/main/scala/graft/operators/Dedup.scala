@@ -208,6 +208,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph → duplicate
+    * CLUSTERS with a canonical representative (the minimum doc id in the
+    * component) — what a production dedup actually keeps/drops, beyond
+    * raw pairs. Iterative min-label propagation: each round every doc
+    * takes the min of its own label and its neighbors' labels, so labels
+    * converge to the component minimum in O(graph diameter) rounds. Each
+    * round is one shuffle join + one aggregation over the EDGE list
+    * (never materializing anything quadratic); persist + a driver-side
+    * convergence count per round bounds lineage — the standard
+    * structure of distributed iterative graph algorithms (GraphX's
+    * connected components does the same under the hood). Near-dup
+    * components are overwhelmingly tiny (duplicate groups), so rounds ≈
+    * 2-4 in practice; `maxIters` is a runaway bound, not a tuning knob. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, "doc")
+        .select(col("doc"), least(col("old"), col("nlabel")).as("label"), col("old"))
+        .persist()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      val prev = labels
+      labels = next.select("doc", "label").persist()
+      next.unpersist()
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
     * banded into `bands` contiguous slices for candidate generation (a
     * pair within `maxHamming` of each other must agree on at least one

@@ -87,4 +87,25 @@ object TextAnalysis {
     df.select(
       col(idCol),
       md5(lower(trim(col(textCol)))).as("fingerprint"))
+
+  /** BPE-style pre-tokenizer pattern (GPT-2-family shape, simplified to
+    * be lookahead-free so RE2-based engines — DuckDB's regex — match
+    * Java's semantics exactly): a token is an optional leading space
+    * plus a run of letters, digits, or other non-space symbols. The
+    * alternatives are first-character-disjoint, so alternation order
+    * cannot differ between engines. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Model-token accounting: whitespace words vs BPE-ish pre-tokens and
+    * their ratio — the standard first-order estimate of LLM token cost
+    * per document. Single projection, scan-speed. */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bpe = size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+    val ws = size(tokens(col(textCol)))
+    df.select(
+      col(idCol),
+      bpe.cast("long").as("n_bpe_tokens"),
+      ws.cast("long").as("n_ws_tokens"),
+      (bpe.cast("double") / ws).as("bpe_per_word"))
+  }
 }

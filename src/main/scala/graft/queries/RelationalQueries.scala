@@ -556,6 +556,51 @@ object RelationalQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q21 — distributed as-of (backward) join (the event-alignment
+    * operator Spark lacks natively; see operators.AsOfJoin for the
+    * one-shuffle union-window plan): every purchase event matched to the
+    * user's latest click at-or-before it. Timestamps compare at µs
+    * granularity — Spark truncates the parquet's nanoseconds via
+    * `unix_micros`, DuckDB via `epoch_us`, identically — with event_id
+    * as the deterministic tiebreak inside one microsecond. */
+  val q21AsOfJoin: Q = (s, dir) => {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value").as("click_value"))
+    AsOfJoin.backward(purchases, clicks,
+        keyCol = "user_id", tsCol = "ts_us", tieCol = "click_id")
+      .select(
+        col("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof.click_id").as("click_id"),
+        col("asof.ts_us").as("click_ts_us"),
+        col("asof.click_value").as("click_value"))
+      .orderBy("purchase_id")
+  }
+
+  val q21Oracle: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts, value AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |), ranked AS (
+      |  SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts, c.click_value,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |                       ORDER BY c.cts DESC, c.click_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+      |)
+      |SELECT purchase_id, user_id, pts AS purchase_ts_us,
+      |  click_id, cts AS click_ts_us, click_value
+      |FROM ranked WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
+
   /** Name → query map consumed by SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -577,9 +622,11 @@ object RelationalQueries {
     "q17_date_funcs" -> q17DateFuncs,
     "q18_semi_anti" -> q18SemiAnti,
     "q19_json_extract" -> q19JsonExtract,
-    "q20_window_running" -> q20WindowRunning)
+    "q20_window_running" -> q20WindowRunning,
+    "q21_asof_join" -> q21AsOfJoin)
 
   val oracles: Map[String, String] = Map(
+    "q21_asof_join" -> q21Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,

@@ -64,6 +64,64 @@ object TrainingDataQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shared DuckDB CTEs producing the exact n-gram Jaccard pair graph
+    * (same named defaults as the Spark operator). */
+  private def ngramPairsCtes: String = {
+    val n = Dedup.DefaultShingleN
+    s"""sh AS (
+       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
+       |  FROM documents),
+       |prs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= ${Dedup.DefaultMinhashThreshold})""".stripMargin
+  }
+
+  /** dd_clusters — duplicate CLUSTERS: connected components over the
+    * exact-Jaccard pair graph, canonical representative = min doc id
+    * (operators.Dedup.duplicateClusters, iterative min-label
+    * propagation). Oracle: DuckDB recursive CTE computing per-doc
+    * minimum reachable label — a closed-form definition of the same
+    * components. */
+  val ddClusters: Q = (s, dir) =>
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  val ddClustersOracle: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM prs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst)
+       |SELECT doc AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+
+  /** ta_token_bpe — model-token accounting: whitespace words vs BPE-ish
+    * pre-tokens (TextAnalysis.BpePattern — lookahead-free so Java and
+    * RE2 regex semantics coincide) and their ratio. */
+  val taTokenBpe: Q = (s, dir) =>
+    TextAnalysis.bpeTokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val taTokenBpeOracle: String = {
+    val pat = TextAnalysis.BpePattern
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS bpe_per_word
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash
     * coefficient literals, the band keys (signature slices, not opaque
@@ -428,6 +486,8 @@ object TrainingDataQueries {
     "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
     "dd_exact" -> ddExact,
+    "dd_clusters" -> ddClusters,
+    "ta_token_bpe" -> taTokenBpe,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
@@ -443,6 +503,8 @@ object TrainingDataQueries {
     "mm_features" -> mmFeaturesOracle,
     "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,
+    "dd_clusters" -> ddClustersOracle,
+    "ta_token_bpe" -> taTokenBpeOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,

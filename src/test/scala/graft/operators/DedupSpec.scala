@@ -104,6 +104,17 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs(guarded = true, threshold = 0.5) === Set((58L, 59L)))
   }
 
+  test("duplicateClusters: min-label propagation finds components of the pair graph") {
+    import spark.implicits._
+    // two components: a 4-doc chain (needs >1 propagation round) and a pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
