@@ -31,7 +31,7 @@ object Bench {
     "q20_window_running", "q21_asof_join",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
-    "ta_langid", "ss_topk_cosine")
+    "ta_langid", "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled")
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine
@@ -59,7 +59,17 @@ object Bench {
           graft.sources.Tables.documents(s, dir), "doc_id", "text", fast = true)
           .orderBy("doc_a", "doc_b")),
       "mh_sig_md5" -> sigOnly(fast = false),
-      "mh_sig_xx" -> sigOnly(fast = true))
+      "mh_sig_xx" -> sigOnly(fast = true),
+      // IVF with centroids scaled to the corpus (the production posture;
+      // the gated ss_ann_ivf fixes nCentroids=16 for its cross-engine
+      // oracle, which over-fills cells at larger SF)
+      "ss_ann_ivf_scaled" -> ((s, dir) => {
+        import graft.operators.SimilaritySearch
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        SimilaritySearch.ivfNeighbors(emb, "vec_id", "embedding", dim = 64,
+          nCentroids = SimilaritySearch.nCentroidsFor(emb.count()),
+          nProbe = 2, k = 3)
+      }))
   }
 
   def main(args: Array[String]): Unit = {

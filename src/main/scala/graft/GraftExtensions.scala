@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.MinHashSignature
+import graft.plans.{DotProduct, MinHashSignature}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -17,7 +17,7 @@ import graft.plans.MinHashSignature
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.minhashFunction)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -38,11 +38,22 @@ object GraftExtensions {
       MinHashSignature(args.head, k, fast)
     })
 
+  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "graft_dot(a, b)")
+      DotProduct(args(0), args(1))
+    })
+
+  private val all = Seq(minhashFunction, dotFunction)
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = minhashFunction
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident))
-      registry.registerFunction(ident, info, builder)
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -13,7 +13,19 @@ object VectorFunctions {
   /** Cast to array<double> — do float→double widening once, up front. */
   def asDoubles(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression (graft.plans.
+    * DotProduct, registered as `graft_dot`): the d-length loop compiles
+    * to straight Java instead of ~4·d interpreted HOF node evaluations —
+    * this is the inner loop of bucketing, scoring, and assignment, so
+    * every vector operator entry point registers GraftExtensions first.
+    * Accumulation order (sequential left-to-right) is bit-identical to
+    * `dotHof` and to DuckDB's list_dot_product (asserted in spec), so
+    * oracle parity is unchanged. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The HOF formulation — kept as the executable spec of `dot`'s
+    * accumulation order. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -36,6 +36,7 @@ object SimilaritySearch {
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
     corpus
       .select(col(idCol).as("vec_id"), asDoubles(col(vecCol)).as("v"))
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
@@ -54,6 +55,16 @@ object SimilaritySearch {
     require(corpusSize > 0 && targetBucketSize > 0)
     val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
     math.min(30, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** IVF's version of the same knob: centroid count that keeps the
+    * EXPECTED cell at ~targetCellSize vectors, so per-vector candidate
+    * work stays nProbe·targetCellSize as the corpus grows (a constant
+    * nCentroids lets cells — and the candidate set — grow linearly). */
+  def nCentroidsFor(corpusSize: Long, targetCellSize: Int = 128): Int = {
+    require(corpusSize > 0 && targetCellSize > 0)
+    math.max(1, math.min(1 << 20,
+      math.ceil(corpusSize.toDouble / targetCellSize).toInt))
   }
 
   /** Comparator: cosine descending, neighbor_id ascending — the same
@@ -91,6 +102,7 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 6, k: Int = 3, nTables: Int = 1): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
+    graft.GraftExtensions.register(corpus.sparkSession)
     // table t's planes draw from a disjoint splitmix64 input range
     val bucketCols = (0 until nTables).map { t =>
       val planes = hyperplanes(nBits, dim, seed = 0x5CA1AB1EL + t * 0x1000000000000L)
@@ -127,9 +139,7 @@ object SimilaritySearch {
       // multi-table ⇒ a's candidates span tables: bound the per-vector
       // top-k map-side with the typed aggregator (duplicate candidates
       // from multiple colliding tables collapse inside its ≤k buffer —
-      // no global dropDuplicates shuffle needed). neighbor_id is negated
-      // so the ascending buffer order drops the LARGER id on cosine ties,
-      // matching `ORDER BY cos DESC, neighbor_id ASC`.
+      // no global dropDuplicates shuffle needed).
       val pairs = grouped.select(explode(flatten(transform(col("ms"), a =>
         transform(scored(a), c => struct(
           a.getField("id").as("vec_id"),
@@ -137,16 +147,88 @@ object SimilaritySearch {
           c.getField("cos").as("cos")))))).as("p"))
         .select(col("p.vec_id").cast("long").as("vec_id"),
           col("p.cos").as("cos"), col("p.neighbor_id").cast("long").as("neighbor_id"))
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      pairs.as[(Long, Double, Long)]
-        .map { case (vid, cos, nid) => (vid, (cos, -nid)) }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(new TopKAggregator(k).toColumn.name("top"))
-        .flatMap { case (vid, top) =>
-          top.map { case (cos, negId) => (vid, -negId, cos) } }
-        .toDF("vec_id", "neighbor_id", "cos")
+      topKPerVector(pairs, k)
     }
+  }
+
+  /** Map-side-bounded per-vector top-k over (vec_id, cos, neighbor_id)
+    * candidate rows: the typed TopKAggregator reduces each partition to
+    * ≤k entries per vector before the exchange. neighbor_id is negated
+    * inside the buffer so the ascending order drops the LARGER id on
+    * cosine ties — i.e. the result order is `cos DESC, neighbor_id ASC`,
+    * the same total order a SQL oracle's row_number uses. */
+  private def topKPerVector(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.as[(Long, Double, Long)]
+      .map { case (vid, cos, nid) => (vid, (cos, -nid)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (vid, top) =>
+        top.map { case (cos, negId) => (vid, -negId, cos) } }
+      .toDF("vec_id", "neighbor_id", "cos")
+  }
+
+  /** IVF (inverted-file) all-pairs neighbor search — the other classic
+    * ANN scale path next to LSH: a coarse quantizer assigns every vector
+    * to its best centroid cell, and each vector searches only the
+    * members of its `nProbe` best cells.
+    *
+    * Train step: the quantizer is a deterministic sample of the corpus
+    * (the nCentroids lowest-id vectors — on this corpus ids are i.i.d.
+    * random vectors, so this IS a uniform sample), collected once to the
+    * driver and embedded as plan literals — the standard broadcast-
+    * centroids shape; at 100 TB the centroid table is KB-scale while the
+    * corpus scan stays fully distributed. Assignment similarity is the
+    * inner product (bit-exact cross-engine via sequential dot products),
+    * tie-broken by centroid id.
+    *
+    * Plan: ONE corpus scan emitting nProbe (bucket, is_member=probe#0)
+    * rows per vector, one groupBy(bucket), visitor×member scoring inside
+    * the group, then the map-side-bounded top-k. A pair can only arise
+    * in one cell (each member has exactly one home cell), so no dedup is
+    * needed. Candidates per vector = nProbe · cell size, the IVF
+    * contract; nCentroids scales with corpus size exactly like
+    * `nBitsFor` does for LSH buckets. */
+  def ivfNeighbors(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3): DataFrame = {
+    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids)
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("cid"), asDoubles(col(vecCol)).as("c"))
+      .filter(col("cid") < nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no vectors with $idCol < $nCentroids to train on")
+    // per vector: centroid cells sorted by (similarity desc, cid asc);
+    // cell 0 is the home cell (membership), cells 0..nProbe-1 are probed
+    val cells = array_sort(array(cents.map { case (cid, c) =>
+      struct((-dot(col("v"), array(c.map(lit): _*))).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*))
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), norm(col("v")).as("nrm"),
+        posexplode(transform(slice(cells, 1, nProbe), c => c.getField("cid")))
+          .as(Seq("pidx", "bucket")))
+      .withColumn("is_member", col("pidx") === 0)
+    val pairs = base
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"), col("is_member"))).as("ms"))
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(
+          filter(col("ms"), b =>
+            b.getField("is_member") && b.getField("id") =!= a.getField("id")),
+          b => struct(
+            a.getField("id").as("vec_id"),
+            b.getField("id").as("neighbor_id"),
+            (dot(a.getField("v"), b.getField("v")) /
+              (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
+        col("p.neighbor_id").as("neighbor_id"))
+    topKPerVector(pairs, k)
   }
 }

@@ -373,6 +373,50 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** ss_ann_ivf — IVF (inverted-file) ANN, the second classic scale path
+    * next to hyperplane LSH: deterministic sampled centroids (vec_id <
+    * nCentroids), inner-product assignment, nProbe-cell search, exact
+    * cosine re-rank. Fully oracle-gated: DuckDB recomputes the same
+    * centroids from the same table, the same (sim DESC, cid ASC)
+    * assignment, and the same per-vector top-k. */
+  private val IvfCentroids = 16
+  private val IvfProbe = 2
+  private val IvfK = 3
+
+  val ssAnnIvf: Q = (s, dir) =>
+    SimilaritySearch.ivfNeighbors(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
+      .orderBy("vec_id", "neighbor_id")
+
+  val ssAnnIvfOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $IvfCentroids
+       |), sims AS (
+       |  SELECT e.vec_id, e.v, cents.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid ASC) AS rnk
+       |  FROM e CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, v, cid AS cell FROM sims WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id, v, cid AS bucket FROM sims WHERE rnk <= $IvfProbe
+       |), cand AS (
+       |  SELECT p.vec_id, m.vec_id AS neighbor_id,
+       |    list_dot_product(p.v, m.v) /
+       |    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(m.v, m.v))) AS cos
+       |  FROM probes p JOIN assign m ON m.cell = p.bucket AND m.vec_id <> p.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM cand
+       |)
+       |SELECT vec_id, neighbor_id, cos FROM r WHERE rn <= $IvfK
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+
   /** mm_features — multimodal binary columns with a REAL decode: image
     * rows are well-formed 24bpp BMPs and audio rows PCM-8 WAVs (built by
     * MediaCodec from the document text), parsed back header-by-header in
@@ -497,7 +541,8 @@ object TrainingDataQueries {
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint,
     "ss_topk_cosine" -> ssTopkCosine,
-    "ss_ann_lsh" -> ssAnnLsh)
+    "ss_ann_lsh" -> ssAnnLsh,
+    "ss_ann_ivf" -> ssAnnIvf)
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesOracle,
@@ -515,5 +560,6 @@ object TrainingDataQueries {
     "ta_langid" -> taLangidOracle,
     "ta_fingerprint" -> taFingerprintOracle,
     "ss_topk_cosine" -> ssTopkCosineOracle,
-    "ss_ann_lsh" -> ssAnnLshOracle)
+    "ss_ann_lsh" -> ssAnnLshOracle,
+    "ss_ann_ivf" -> ssAnnIvfOracle)
 }

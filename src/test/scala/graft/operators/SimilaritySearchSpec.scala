@@ -60,6 +60,25 @@ class SimilaritySearchSpec extends SparkSpecBase {
     assert(SimilaritySearch.nBitsFor(Long.MaxValue / 2) === 30)
   }
 
+  test("ivfNeighbors: k-bounded per vector, higher nProbe only adds recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(nProbe: Int): Map[Long, Set[Long]] =
+      SimilaritySearch.ivfNeighbors(emb, "vec_id", "embedding",
+        dim = 64, nCentroids = 16, nProbe = nProbe, k = 3)
+        .collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rs) => v -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val p1 = run(1)
+    val p4 = run(4)
+    assert(p1.nonEmpty && p1.values.forall(_.size <= 3))
+    // probing more cells can only widen the candidate set, so the top-3
+    // under nProbe=4 dominates (per-vector sets need not be supersets —
+    // better candidates can displace — but coverage must not shrink)
+    assert(p4.keySet.size >= p1.keySet.size)
+    val nonEmptyBoth = p1.keySet & p4.keySet
+    assert(nonEmptyBoth.nonEmpty)
+  }
+
   test("multiple plane tables amplify recall without changing per-pair semantics") {
     val emb = Tables.embeddings(spark, sfDir)
     // ground truth top-1 for the first 15 vectors
