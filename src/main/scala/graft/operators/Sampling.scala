@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic, key-stable sampling and dataset splitting — the
+  * selection primitives of a training-data pipeline (train/val/test
+  * splits, per-class downsampling). Everything derives from a uniform
+  * unit hash of the row KEY + a salt, so:
+  *
+  *   - membership is a pure function of the key: re-runs, retries, and
+  *     cluster re-partitioning cannot change who is sampled (unlike
+  *     `df.sample`, whose outcome depends on partitioning and seed
+  *     plumbing);
+  *   - a row's split assignment is stable as the corpus grows — adding
+  *     documents never moves an existing document between train and
+  *     test (the property that prevents eval contamination);
+  *   - different salts give independent samples;
+  *   - the hash is the engine's md5-based `baseHash`, so every sample
+  *     and split is cross-engine recomputable and oracle-gated, not
+  *     just spec-tested.
+  *
+  * Scale: all of these are stateless single-pass projections/filters —
+  * scan-speed, no shuffle, trivially parallel at any corpus size.
+  */
+object Sampling {
+
+  private val P = TextFunctions.P
+
+  /** Uniform value in [0,1) derived from (key, salt) — md5-based, so
+    * DuckDB recomputes it exactly:
+    * `(('0x' || substr(md5(key || salt), 1, 15))::BIGINT % P) / P`. */
+  def unitHash(key: Column, salt: String): Column =
+    TextFunctions.baseHash(concat(key.cast("string"), lit(salt)))
+      .cast("double") / lit(P.toDouble)
+
+  /** Keep each row with probability `fraction`, keyed (deterministic). */
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(unitHash(col(keyCol), salt) < fraction)
+  }
+
+  /** Cumulative upper bounds for `splitByKey` — exposed so oracle SQL
+    * can interpolate the EXACT double bounds the operator compares
+    * against (recomputing them independently could differ in the last
+    * ulp). The final split has no bound (it is the otherwise-branch). */
+  def splitBounds(weights: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    weights.init.zip(weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total))
+      .map { case ((name, _), bound) => name -> bound }
+  }
+
+  /** Assign every row to a named split with the given weights (need not
+    * sum to 1; they are normalized). Returns the input plus a `split`
+    * column. */
+  def splitByKey(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val u = unitHash(col(keyCol), salt)
+    // last branch is otherwise() so float edges can't drop a row
+    val expr = splitBounds(weights).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, bound)) =>
+        when(u < bound, name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum sampling fractions (e.g. downsample dominant classes):
+    * rows of strata absent from `fractions` are dropped. */
+  def stratifiedSampleByKey(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Seq[(String, Double)], salt: String = "strata"): DataFrame = {
+    require(fractions.nonEmpty)
+    val u = unitHash(col(keyCol), salt)
+    val frac = fractions.foldLeft(lit(-1.0): Column) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, f).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+}

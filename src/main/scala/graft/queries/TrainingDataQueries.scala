@@ -373,6 +373,60 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** ds_split — deterministic key-stable train/val/test assignment
+    * (operators.Sampling.splitByKey): membership is a pure function of
+    * (doc_id, salt), so re-runs and corpus growth never move a document
+    * between splits. Oracle recomputes the identical md5-derived unit
+    * hash and the EXACT same cumulative bounds (interpolated from the
+    * operator, not re-derived). */
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  val dsSplit: Q = (s, dir) =>
+    graft.operators.Sampling.splitByKey(
+      Tables.documents(s, dir).select("doc_id"), "doc_id", SplitWeights)
+      .orderBy("doc_id")
+
+  val dsSplitOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val bounds = graft.operators.Sampling.splitBounds(SplitWeights)
+    val cases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
+      .mkString(" ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM documents)
+       |SELECT doc_id, CASE $cases ELSE '${SplitWeights.last._1}' END AS split
+       |FROM u
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** ds_sample_stratified — per-class downsampling over events (keep
+    * every purchase, halve clicks, keep 10% of views — the classic
+    * class-balance pass), keyed on event_id so the sample is
+    * partitioning- and rerun-stable. */
+  private val StrataFractions = Seq("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0)
+
+  val dsSampleStratified: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedSampleByKey(
+      Tables.events(s, dir).select("event_id", "event_type"),
+      "event_id", "event_type", StrataFractions)
+      .orderBy("event_id")
+
+  val dsSampleStratifiedOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val cases = StrataFractions.map { case (s0, f) => s"WHEN '$s0' THEN $f" }
+      .mkString(" ")
+    s"""SELECT event_id, event_type FROM (
+       |  SELECT event_id, event_type,
+       |    (('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'strata'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u,
+       |    CASE event_type $cases ELSE -1.0 END AS f
+       |  FROM events)
+       |WHERE u < f
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** ss_ann_ivf — IVF (inverted-file) ANN, the second classic scale path
     * next to hyperplane LSH: deterministic sampled centroids (vec_id <
     * nCentroids), inner-product assignment, nProbe-cell search, exact
@@ -532,6 +586,8 @@ object TrainingDataQueries {
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
     "ta_token_bpe" -> taTokenBpe,
+    "ds_split" -> dsSplit,
+    "ds_sample_stratified" -> dsSampleStratified,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
@@ -550,6 +606,8 @@ object TrainingDataQueries {
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
+    "ds_split" -> dsSplitOracle,
+    "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class SamplingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("split assignment is a pure function of the key: corpus growth never moves a row") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 5000L).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.splitByKey(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    val b = assign(big)
+    // eval-contamination guard: every original row keeps its split
+    assert(a.forall { case (k, v) => b(k) == v })
+    // and the weights are roughly honored on the larger corpus
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac)
+  }
+
+  test("sampleByKey is partitioning-invariant and salt-independent") {
+    val df = (1L to 2000L).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame, salt: String): Set[Long] =
+      Sampling.sampleByKey(d, "id", 0.3, salt).collect().map(_.getLong(0)).toSet
+    // same rows regardless of physical layout
+    assert(ids(df, "a") === ids(df.repartition(13), "a"))
+    // different salts draw (near-)independent samples
+    val a = ids(df, "a")
+    val b = ids(df, "b")
+    assert(a !== b)
+    val overlap = (a & b).size.toDouble
+    assert(math.abs(overlap / 2000.0 - 0.09) < 0.04, s"overlap $overlap") // ≈ 0.3²
+  }
+
+  test("stratified fractions apply per class; unlisted strata drop") {
+    val df = (1L to 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "cls")
+    val out = Sampling.stratifiedSampleByKey(df, "id", "cls",
+      Seq("a" -> 1.0, "b" -> 0.2))
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 1000)
+    assert(math.abs(out("b") - 200.0) < 60, out)
+    assert(!out.contains("c"))
+  }
+}
