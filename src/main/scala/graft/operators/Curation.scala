@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the pipeline a training corpus actually
+  * ships through, composed from this library's already-gated operators:
+  *
+  *   1. quality floor        (TextAnalysis.qualityScore)
+  *   2. language filter      (TextAnalysis.languageId)
+  *   3. exact dedup          (content fingerprint, keep min id)
+  *   4. near-dup dedup       (inverted-index Jaccard pairs →
+  *                            connected-component clusters, keep the
+  *                            cluster representative)
+  *   5. split assignment     (Sampling.splitByKey — key-stable)
+  *
+  * Scale shape: stages 1-2 are scan-speed projections joined back on the
+  * unique id (equi-joins Catalyst can broadcast or co-partition; AQE
+  * picks at runtime); stage 3 is one hash aggregate on the fingerprint;
+  * stage 4 is the guarded posting-list join + O(diameter) label
+  * propagation over the (tiny) duplicate-pair graph; stage 5 is a
+  * stateless projection. Nothing is quadratic in documents.
+  */
+object Curation {
+
+  case class Config(
+      minQuality: Double = 0.8,
+      languages: Seq[String] = Seq("en"),
+      nGram: Int = Dedup.DefaultShingleN,
+      jaccardThreshold: Double = Dedup.DefaultMinhashThreshold,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Returns the curated corpus: (id, predicted_lang, quality_score,
+    * split) — one row per surviving document. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val l = TextAnalysis.languageId(docs, idCol, textCol)
+      .select(col(idCol), col("predicted_lang"))
+    val base = docs.select(col(idCol), col(textCol))
+      .join(q, Seq(idCol))
+      .join(l, Seq(idCol))
+      .filter(col("quality_score") >= cfg.minQuality &&
+        col("predicted_lang").isInCollection(cfg.languages))
+    // exact dedup: one row per content fingerprint (canonical = min id)
+    val canon = base
+      .select(col(idCol).as("__id"), md5(lower(trim(col(textCol)))).as("__fp"))
+      .groupBy("__fp").agg(min("__id").as(idCol))
+      .select(idCol)
+    val exact = base.join(canon, Seq(idCol), "left_semi")
+    // near-dup clusters among survivors; drop non-representatives
+    val pairs = Dedup.ngramJaccardPairs(
+      exact, idCol, textCol, cfg.nGram, cfg.jaccardThreshold)
+    val dropped = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    val unique = exact.join(dropped, Seq(idCol), "left_anti")
+    Sampling.splitByKey(unique, idCol, cfg.splits)
+      .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
+  }
+}

@@ -373,6 +373,92 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** tp_curate — the END-TO-END curation pipeline (operators.Curation):
+    * quality floor → language filter → exact dedup → near-dup cluster
+    * representatives → key-stable split assignment. The oracle chains
+    * the same five stages in one DuckDB statement (quality/langid
+    * expressions, fingerprint group, recursive-CTE components, md5 unit
+    * hash), proving the COMPOSITION cross-engine, not just each stage. */
+  private val CurateCfg = graft.operators.Curation.Config()
+
+  val tpCurate: Q = (s, dir) =>
+    graft.operators.Curation.curate(
+      Tables.documents(s, dir), "doc_id", "text", CurateCfg)
+      .orderBy("doc_id")
+
+  val tpCurateOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val langs = CurateCfg.languages.map(l => s"'$l'").mkString(", ")
+    val bounds = graft.operators.Sampling.splitBounds(CurateCfg.splits)
+    val splitCases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
+       |     + LEAST(len(string_split(text,' ')) / 100.0, 1.0)
+       |     - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' '))) AS quality_score
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+       |), lscores AS (
+       |  SELECT doc_id, p.lang, CAST(len(list_intersect(t, p.words)) AS BIGINT) AS score
+       |  FROM toks CROSS JOIN (
+       |    VALUES ('en', ['the','a','of','and','to','in','is']),
+       |           ('es', ['el','la','de','y','que','en','los']),
+       |           ('fr', ['le','la','de','et','les','des','un']),
+       |           ('de', ['der','die','und','das','ist','von','den']),
+       |           ('zh', ['的','了','是','我','不','在','有'])) AS p(lang, words)
+       |), lbest AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM lscores
+       |), lid AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
+       |  FROM lbest WHERE rn = 1
+       |), base AS (
+       |  SELECT d.doc_id, d.text, q.quality_score, lid.predicted_lang
+       |  FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id)
+       |  WHERE q.quality_score >= ${CurateCfg.minQuality}
+       |    AND lid.predicted_lang IN ($langs)
+       |), canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(lower(trim(text)))
+       |), ex AS (
+       |  SELECT b.* FROM base b JOIN canon USING (doc_id)
+       |), sh AS (
+       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", CurateCfg.nGram)} AS s
+       |  FROM ex
+       |), prs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= ${CurateCfg.jaccardThreshold}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs
+       |), reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+       |), clus AS (
+       |  SELECT doc, min(lab) AS lab FROM reach GROUP BY doc
+       |), kept AS (
+       |  SELECT e.doc_id, e.predicted_lang, e.quality_score
+       |  FROM ex e LEFT JOIN clus c ON c.doc = e.doc_id
+       |  WHERE c.doc IS NULL OR c.lab = e.doc_id
+       |), withu AS (
+       |  SELECT doc_id, predicted_lang, quality_score,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM kept
+       |)
+       |SELECT doc_id, predicted_lang, quality_score,
+       |  CASE $splitCases ELSE '${CurateCfg.splits.last._1}' END AS split
+       |FROM withu
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ds_split — deterministic key-stable train/val/test assignment
     * (operators.Sampling.splitByKey): membership is a pure function of
     * (doc_id, salt), so re-runs and corpus growth never move a document
@@ -588,6 +674,7 @@ object TrainingDataQueries {
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
+    "tp_curate" -> tpCurate,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
@@ -608,6 +695,7 @@ object TrainingDataQueries {
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
+    "tp_curate" -> tpCurateOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,
