@@ -67,6 +67,20 @@ object StreamingIngest {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("watch_seconds"), col("watch_events"))
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon — the streaming twin of
+    * `Dedup.exactGroups`, for at-least-once sources that can replay
+    * (file redelivery, kafka rewinds). State is bounded: a key's entry
+    * is reclaimed once the event-time watermark passes it, which is the
+    * only state-retention contract that survives at stream scale
+    * (unbounded `dropDuplicates` state grows forever). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String = "timestamp", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", to_timestamp(col(eventTimeCol)))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch twin of `sessionize`: gap-based sessions via lag + a running
     * sum of session-start flags — the standard window formulation. Kept
     * semantically in lockstep with the streaming path and asserted equal

@@ -65,6 +65,26 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("ss_ann_ivf: one corpus scan, bounded shuffles, no all-pairs window") {
+    val p = plan("ss_ann_ivf")
+    // centroid training is a separate tiny job; the MAIN plan must scan
+    // the corpus once, shuffle only for the cell groupBy and the typed
+    // top-k aggregation, and never window over candidate pairs
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans === 1, s"$scans corpus scans:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges hash exchanges:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21_asof_join: no join operator, a single hash exchange") {
+    val p = plan("q21_asof_join")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"$exchanges hash exchanges:\n$p")
+  }
+
   test("dd_minhash: signature computation has no shuffle before banding") {
     val p = plan("dd_minhash")
     // exactly the candidate-generation aggregate shuffles; signatures are

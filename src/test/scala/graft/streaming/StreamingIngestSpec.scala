@@ -85,6 +85,32 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(spark.table("sessions").filter(col("n_events") <= 0).count() === 0)
   }
 
+  test("streaming dedup drops replayed events within the watermark horizon") {
+    val events = spark.read.schema(SchemaRegistry.events.schema)
+      .json(s"$landing/*.jsonl")
+      .filter(col("user_id") === "user_2")
+    val dir = Files.createTempDirectory("graft-dedup-src")
+    // simulate an at-least-once source: the same batch lands twice
+    events.coalesce(1).write.mode("overwrite").json(s"$dir/drop1")
+    events.coalesce(1).write.mode("append").json(s"$dir/drop1")
+    val stream = spark.readStream.schema(SchemaRegistry.events.schema)
+      .json(s"$dir/drop1")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val q = StreamingIngest.dedupStream(
+      stream, Seq("user_id", "session_id", "timestamp", "event_name"))
+      .writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val distinctInput = events
+      .select("user_id", "session_id", "timestamp", "event_name").distinct().count()
+    assert(spark.table("dedup_out").count() === distinctInput,
+      "duplicated drop must collapse to the distinct event set")
+  }
+
   test("streaming sessionize equals the batch window formulation (minus held-open finals)") {
     val events = spark.read.schema(SchemaRegistry.events.schema)
       .json(s"$landing/*.jsonl")
