@@ -601,6 +601,46 @@ object RelationalQueries {
       |FROM ranked WHERE rn = 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** q22 — pure range join (point-in-interval with NO equi key; see
+    * operators.RangeJoin for the bucketized plan that avoids Spark's
+    * BroadcastNestedLoopJoin): for every distinct order date, how many
+    * shipment windows [l_shipdate, l_shipdate + 5·l_linenumber days]
+    * were open. Both engines derive the same interval end
+    * deterministically from the row. */
+  val q22RangeJoin: Q = (s, dir) => {
+    import graft.operators.RangeJoin
+    def days(c: Column): Column =
+      datediff(to_date(c), to_date(lit("1970-01-01"))).cast("long")
+    val pts = Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("order_date")).distinct()
+      .withColumn("d", days(col("order_date")))
+    val iv = Tables.lineitem(s, dir).select(
+      days(col("l_shipdate")).as("st"),
+      (days(col("l_shipdate")) + col("l_linenumber") * 5).as("en"))
+    val matches = RangeJoin
+      .pointInInterval(pts, iv, "d", "st", "en", bucketWidth = 16)
+      .groupBy("order_date").agg(count(lit(1)).as("n_open"))
+    pts.select("order_date")
+      .join(matches, Seq("order_date"), "left")
+      .select(col("order_date"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"))
+      .orderBy("order_date")
+  }
+
+  val q22Oracle: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders
+      |), iv AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS st,
+      |         CAST(l_shipdate AS DATE) + INTERVAL (l_linenumber * 5) DAY AS en
+      |  FROM lineitem
+      |)
+      |SELECT p.order_date, count(i.st) AS n_open
+      |FROM pts p LEFT JOIN iv i
+      |  ON i.st <= p.order_date AND p.order_date <= i.en
+      |GROUP BY p.order_date
+      |ORDER BY order_date""".stripMargin
+
   /** Name → query map consumed by SparkEntry. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -623,10 +663,12 @@ object RelationalQueries {
     "q18_semi_anti" -> q18SemiAnti,
     "q19_json_extract" -> q19JsonExtract,
     "q20_window_running" -> q20WindowRunning,
-    "q21_asof_join" -> q21AsOfJoin)
+    "q21_asof_join" -> q21AsOfJoin,
+    "q22_range_join" -> q22RangeJoin)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
+    "q22_range_join" -> q22Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,

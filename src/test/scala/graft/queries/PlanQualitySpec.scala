@@ -85,6 +85,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges === 1, s"$exchanges hash exchanges:\n$p")
   }
 
+  test("q22_range_join: the pure range predicate rides an equi bucket join, not BNLJ") {
+    val p = plan("q22_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_minhash: signature computation has no shuffle before banding") {
     val p = plan("dd_minhash")
     // exactly the candidate-generation aggregate shuffles; signatures are
