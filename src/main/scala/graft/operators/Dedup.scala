@@ -243,6 +243,7 @@ object Dedup {
       converged = next.filter(col("label") =!= col("old")).isEmpty
       val prev = labels
       labels = next.select("doc", "label").persist()
+      labels.count() // materialize before dropping the frames it derives from
       next.unpersist()
       prev.unpersist()
       iter += 1
