@@ -373,6 +373,38 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** op_salted_agg — two-phase salted aggregation (operators.Skew) under
+    * the cross-engine gate: the salted decomposition must be EXACTLY the
+    * plain GROUP BY (sums go through decimal, so partial-merge order
+    * cannot shift the value). Proves the skew-mitigation rewrite is
+    * algebraically invisible, not just spec-plausible. */
+  val opSaltedAgg: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    graft.operators.Skew.saltedAggregate(
+      Tables.events(s, dir),
+      keys = Seq("event_type"),
+      aggs = Map(
+        "sum_value" -> (col("value").cast(DecimalType(18, 2)), "sum"),
+        "n" -> (lit(1), "count"),
+        "min_value" -> (col("value"), "min"),
+        "max_value" -> (col("value"), "max")),
+      saltFactor = 8)
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("n"), col("min_value"), col("max_value"))
+      .orderBy("event_type")
+  }
+
+  val opSaltedAggOracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** tp_curate — the END-TO-END curation pipeline (operators.Curation):
     * quality floor → language filter → exact dedup → near-dup cluster
     * representatives → key-stable split assignment. The oracle chains
@@ -675,6 +707,7 @@ object TrainingDataQueries {
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
+    "op_salted_agg" -> opSaltedAgg,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
@@ -696,6 +729,7 @@ object TrainingDataQueries {
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,
+    "op_salted_agg" -> opSaltedAggOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,
