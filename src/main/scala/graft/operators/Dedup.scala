@@ -222,13 +222,20 @@ object Dedup {
     * components are overwhelmingly tiny (duplicate groups), so rounds ≈
     * 2-4 in practice; `maxIters` is a runaway bound, not a tuning knob. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // localCheckpoint per round, not persist: caching truncates
+    // recomputation but NOT the logical plan, which otherwise grows
+    // exponentially across rounds (each round references the previous
+    // labels twice) until even rendering it for AQE OOMs the driver —
+    // the standard iterative-algorithm failure GraphX solves the same
+    // way. A production run with executor churn would point
+    // spark.checkpoint.dir at reliable storage and use checkpoint().
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -239,16 +246,11 @@ object Dedup {
       val next = labels.withColumnRenamed("label", "old")
         .join(neighborMin, "doc")
         .select(col("doc"), least(col("old"), col("nlabel")).as("label"), col("old"))
-        .persist()
+        .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      val prev = labels
-      labels = next.select("doc", "label").persist()
-      labels.count() // materialize before dropping the frames it derives from
-      next.unpersist()
-      prev.unpersist()
+      labels = next.select("doc", "label")
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
