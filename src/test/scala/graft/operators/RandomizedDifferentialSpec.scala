@@ -68,6 +68,42 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     assert(got === naive)
   }
 
+  test("multi-table lshNeighbors equals the naive all-pairs formulation (the one ANN path with no DuckDB oracle)") {
+    import graft.functions.VectorFunctions.hyperplanes
+    val rnd = new scala.util.Random(0x15AC)
+    val dim = 8
+    val vecs = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian()))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val nBits = 3; val nTables = 3; val k = 2
+    val got = SimilaritySearch.lshNeighbors(df, "vec_id", "embedding",
+      dim, nBits, k, nTables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (v, rs) => v -> rs.map(x => (x._2, x._3)).toSet }
+    // naive: same plane tables, same bucket rule, exact cosine, top-k by
+    // (cos desc, id asc) over the union of candidates across tables
+    val tables = (0 until nTables).map(t =>
+      hyperplanes(nBits, dim, seed = 0x5CA1AB1EL + t * 0x1000000000000L))
+    def bucket(v: Array[Double], planes: Array[Array[Double]]): String =
+      planes.map(p => if (v.zip(p).map { case (a, b) => a * b }.sum > 0) '1' else '0').mkString
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val naive = vecs.map { case (i, v) =>
+      val cands = vecs.filter { case (j, w) =>
+        j != i && tables.exists(t => bucket(v, t) == bucket(w, t))
+      }
+      i -> cands.map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).toSet
+    }.filter(_._2.nonEmpty).toMap
+    assert(got.keySet === naive.keySet)
+    for (v <- naive.keySet) {
+      val g = got(v).map { case (j, c) => (j, math.rint(c * 1e12)) }
+      val n = naive(v).map { case (j, c) => (j, math.rint(c * 1e12)) }
+      assert(g === n, s"vec $v: got ${got(v)} expected ${naive(v)}")
+    }
+  }
+
   test("duplicateClusters equals union-find on a random pair graph") {
     val rnd = new scala.util.Random(0xC1C1)
     val pairs = (1 to 150).map { _ =>
