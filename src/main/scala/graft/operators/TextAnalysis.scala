@@ -96,6 +96,57 @@ object TextAnalysis {
     * cannot differ between engines. */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
+  /** Repetition signals (Gopher-style quality filters): the fraction of
+    * the document covered by its most frequent token bigram/trigram —
+    * high values flag boilerplate, keyword stuffing, and generation
+    * loops. Computed by explode + count + max (map-side combinable at
+    * any scale), NOT by per-doc nested HOF counting (which would be
+    * O(grams²) interpreted per row). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // n-grams WITH duplicates (unlike shinglesFromTokens): frequency is
+    // the point here
+    def grams(tok: Column, n: Int): Column = {
+      val g = transform(
+        sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
+      when(size(tok) >= n, g).otherwise(array().cast("array<string>"))
+    }
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("n_tokens"),
+        grams(col("__toks"), 2).as("g2"), grams(col("__toks"), 3).as("g3"))
+    def topCount(gramCol: String) = base
+      .select(col(idCol), explode(col(gramCol)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as(s"top_$gramCol"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(topCount("g2"), Seq(idCol), "left")
+      .join(topCount("g3"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("top_g2"), lit(0L)).as("top_bigram_count"),
+        (coalesce(col("top_g2"), lit(0L)) * 2).cast("double")
+          ./(col("n_tokens")).as("top_bigram_fraction"),
+        coalesce(col("top_g3"), lit(0L)).as("top_trigram_count"),
+        (coalesce(col("top_g3"), lit(0L)) * 3).cast("double")
+          ./(col("n_tokens")).as("top_trigram_fraction"))
+  }
+
+  /** PII scrubbing patterns — lookahead-free with bounded repetition, so
+    * Java regex and RE2 (DuckDB) agree byte-for-byte. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** Redact email addresses and long digit runs (ids, phone-ish
+    * numbers) — the minimal PII scrub pass every training corpus runs.
+    * Pure projection, scan-speed. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
+        lit(LongNumberPattern), lit("<NUM>")).as("redacted"))
+
   /** Model-token accounting: whitespace words vs BPE-ish pre-tokens and
     * their ratio — the standard first-order estimate of LLM token cost
     * per document. Single projection, scan-speed. */

@@ -316,6 +316,93 @@ object TrainingDataQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** ta_repetition — Gopher-style repetition quality signals: fraction
+    * of the document covered by its most frequent token bigram/trigram
+    * (explode + count + max, map-side combinable — never per-doc
+    * quadratic HOF counting). */
+  val taRepetition: Q = (s, dir) =>
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val taRepetitionOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), g2 AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |    i -> t[i+1] || ' ' || t[i+2])) AS g FROM tok
+      |), g3 AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g FROM tok
+      |), t2 AS (
+      |  SELECT doc_id, max(c) AS c FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+      |), t3 AS (
+      |  SELECT doc_id, max(c) AS c FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+      |)
+      |SELECT tok.doc_id AS doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(t2.c, 0) AS BIGINT) AS top_bigram_count,
+      |  CAST(COALESCE(t2.c, 0) * 2 AS DOUBLE) / len(t) AS top_bigram_fraction,
+      |  CAST(COALESCE(t3.c, 0) AS BIGINT) AS top_trigram_count,
+      |  CAST(COALESCE(t3.c, 0) * 3 AS DOUBLE) / len(t) AS top_trigram_fraction
+      |FROM tok
+      |LEFT JOIN t2 ON t2.doc_id = tok.doc_id
+      |LEFT JOIN t3 ON t3.doc_id = tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
+  /** tx_redact — PII scrub over documents deterministically enriched
+    * with synthetic emails and long ids (the raw corpus contains none,
+    * which would make the gate vacuous): both engines build the same
+    * string and must redact it identically. */
+  val txRedact: Q = (s, dir) =>
+    TextAnalysis.redact(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * col("doc_id") + 1234567).cast("long")).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  val txRedactOracle: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref '
+       |      || CAST(doc_id * doc_id + 1234567 AS VARCHAR),
+       |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS redacted
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** tp_pack — deterministic contiguous-fill sequence packing
+    * (operators.Packing): shard by id hash, per-shard running token
+    * offset, pack = floor(offset / budget). Cross-engine identical by
+    * construction (pure integer arithmetic + one per-shard window). */
+  val tpPack: Q = (s, dir) =>
+    graft.operators.Packing.packSequences(
+      Tables.documents(s, dir), "doc_id", "text",
+      tokenBudget = 1024, nShards = 8)
+      .orderBy("doc_id")
+
+  val tpPackOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, n,
+      |    SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |  CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(off AS BIGINT) AS "offset",
+      |  CAST(off // 1024 AS BIGINT) AS pack_id
+      |FROM o
+      |ORDER BY doc_id""".stripMargin
+
   /** ss_topk_cosine — exact brute-force top-10 cosine neighbors of
     * vec_id=0 (the ANN correctness baseline). */
   val ssTopkCosine: Q = (s, dir) => {
@@ -708,6 +795,9 @@ object TrainingDataQueries {
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
     "op_salted_agg" -> opSaltedAgg,
+    "ta_repetition" -> taRepetition,
+    "tx_redact" -> txRedact,
+    "tp_pack" -> tpPack,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
@@ -730,6 +820,9 @@ object TrainingDataQueries {
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,
     "op_salted_agg" -> opSaltedAggOracle,
+    "ta_repetition" -> taRepetitionOracle,
+    "tx_redact" -> txRedactOracle,
+    "tp_pack" -> tpPackOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,
