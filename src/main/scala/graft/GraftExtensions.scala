@@ -16,8 +16,10 @@ import graft.plans.{DotProduct, MinHashSignature}
   *     queries attach to the provided session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -48,12 +50,19 @@ object GraftExtensions {
 
   private val all = Seq(minhashFunction, dotFunction)
 
-  /** Idempotent runtime registration into an existing session. */
+  /** Idempotent runtime registration into an existing session: SQL
+    * functions via the registry, the dot-product rewrite via the
+    * experimental extra-optimizations hook (the runtime twin of
+    * injectOptimizerRule for sessions not configured with
+    * spark.sql.extensions). */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     all.foreach { case (ident, info, builder) =>
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
   }
 }

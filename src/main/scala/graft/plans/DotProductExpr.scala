@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Accumulation is strictly sequential left-to-right — BIT-IDENTICAL to
   * the HOF formulation and to DuckDB's `list_dot_product`, which is what
   * keeps every LSH/IVF query hash-matchable cross-engine (asserted in
-  * DotProductExprSpec). Length mismatch yields NULL, matching zip_with's
-  * null-padding semantics; null elements are treated as 0-contributing
-  * is NOT done — inputs are trusted dense vectors (null elements would
-  * have failed the HOF path identically).
+  * DotProductExprSpec). Null semantics match the HOF form exactly:
+  * length mismatch yields NULL (zip_with pads with null) and ANY null
+  * element yields NULL (null poisons the running Add) — exactness here
+  * is what makes the DotProductRewrite optimizer rule a safe
+  * substitution on arbitrary inputs, not just trusted dense vectors.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +45,11 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -60,9 +65,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
