@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** End-to-end corpus curation — the pipeline a training corpus actually
   * ships through, composed from this library's already-gated operators:
   *
@@ -14,12 +16,13 @@ import org.apache.spark.sql.functions._
   *                            cluster representative)
   *   5. split assignment     (Sampling.splitByKey — key-stable)
   *
-  * Scale shape: stages 1-2 are scan-speed projections joined back on the
-  * unique id (equi-joins Catalyst can broadcast or co-partition; AQE
-  * picks at runtime); stage 3 is one hash aggregate on the fingerprint;
+  * Scale shape: stages 1-2 FUSE into a single projection over one scan
+  * (the metric expressions are column-level — no metric frames joined
+  * back on the id); stage 3 is one hash aggregate on the fingerprint;
   * stage 4 is the guarded posting-list join + O(diameter) label
   * propagation over the (tiny) duplicate-pair graph; stage 5 is a
-  * stateless projection. Nothing is quadratic in documents.
+  * stateless projection. Nothing is quadratic in documents, and the
+  * corpus is scanned once before dedup.
   */
 object Curation {
 
@@ -34,13 +37,16 @@ object Curation {
     * split) — one row per surviving document. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val l = TextAnalysis.languageId(docs, idCol, textCol)
-      .select(col(idCol), col("predicted_lang"))
-    val base = docs.select(col(idCol), col(textCol))
-      .join(q, Seq(idCol))
-      .join(l, Seq(idCol))
+    // both metrics in ONE projection over one scan; token arrays are
+    // materialized in their own projections first (interpreted HOFs
+    // re-evaluate inlined expressions per lambda reference)
+    val base = docs
+      .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col(textCol), col("__t"),
+        array_distinct(col("__t")).as("__td"))
+      .select(col(idCol), col(textCol),
+        TextAnalysis.qualityScoreCol(col("__t")).as("quality_score"),
+        TextAnalysis.predictedLangCol(col("__td")).as("predicted_lang"))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("predicted_lang").isInCollection(cfg.languages))
     // exact dedup: one row per content fingerprint (canonical = min id)

@@ -35,6 +35,19 @@ object TextAnalysis {
         (nDistinct.cast("double") / nTok).as("distinct_ratio"))
   }
 
+  /** Column-level quality score over a MATERIALIZED token-array column
+    * (callers must project the token array first — HOF re-evaluation
+    * pitfall) — exposed so Curation can fuse it into one scan instead
+    * of joining a metric frame back on the id. */
+  def qualityScoreCol(toks: Column): Column = {
+    val nTok = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, tok => tok.isInCollection(stopwords)))
+      .cast("double") / nTok
+    val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    distinctRatio + lengthScore - stopRatio
+  }
+
   /** Composite quality score in [0,~2]: rewards lexical diversity and
     * reasonable length, penalizes stopword stuffing. Deterministic
     * double arithmetic (no rounding). */
@@ -44,40 +57,51 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(filter(t, tok => tok.isInCollection(stopwords)))
       .cast("double") / nTok
-    val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(
         col(idCol),
         nTok.cast("long").as("n_tokens"),
         distinctRatio.as("distinct_ratio"),
         stopRatio.as("stopword_ratio"),
-        (distinctRatio + lengthScore - stopRatio).as("quality_score"))
+        qualityScoreCol(t).as("quality_score"))
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有"))
+
+  /** Column-level language ID over a MATERIALIZED distinct-token array
+    * column (same fusion rationale as qualityScoreCol). Deterministic
+    * argmax: ties break toward the lexicographically larger code; zero
+    * hits → "und". */
+  def predictedLangCol(distinctToks: Column): Column = {
+    val best = array_max(array(langProfiles.map { case (lang, words) =>
+      struct(
+        size(array_intersect(distinctToks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
   }
 
   /** Heuristic language ID via stopword-profile overlap (n-gram/stopword
     * profiles are the classic public technique; profiles here are tiny
-    * built-in lists). Deterministic argmax: ties break toward the
-    * lexicographically *larger* language code via struct array_max. */
+    * built-in lists). */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-      "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
-      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "von", "den"),
-      "zh" -> Seq("的", "了", "是", "我", "不", "在", "有"))
     val toks = col("__toks")
-    val scored = array(profiles.map { case (lang, words) =>
+    val best = array_max(array(langProfiles.map { case (lang, words) =>
       struct(
         size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(scored)
+    }: _*))
     df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
       .select(
         col(idCol),
         // zero profile hits = no evidence → "und", not an arbitrary tie
-        when(best.getField("score") === 0, lit("und"))
-          .otherwise(best.getField("lang")).as("predicted_lang"),
+        predictedLangCol(toks).as("predicted_lang"),
         best.getField("score").cast("long").as("profile_hits"))
   }
 
