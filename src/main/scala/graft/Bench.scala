@@ -31,7 +31,8 @@ object Bench {
     "q20_window_running", "q21_asof_join", "q22_range_join",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
-    "ta_langid", "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled")
+    "ta_langid", "ta_repetition", "tp_pack",
+    "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled")
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine

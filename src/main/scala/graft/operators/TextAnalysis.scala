@@ -123,9 +123,13 @@ object TextAnalysis {
   /** Repetition signals (Gopher-style quality filters): the fraction of
     * the document covered by its most frequent token bigram/trigram —
     * high values flag boilerplate, keyword stuffing, and generation
-    * loops. Computed by explode + count + max (map-side combinable at
-    * any scale), NOT by per-doc nested HOF counting (which would be
-    * O(grams²) interpreted per row). */
+    * loops. Computed entirely IN-ROW: max multiplicity of a gram = the
+    * longest run in the sorted gram array (one array_sort + one linear
+    * aggregate per doc). Zero shuffles — the per-document statistic is
+    * embarrassingly parallel, and the first-cut explode + groupBy(doc,
+    * gram) + max + join-back shape measured 7.0s at sf0.1 against
+    * sub-second for this projection (it shuffled ~1M gram rows for no
+    * reason). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // n-grams WITH duplicates (unlike shinglesFromTokens): frequency is
     // the point here
@@ -135,24 +139,31 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
       when(size(tok) >= n, g).otherwise(array().cast("array<string>"))
     }
-    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // longest run in the sorted array == max element multiplicity
+    def topRunCount(gramArr: Column): Column = aggregate(
+      array_sort(gramArr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("n_tokens"),
-        grams(col("__toks"), 2).as("g2"), grams(col("__toks"), 3).as("g3"))
-    def topCount(gramCol: String) = base
-      .select(col(idCol), explode(col(gramCol)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max("c").as(s"top_$gramCol"))
-    base.select(col(idCol), col("n_tokens"))
-      .join(topCount("g2"), Seq(idCol), "left")
-      .join(topCount("g3"), Seq(idCol), "left")
+        grams(col("__toks"), 2).as("__g2"), grams(col("__toks"), 3).as("__g3"))
+      .select(col(idCol), col("n_tokens"),
+        topRunCount(col("__g2")).as("top_bigram_count"),
+        topRunCount(col("__g3")).as("top_trigram_count"))
       .select(
         col(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
-        coalesce(col("top_g2"), lit(0L)).as("top_bigram_count"),
-        (coalesce(col("top_g2"), lit(0L)) * 2).cast("double")
+        col("top_bigram_count"),
+        (col("top_bigram_count") * 2).cast("double")
           ./(col("n_tokens")).as("top_bigram_fraction"),
-        coalesce(col("top_g3"), lit(0L)).as("top_trigram_count"),
-        (coalesce(col("top_g3"), lit(0L)) * 3).cast("double")
+        col("top_trigram_count"),
+        (col("top_trigram_count") * 3).cast("double")
           ./(col("n_tokens")).as("top_trigram_fraction"))
   }
 
