@@ -112,6 +112,56 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-corpus decontamination: training documents that CONTAIN a
+    * large part of some eval/benchmark document — containment =
+    * |shingles(train) ∩ shingles(eval)| / |shingles(EVAL)|, the
+    * asymmetric overlap a decontamination pass keys on (an eval answer
+    * quoted verbatim inside a much longer training document scores 1.0
+    * here while symmetric Jaccard stays low). Same inverted-index +
+    * relative skew-guard shape as ngramJaccardPairs — nothing
+    * cross-corpus is all-pairs; the guard drops shingles ubiquitous in
+    * the EVAL corpus (prune-only: it can only lower containment). */
+  def contaminationPairs(
+      train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    def shingled(df: DataFrame, name: String) = df
+      .select(col(idCol).as(name), tokens(col(textCol)).as("toks"))
+      .select(col(name), shinglesFromTokens(col("toks"), n).as("sh"))
+    val t = shingled(train, "train_id")
+      .select(col("train_id"), explode(col("sh")).as("s"))
+    val e0 = shingled(evalCorpus, "eval_id")
+      .select(col("eval_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val e = (maxDocFreq, maxDocFreqFraction) match {
+      case (None, None) => e0
+      case (abs, frac) =>
+        val limitDf = {
+          val base = frac match {
+            case Some(f) =>
+              evalCorpus.select(greatest(lit(MinDocFreqFloor.toDouble),
+                count(lit(1)).cast("double") * f).as("df_limit"))
+            case None =>
+              evalCorpus.sparkSession.range(1).select(lit(Double.MaxValue).as("df_limit"))
+          }
+          abs match {
+            case Some(a) => base.select(least(col("df_limit"), lit(a.toDouble)).as("df_limit"))
+            case None    => base
+          }
+        }
+        val keep = e0.select("s").groupBy("s").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(limitDf))
+          .filter(col("df") <= col("df_limit")).select("s")
+        e0.join(keep, "s")
+    }
+    t.join(e, "s")
+      .groupBy(col("train_id"), col("eval_id"), col("n_sh"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common").cast("double") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select("train_id", "eval_id", "containment")
+  }
+
   /** Candidate pairs from banded signatures (`doc, sig, band, bkey`):
     * group each LSH bucket once and enumerate member pairs via an
     * indexed-lambda explode. This beats the natural self-join on

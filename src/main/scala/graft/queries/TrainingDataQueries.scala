@@ -122,6 +122,35 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** dd_decontaminate — benchmark decontamination: training documents
+    * (doc_id % 20 ≠ 0) containing ≥ 50% of some eval document's
+    * shingles (doc_id % 20 = 0) — the asymmetric overlap that catches
+    * an eval answer quoted inside a longer training doc. Inverted-index
+    * plan (Dedup.contaminationPairs); naive cross-corpus oracle. */
+  val ddDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationPairs(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text")
+      .orderBy("train_id", "eval_id")
+  }
+
+  val ddDecontaminateOracle: String = {
+    val n = Dedup.DefaultShingleN
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
+       |  FROM documents),
+       |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0)
+       |SELECT train_id, eval_id, containment FROM (
+       |  SELECT t.train_id, e.eval_id,
+       |    CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) AS containment
+       |  FROM tr t, ev e)
+       |WHERE containment >= 0.5
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash
     * coefficient literals, the band keys (signature slices, not opaque
@@ -799,6 +828,7 @@ object TrainingDataQueries {
     "tx_redact" -> txRedact,
     "tp_pack" -> tpPack,
     "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_decontaminate" -> ddDecontaminate,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
@@ -824,6 +854,7 @@ object TrainingDataQueries {
     "tx_redact" -> txRedactOracle,
     "tp_pack" -> tpPackOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
+    "dd_decontaminate" -> ddDecontaminateOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_minhash" -> ddMinhashOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,

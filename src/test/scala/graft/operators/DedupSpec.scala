@@ -104,6 +104,29 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs(guarded = true, threshold = 0.5) === Set((58L, 59L)))
   }
 
+  test("contaminationPairs: asymmetric containment catches a quoted eval doc that Jaccard misses") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "what is the capital of freedonia answer sylvania city"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // eval text quoted verbatim inside a much longer training doc:
+      // containment of the EVAL doc is 1.0, symmetric jaccard low
+      (1L, (0 until 60).map(i => s"filler$i").mkString(" ") +
+        " what is the capital of freedonia answer sylvania city and more trailing prose"),
+      (2L, "completely unrelated training document about other topics entirely"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(train, evalSet, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((1L, 100L)))
+    assert(hits.head._3 === 1.0) // every eval shingle appears in the train doc
+    // the symmetric-jaccard dedup would NOT flag this pair even far below 0.5
+    val j = Dedup.ngramJaccardPairs(
+      train.union(evalSet), "doc_id", "text", threshold = 0.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 100L)))
+  }
+
   test("duplicateClusters: min-label propagation finds components of the pair graph") {
     import spark.implicits._
     // two components: a 4-doc chain (needs >1 propagation round) and a pair
