@@ -91,6 +91,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ds_split and ta_repetition: stateless scan-speed projections, no hash shuffle") {
+    for (name <- Seq("ds_split", "ta_repetition")) {
+      val p = plan(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges === 0, s"$name: $exchanges hash exchanges:\n$p")
+      assert(!p.contains("Window"), s"$name:\n$p")
+    }
+  }
+
+  test("tp_pack: the only window partitions by shard (no global sort of the corpus)") {
+    val p = plan("tp_pack")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partitionBy=[shard") || p.contains("hashpartitioning(shard"), p)
+  }
+
   test("dd_minhash: signature computation has no shuffle before banding") {
     val p = plan("dd_minhash")
     // exactly the candidate-generation aggregate shuffles; signatures are
