@@ -79,4 +79,54 @@ object Sampling {
     }
     df.filter(u < frac)
   }
+
+  /** Deterministic global shuffle + shard assignment — the "shuffle the
+    * corpus before training" step, made reproducible: shard and
+    * within-shard position derive from md5(key‖salt), so the exact same
+    * training order falls out of any partitioning, any retry, any
+    * cluster size (collection-order `zipWithIndex`/monotonically_
+    * increasing_id would not survive a re-run).
+    *
+    * Scale: the shard key is a stateless projection; the within-shard
+    * position is one sort per shard — shards are the parallel unit
+    * (= output files), so this is exactly the sort a sharded training-
+    * data writer performs anyway. Position ranks with a window per
+    * shard; a 100 TB corpus at 8192 shards keeps each window partition
+    * at corpus/8192 — sized to a task, not a hot key. */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1)
+    val kstr = concat(col(keyCol).cast("string"), lit(salt))
+    df.select(col(keyCol), md5(kstr).as("__h"),
+        pmod(TextFunctions.baseHash(kstr), lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col(keyCol))).cast("long"))
+      .drop("__h")
+  }
+
+  /** Mixture weighting by repetition — the domain-mixing primitive of a
+    * training run ("2.5 epochs of wiki, 0.25 of web"): every row of
+    * class c is emitted floor(rate_c) times, plus one more with
+    * probability frac(rate_c), decided by the key-stable unit hash. A
+    * rate of 0 drops the class; rates in (0,1) downsample; rates > 1
+    * upsample by whole-copy repetition. Expected copies = rate exactly.
+    *
+    * Scale: a projection + explode — output size is Σ rate_c·|class c|,
+    * no shuffle, key-stable across reruns. */
+  def mixtureEpochs(df: DataFrame, keyCol: String, classCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require(rates.forall(_._2 >= 0) && defaultRate >= 0)
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (s, r)) =>
+      when(col(classCol) === s, r).otherwise(acc)
+    }
+    val u = unitHash(col(keyCol), salt)
+    val nCopies = (floor(rate).cast("long") +
+      when(u < rate - floor(rate), 1L).otherwise(0L)).as("n_copies")
+    df.select(col(keyCol), col(classCol), nCopies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
 }

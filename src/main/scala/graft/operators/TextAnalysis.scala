@@ -194,4 +194,93 @@ object TextAnalysis {
       ws.cast("long").as("n_ws_tokens"),
       (bpe.cast("double") / ws).as("bpe_per_word"))
   }
+
+  /** TF-IDF top terms per document — the classic term-importance signal
+    * (keyword extraction, topic hints, near-dup explanation).
+    *
+    * score = round(tf · ln(N / df), `roundDp`). Every FP step is the
+    * same correctly-rounded op in both engines; the one transcendental
+    * (ln) can differ by an ulp between libm implementations, which the
+    * rounding absorbs — and the per-doc RANK uses the rounded score
+    * (ties toward the lexicographically smaller term), so row selection
+    * is deterministic cross-engine too.
+    *
+    * Scale: one explode + two map-side-combinable aggregations (term
+    * frequencies per doc, document frequencies per term) + a per-doc
+    * top-m window. The df table is vocabulary-sized — broadcast back to
+    * the tf rows; the window partitions by doc_id, whose cardinality per
+    * partition is the document's own vocabulary (bounded), never the
+    * corpus. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String,
+      topM: Int = 5, roundDp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), roundDp))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= topM)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms — distributed keyword search/scoring (the retrieval half of a
+    * dedup-by-retrieval or quality-rerank pass).
+    *
+    * Standard Robertson/Sparck-Jones BM25 with idf = ln(1 + (N − df +
+    * 0.5)/(df + 0.5)). Corpus constants (N, Σdl) are integer aggregates
+    * (exact in double), broadcast back as a 1-row frame; per-term score
+    * components are summed in the WRITTEN term order (FP addition is not
+    * associative — a groupBy-sum over exploded terms would be partition-
+    * order-dependent), and the total is rounded to `roundDp` to absorb
+    * cross-libm ln ulps. One corpus scan, no shuffle except the 1-row
+    * stats aggregate.
+    */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, roundDp: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
+    def tfOf(t: String): Column = size(filter(col("__toks"), x => x === t))
+    val withTf = base.select(
+      (col(idCol) +: col("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }): _*)
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scoredTerms: Seq[Column] = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)))
+      val dlNorm = lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs").cast("double"))))
+      idf * ((tf * lit(k1 + 1.0)) / (tf + dlNorm))
+    }
+    val total = scoredTerms.reduceLeft(_ + _)
+    val nMatched = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(total, roundDp).as("bm25"),
+        nMatched.as("n_matched"))
+      .filter(col("n_matched") > 0)
+  }
 }

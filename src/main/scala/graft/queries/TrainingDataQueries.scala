@@ -813,7 +813,260 @@ object TrainingDataQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** cl_kmeans — deterministic Lloyd's k-means over embeddings
+    * (operators.Clustering): seed centroids = the k lowest vec_ids,
+    * assignment = argmax(v·c − ½|c|²) with cid tiebreak, component
+    * means rounded to `KmRound` dp each round. Fully oracle-gated: the
+    * oracle unrolls the SAME `KmIters` Lloyd rounds as chained CTEs —
+    * every FP step is a sequential dot product or a correctly-rounded
+    * scalar op, and the round() collapses the engines' partial-sum
+    * order difference, so the integer assignments must match exactly. */
+  private val KmK = 8
+  private val KmIters = 2
+  private val KmRound = 6
+  private val EmbDim = 64
+
+  val clKmeans: Q = (s, dir) =>
+    graft.operators.Clustering.kmeansAssign(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmK, iters = KmIters, roundDp = KmRound)
+      .orderBy("vec_id")
+
+  val clKmeansOracle: String = {
+    val iterCtes = (1 to KmIters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, v, cid AS cluster FROM s$i WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cluster, i.idx, round(avg(v[i.idx + 1]), $KmRound) AS m
+         |  FROM a$i, range($EmbDim) i(idx) GROUP BY 1, 2),
+         |g$i AS (SELECT cluster AS cid, list(m ORDER BY idx) AS c FROM m$i GROUP BY 1),
+         |c$i AS (
+         |  SELECT c${i - 1}.cid, COALESCE(g$i.c, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN g$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $KmK),
+       |$iterCtes,
+       |sf AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM e CROSS JOIN c$KmIters c)
+       |SELECT vec_id, cid AS cluster_id FROM sf WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** ta_tfidf — per-document top-terms by TF-IDF (TextAnalysis
+    * .tfidfTopTerms). Rank uses the ROUNDED score (term tiebreak), so
+    * row selection is cross-engine deterministic. */
+  private val TfidfTopM = 5
+  private val TfidfRound = 6
+
+  val taTfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+      topM = TfidfTopM, roundDp = TfidfRound)
+      .orderBy("doc_id", "term")
+
+  val taTfidfOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), nd AS (SELECT count(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), $TfidfRound) AS score
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+       |FROM r WHERE rn <= $TfidfTopM
+       |ORDER BY doc_id, term""".stripMargin
+
+  /** ss_bm25 — BM25 keyword relevance against a fixed query-term bag
+    * (TextAnalysis.bm25). Term scores are summed in written order on
+    * both sides; the rounding absorbs cross-libm ln ulps. */
+  private val Bm25Terms = Seq("vector", "stream", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Round = 6
+
+  val ssBm25: Q = (s, dir) =>
+    TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, k1 = Bm25K1, b = Bm25B, roundDp = Bm25Round)
+      .orderBy("doc_id")
+
+  val ssBm25Oracle: String = {
+    def tfSql(t: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+    val tfCols = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
+    val dfCols = Bm25Terms.indices
+      .map(i => s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(", ")
+    // written-order sum, op-for-op the Spark expression tree
+    val termScores = Bm25Terms.indices.map { i =>
+      s"(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"((CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0}) / (CAST(tf_$i AS DOUBLE) + " +
+        s"$Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) / " +
+        s"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    }.mkString(" + ")
+    val matched = Bm25Terms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val anyMatch = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    $tfCols
+       |  FROM documents
+       |), st AS (
+       |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM t
+       |)
+       |SELECT doc_id,
+       |  round($termScores, $Bm25Round) AS bm25,
+       |  CAST($matched AS BIGINT) AS n_matched
+       |FROM t CROSS JOIN st
+       |WHERE $anyMatch
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tp_shuffle — deterministic global shuffle + shard assignment
+    * (Sampling.shuffleShard): shard and within-shard position derive
+    * from md5(key‖salt), reproducible under any partitioning. */
+  private val ShuffleShards = 16
+
+  val tpShuffle: Q = (s, dir) =>
+    graft.operators.Sampling.shuffleShard(
+      Tables.documents(s, dir).select("doc_id"), "doc_id", ShuffleShards)
+      .orderBy("doc_id")
+
+  val tpShuffleOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS h,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 15))::BIGINT % $P)
+       |      % $ShuffleShards AS shard
+       |  FROM documents)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tp_mixture — mixture weighting by repetition (Sampling
+    * .mixtureEpochs): 2.5 epochs of src0, a quarter of src1, src2
+    * dropped, everything else 1 epoch — floor(rate) whole copies plus a
+    * key-stable Bernoulli(frac) extra. */
+  private val MixRates = Seq("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+
+  val tpMixture: Q = (s, dir) =>
+    graft.operators.Sampling.mixtureEpochs(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source", MixRates)
+      .orderBy("doc_id", "copy")
+
+  val tpMixtureOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val cases = MixRates.map { case (s0, r) => s"WHEN '$s0' THEN $r" }.mkString(" ")
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    CASE source $cases ELSE 1.0 END AS rate,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(rate) AS BIGINT) +
+       |      (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS n_copies
+       |  FROM r)
+       |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+       |  CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+       |FROM n WHERE n_copies > 0
+       |ORDER BY doc_id, copy""".stripMargin
+  }
+
+  /** op_merge_scd2 — SCD2 incremental merge (operators.Merge): customer
+    * is the dimension, per-customer order totals are the change batch
+    * (plus synthetic brand-new keys to exercise the insert branch).
+    * Tracked value goes through DECIMAL(18,2) on both sides, so change
+    * detection and outputs are exact. */
+  val opMergeScd2: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"),
+      to_date(lit("2024-01-01")).as("valid_from"),
+      to_date(lit("2099-12-31")).as("valid_to"),
+      lit(true).as("is_current"))
+    val fromOrders = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("acctbal"))
+    val newKeys = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+      .select((col("c_custkey") + 1000000).as("custkey"),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)).as("acctbal"))
+    graft.operators.Merge.scd2Merge(
+      base, fromOrders.unionByName(newKeys), "custkey",
+      trackedCols = Seq("acctbal"), attrCols = Seq("segment"),
+      effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+      .select(col("custkey"), col("segment"),
+        col("acctbal").cast("double").as("acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("custkey", "valid_from")
+  }
+
+  val opMergeScd2Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      |    DATE '2024-01-01' AS valid_from, DATE '2099-12-31' AS valid_to,
+      |    TRUE AS is_current
+      |  FROM customer
+      |), upd AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, CAST(0 AS DECIMAL(18,2))
+      |  FROM customer WHERE c_custkey % 100 = 0
+      |), j AS (
+      |  SELECT b.custkey AS bk, u.custkey AS uk, b.segment AS segment,
+      |    b.acctbal AS bbal, u.acctbal AS ubal,
+      |    b.valid_from AS valid_from, b.valid_to AS valid_to
+      |  FROM base b FULL OUTER JOIN upd u ON b.custkey = u.custkey
+      |)
+      |SELECT custkey, segment, CAST(acctbal AS DOUBLE) AS acctbal,
+      |  valid_from, valid_to, is_current
+      |FROM (
+      |  SELECT bk AS custkey, segment, bbal AS acctbal, valid_from, valid_to,
+      |    TRUE AS is_current
+      |  FROM j WHERE bk IS NOT NULL AND (uk IS NULL OR bbal IS NOT DISTINCT FROM ubal)
+      |  UNION ALL
+      |  SELECT bk, segment, bbal, valid_from, DATE '2024-06-01', FALSE
+      |  FROM j WHERE bk IS NOT NULL AND uk IS NOT NULL AND bbal IS DISTINCT FROM ubal
+      |  UNION ALL
+      |  SELECT uk, segment, ubal, DATE '2024-06-01', DATE '2099-12-31', TRUE
+      |  FROM j WHERE uk IS NOT NULL AND (bk IS NULL OR bbal IS DISTINCT FROM ubal)
+      |)
+      |ORDER BY custkey, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cl_kmeans" -> clKmeans,
+    "ta_tfidf" -> taTfidf,
+    "ss_bm25" -> ssBm25,
+    "tp_shuffle" -> tpShuffle,
+    "tp_mixture" -> tpMixture,
+    "op_merge_scd2" -> opMergeScd2,
     "mm_features" -> mmFeatures,
     "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
@@ -841,6 +1094,12 @@ object TrainingDataQueries {
     "ss_ann_ivf" -> ssAnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "cl_kmeans" -> clKmeansOracle,
+    "ta_tfidf" -> taTfidfOracle,
+    "ss_bm25" -> ssBm25Oracle,
+    "tp_shuffle" -> tpShuffleOracle,
+    "tp_mixture" -> tpMixtureOracle,
+    "op_merge_scd2" -> opMergeScd2Oracle,
     "mm_features" -> mmFeaturesOracle,
     "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+class ClusteringSpec extends SparkSpecBase {
+
+  test("kmeansAssign partitions the corpus over the seed centroid ids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val out = Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === n)
+    assert(out.map(_._1).distinct.length === n, "every vector assigned exactly once")
+    assert(out.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+  }
+
+  test("assignment is partitioning-invariant (plan-literal centroids, no RNG)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Clustering.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(emb) === run(emb.repartition(13)))
+  }
+
+  test("Lloyd rounds strictly improve (or hold) the k-means objective") {
+    val emb = Tables.embeddings(spark, sfDir)
+    import graft.functions.VectorFunctions._
+    graft.GraftExtensions.register(spark)
+    // objective after `iters` rounds: mean squared L2 distance to the
+    // assigned centroid, centroids recomputed from the final assignment
+    def objective(iters: Int): Double = {
+      val assigned = Clustering.kmeansAssign(emb, "vec_id", "embedding",
+        k = 4, iters = iters)
+      val joined = emb.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+        .join(assigned, "vec_id")
+      // recompute centroid means, then the summed squared distance
+      val m = joined.select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos").agg(avg("x").as("m"))
+      joined.select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .join(m, Seq("cluster_id", "pos"))
+        .select(((col("x") - col("m")) * (col("x") - col("m"))).as("d2"))
+        .agg(sum("d2")).collect()(0).getDouble(0)
+    }
+    val o0 = objective(0)
+    val o2 = objective(2)
+    assert(o2 <= o0 + 1e-9, s"objective worsened: iters=0 → $o0, iters=2 → $o2")
+  }
+
+  test("kmeansWithSizes sizes sum to the corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Clustering.kmeansWithSizes(emb, "vec_id", "embedding", k = 4, iters = 1)
+    assert(out.count() === emb.count())
+    val bySize = out.select("cluster_id", "cluster_size").distinct()
+      .collect().map(r => r.getLong(1)).sum
+    assert(bySize === emb.count())
+  }
+}

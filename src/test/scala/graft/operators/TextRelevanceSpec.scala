@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** TF-IDF and BM25 semantics on hand-checkable fixtures. */
+class TextRelevanceSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "cat dog cat"),
+    (2L, "dog fish"),
+    (3L, "fish fish fish bird"))
+    .toDF("doc_id", "text")
+
+  test("tfidfTopTerms: tf/df exact, rare terms outrank common ones") {
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topM = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: cat tf=2 df=1 score=2·ln(3); dog tf=1 df=2 score=ln(1.5)
+    val d1 = byDoc(1L).map(t => t._2 -> (t._3, t._4, t._5)).toMap
+    assert(d1("cat") === ((2L, 1L, BigDecimal(2 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(d1("dog")._1 === 1L && d1("dog")._2 === 2L)
+    // doc 3: bird (df=1) must be present despite tf=1; fish tf=3
+    val d3 = byDoc(3L).map(_._2).toSet
+    assert(d3 === Set("fish", "bird"))
+    // top-m respected
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
+  test("bm25: matched docs only, more distinct matches score higher on equal length") {
+    val corpus = Seq(
+      (1L, "vector stream window pad"),
+      (2L, "vector alpha beta pad"),
+      (3L, "alpha beta gamma pad"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text",
+      Seq("vector", "stream", "window"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L), "no query term → excluded")
+    assert(out(1L)._2 === 3L && out(2L)._2 === 1L)
+    assert(out(1L)._1 > out(2L)._1, s"3-term doc must outrank 1-term doc: $out")
+  }
+
+  test("bm25 length normalization: same tf, shorter doc scores higher") {
+    val corpus = Seq(
+      (1L, "vector one two"),
+      (2L, "vector one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L), out)
+  }
+
+  test("shuffleShard: permutation — every key once, dense positions per shard, stable") {
+    val df = (1L to 1000L).toDF("id")
+    val out = Sampling.shuffleShard(df, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 1000)
+    assert(out.map(_._1).distinct.length === 1000)
+    assert(out.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    val again = Sampling.shuffleShard(df.repartition(17), "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq,
+      "shuffle order must be partitioning-invariant")
+  }
+
+  test("mixtureEpochs: rate 0 drops, rate >1 repeats, expectation ≈ rate") {
+    val df = (1L to 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "cls")
+    val out = Sampling.mixtureEpochs(df, "id", "cls",
+      Seq("a" -> 2.5, "b" -> 0.25, "c" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._2 == "c"))
+    val aCopies = out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.length)
+    assert(aCopies.values.forall(n => n == 2 || n == 3))
+    val aMean = aCopies.values.sum.toDouble / aCopies.size
+    assert(math.abs(aMean - 2.5) < 0.1, s"mean copies $aMean")
+    val bFrac = out.count(_._2 == "b").toDouble / 1000
+    assert(math.abs(bFrac - 0.25) < 0.07, s"b fraction $bFrac")
+    // copy indices dense from 0
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+  }
+}
