@@ -93,4 +93,14 @@ object Storage {
   /** CSV sink — ref minio_client.py:60-70. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC scan/sink — the other columnar format Spark executes natively
+    * (vectorized reader, predicate pushdown, column pruning), for
+    * interchange with Hive/Trino-flavored warehouses. Beyond the
+    * reference (whose trusted layer is parquet-only). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
