@@ -32,7 +32,9 @@ object Bench {
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
-    "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled")
+    "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled",
+    "cl_kmeans", "ta_tfidf", "ss_bm25",
+    "tp_shuffle", "tp_mixture", "op_merge_scd2")
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine

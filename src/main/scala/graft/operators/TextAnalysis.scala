@@ -235,6 +235,24 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Vocabulary building: global term totals + document frequencies,
+    * top-`topV` by total count (term tiebreak) — the first step of
+    * tokenizer training and OOV analysis over a corpus.
+    *
+    * Scale: two map-side-combinable aggregations; the final top-V is a
+    * TakeOrdered (k·partitions rows cross the wire, never the whole
+    * vocabulary). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      topV: Int = 100): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(sum("tf").as("total_tf"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("total_tf").desc, col("term").asc)
+      .limit(topV)
+  }
+
   /** BM25 relevance of every document against a fixed bag of query
     * terms — distributed keyword search/scoring (the retrieval half of a
     * dedup-by-retrieval or quality-rerank pass).

@@ -993,6 +993,49 @@ object TrainingDataQueries {
        |ORDER BY doc_id, copy""".stripMargin
   }
 
+  /** ta_vocab — vocabulary building (TextAnalysis.vocabulary): top-V
+    * terms by corpus frequency with document frequencies — integer-only
+    * outputs, TakeOrdered plan. */
+  private val VocabTopV = 100
+
+  val taVocab: Q = (s, dir) =>
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+      topV = VocabTopV)
+
+  val taVocabOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |)
+       |SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_freq
+       |FROM ptf GROUP BY term
+       |ORDER BY total_tf DESC, term ASC
+       |LIMIT $VocabTopV""".stripMargin
+
+  /** op_zorder — multi-dimensional layout clustering (operators.Layout):
+    * the Morton interleave key over (custkey, orderkey). Pure unrolled
+    * integer shifts — bit-identical in any engine; the layout WRITE path
+    * (range partition + sort by this key) is asserted in LayoutSpec. */
+  private val ZBits = 21
+
+  val opZorder: Q = (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      graft.operators.Layout.zorderKey(
+        col("o_custkey"), col("o_orderkey"), ZBits).as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+
+  val opZorderOracle: String = {
+    val zTerms = (0 until ZBits).map(i =>
+      s"(((o_custkey >> $i) & 1) << ${2 * i}) + (((o_orderkey >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, o_custkey, CAST($zTerms AS BIGINT) AS zkey
+       |FROM orders
+       |ORDER BY zkey, o_orderkey""".stripMargin
+  }
+
   /** op_merge_scd2 — SCD2 incremental merge (operators.Merge): customer
     * is the dimension, per-customer order totals are the change batch
     * (plus synthetic brand-new keys to exercise the insert branch).
@@ -1061,6 +1104,8 @@ object TrainingDataQueries {
       |ORDER BY custkey, valid_from""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "ta_vocab" -> taVocab,
+    "op_zorder" -> opZorder,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1094,6 +1139,8 @@ object TrainingDataQueries {
     "ss_ann_ivf" -> ssAnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "ta_vocab" -> taVocabOracle,
+    "op_zorder" -> opZorderOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,

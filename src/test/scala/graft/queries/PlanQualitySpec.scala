@@ -106,6 +106,34 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partitionBy=[shard") || p.contains("hashpartitioning(shard"), p)
   }
 
+  test("cl_kmeans: final assignment is a pure projection (centroids are plan literals)") {
+    val p = plan("cl_kmeans")
+    assert(!p.contains("Join"), s"assignment must not join a centroid table:\n$p")
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 0, s"$exchanges hash exchanges:\n$p")
+  }
+
+  test("ta_tfidf: df table broadcasts; the only windows partition by document") {
+    val p = plan("ta_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"df lookup must broadcast, not SMJ:\n$p")
+  }
+
+  test("op_merge_scd2: exactly one join of current-slice vs updates, no cartesian") {
+    val p = plan("op_merge_scd2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tp_shuffle and ta_vocab: scan-shaped (shard-local window / TakeOrdered top-V)") {
+    val ps = plan("tp_shuffle")
+    assert(ps.contains("hashpartitioning(shard") || ps.contains("partitionBy=[shard"),
+      s"position window must partition by shard:\n$ps")
+    val pv = plan("ta_vocab")
+    assert(pv.contains("TakeOrderedAndProject"),
+      s"top-V must be TakeOrdered, not a global sort:\n$pv")
+  }
+
   test("dd_minhash: signature computation has no shuffle before banding") {
     val p = plan("dd_minhash")
     // exactly the candidate-generation aggregate shuffles; signatures are
