@@ -219,7 +219,14 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the always-true tf >= 1 keeps the tf column alive in this branch;
+    // without it column pruning rewrites the branch into a distinct-agg
+    // whose exchange subtree no longer matches the tf branch's, and
+    // ReuseExchange cannot dedupe — the corpus would be exploded,
+    // aggregated, and shuffled TWICE (verified in PlanQualitySpec: one
+    // ReusedExchange, one real corpus scan)
+    val docFreq = tf.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(docFreq), "term")

@@ -114,10 +114,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges === 0, s"$exchanges hash exchanges:\n$p")
   }
 
-  test("ta_tfidf: df table broadcasts; the only windows partition by document") {
-    val p = plan("ta_tfidf")
+  test("ta_tfidf: df broadcasts and the corpus explode+shuffle is computed ONCE") {
+    val qe = SparkEntry.queries("ta_tfidf")(spark, sfDir).queryExecution
+    qe.toRdd.count() // materialize so AQE's runtime exchange reuse is visible
+    val p = qe.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), s"df lookup must broadcast, not SMJ:\n$p")
+    // the tf and df branches share one (doc,term) exchange — without the
+    // pruning-defeating guard in tfidfTopTerms the corpus is exploded and
+    // shuffled twice
+    assert(p.contains("ReusedExchange"), s"tf exchange must be reused:\n$p")
   }
 
   test("op_merge_scd2: exactly one join of current-slice vs updates, no cartesian") {
