@@ -104,6 +104,86 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeansAssign equals naive driver-side Lloyd's on random vectors") {
+    val rnd = new scala.util.Random(0x3EA2)
+    val dim = 6; val k = 4; val iters = 3
+    val vecs = (0L until 120L).map(i => i -> Array.fill(dim)(rnd.nextGaussian()))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(df, "vec_id", "embedding", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive reference: same init, same argmax(v·c − ½|c|²) with cid
+    // tiebreak, same per-component mean rounded to 6 dp
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < k).sortBy(_._1).map { case (i, v) => (i, v.clone()) }
+    def assign(cs: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      vecs.map { case (i, v) =>
+        i -> cs.map { case (cid, c) =>
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          val ns = c.map(x => x * x).sum
+          (-(dot - 0.5 * ns), cid)
+        }.min._2
+      }.toMap
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      val byC = vecs.groupBy { case (i, _) => a(i) }
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val m = Array.tabulate(dim) { d =>
+              BigDecimal(members.map(_._2(d)).sum / members.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            (cid, m)
+          case None => (cid, old)
+        }
+      }
+    }
+    assert(got === assign(cents))
+  }
+
+  test("zorderKey equals the reference bit interleave on random coordinates") {
+    val rnd = new scala.util.Random(0x20BD)
+    val pts = (1 to 500).map(_ =>
+      (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    def interleave(x: Long, y: Long): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    assert(got.toSeq === pts.map { case (x, y) => interleave(x, y) })
+  }
+
+  test("scd2Merge invariants hold on random update batches") {
+    val rnd = new scala.util.Random(0x5CD2)
+    val dim = (0L until 60L).map(i => (i, s"attr$i", rnd.nextInt(5).toLong,
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2099-12-31"), true))
+      .toDF("k", "a", "v", "valid_from", "valid_to", "is_current")
+    val upd = (0L until 80L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, rnd.nextInt(5).toLong)).toDF("k", "v")
+    val out = Merge.scd2Merge(dim, upd, "k", Seq("v"), Seq("a"),
+      "2024-06-01", "2099-12-31")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getDate(4).toString, r.getBoolean(5)))
+    val updMap = upd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dimMap = dim.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exactly one current row per key in dim ∪ updates
+    val current = rows.filter(_._4)
+    assert(current.map(_._1).sorted.toSeq ===
+      (dimMap.keySet ++ updMap.keySet).toSeq.sorted)
+    assert(current.map(_._1).distinct.length === current.length)
+    // every current row of an updated key carries the update's value
+    current.filter(r => updMap.contains(r._1)).foreach { r =>
+      assert(r._2 === updMap(r._1), s"key ${r._1}")
+    }
+    // closed rows exist exactly for keys whose value actually changed
+    val closedKeys = rows.filter(r => !r._4 && r._3 == "2024-06-01").map(_._1).toSet
+    val changedKeys = dimMap.keySet.filter(k =>
+      updMap.contains(k) && updMap(k) != dimMap(k))
+    assert(closedKeys === changedKeys)
+  }
+
   test("duplicateClusters equals union-find on a random pair graph") {
     val rnd = new scala.util.Random(0xC1C1)
     val pairs = (1 to 150).map { _ =>
