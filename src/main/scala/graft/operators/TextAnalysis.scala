@@ -279,10 +279,21 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
-    def tfOf(t: String): Column = size(filter(col("__toks"), x => x === t))
-    val withTf = base.select(
-      (col(idCol) +: col("dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }): _*)
+    // all term frequencies in ONE traversal of the token array (a
+    // size(filter(...)) per term would walk it |terms| times — and the
+    // counter struct is materialized in its own projection before the
+    // per-term fields are read, the usual interpreted-HOF re-eval guard)
+    val tfStruct = aggregate(
+      col("__toks"),
+      struct(terms.indices.map(i => lit(0L).as(s"tf_$i")): _*),
+      (acc, x) => struct(terms.zipWithIndex.map { case (t, i) =>
+        (acc.getField(s"tf_$i") + when(x === t, 1L).otherwise(0L)).as(s"tf_$i")
+      }: _*))
+    val withTf = base
+      .select(col(idCol), col("dl"), tfStruct.as("__tf"))
+      .select(
+        (col(idCol) +: col("dl") +:
+          terms.indices.map(i => col(s"__tf.tf_$i").as(s"tf_$i"))): _*)
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i =>
