@@ -41,8 +41,6 @@ object Merge {
     require(trackedCols.nonEmpty, "scd2Merge needs at least one tracked column")
     val outCols: Seq[String] =
       (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
-    def named(cs: Seq[Column]): Seq[Column] =
-      cs.zip(outCols).map { case (c, n) => c.as(n) }
 
     val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
     val current = dim.filter(col("is_current"))
@@ -53,19 +51,29 @@ object Merge {
     val hasU = col(s"u.$keyCol").isNotNull
     val changed = trackedCols.map(t => !(col(s"c.$t") <=> col(s"u.$t"))).reduce(_ || _)
 
-    val kept = joined.filter(hasC && (!hasU || !changed))
-      .select(outCols.map(n => col(s"c.$n")): _*)
-    val closed = joined.filter(hasC && hasU && changed)
-      .select(named(
-        (col(s"c.$keyCol") +: attrCols.map(a => col(s"c.$a"))) ++
-          trackedCols.map(t => col(s"c.$t")) ++
-          Seq(col("c.valid_from"), to_date(lit(effectiveDate)), lit(false))): _*)
-    val opened = joined.filter(hasU && (!hasC || changed))
-      .select(named(
-        (col(s"u.$keyCol") +: attrCols.map(a => col(s"c.$a"))) ++
-          trackedCols.map(t => col(s"u.$t")) ++
-          Seq(to_date(lit(effectiveDate)), to_date(lit(endOfTime)), lit(true))): _*)
+    // ONE pass over the joined rows: each emits its 1-2 output versions
+    // through an exploded array (three filtered union branches would
+    // execute the join itself three times — branch dedup only reuses the
+    // exchanges below it, not the join compute)
+    def version(cs: Seq[Column]): Column =
+      struct(cs.zip(outCols).map { case (c, n) => c.as(n) }: _*)
+    val keptRow = version(outCols.map(n => col(s"c.$n")))
+    val closedRow = version(
+      (col(s"c.$keyCol") +: attrCols.map(a => col(s"c.$a"))) ++
+        trackedCols.map(t => col(s"c.$t")) ++
+        Seq(col("c.valid_from"), to_date(lit(effectiveDate)), lit(false)))
+    val openedRow = version(
+      (coalesce(col(s"u.$keyCol"), col(s"c.$keyCol")) +: attrCols.map(a => col(s"c.$a"))) ++
+        trackedCols.map(t => col(s"u.$t")) ++
+        Seq(to_date(lit(effectiveDate)), to_date(lit(endOfTime)), lit(true)))
+    val versions =
+      when(hasC && (!hasU || !changed), array(keptRow))
+        .when(hasC && hasU && changed, array(closedRow, openedRow))
+        .otherwise(array(openedRow))
+    val merged = joined
+      .select(explode(versions).as("__v"))
+      .select(outCols.map(n => col(s"__v.$n")): _*)
 
-    history.unionByName(kept).unionByName(closed).unionByName(opened)
+    history.unionByName(merged)
   }
 }

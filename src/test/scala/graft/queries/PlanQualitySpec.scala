@@ -129,6 +129,11 @@ class PlanQualitySpec extends SparkSpecBase {
   test("op_merge_scd2: exactly one join of current-slice vs updates, no cartesian") {
     val p = plan("op_merge_scd2")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // single-pass merge: the dim-vs-updates full-outer join executes ONCE
+    // (the update batch itself contains one orders aggregation join-free
+    // union, so exactly one join node total)
+    val joins = "MergeJoin|HashJoin".r.findAllIn(p).length
+    assert(joins === 1, s"$joins join nodes:\n$p")
   }
 
   test("tp_shuffle and ta_vocab: scan-shaped (shard-local window / TakeOrdered top-V)") {
