@@ -106,6 +106,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Per-group contribution cap — "at most `maxPerGroup` documents per
+    * cluster/domain/source", the diversity-capping pass that keeps one
+    * giant near-duplicate cluster or crawl domain from dominating a
+    * training mix. Which members survive is decided by the key-stable
+    * unit hash (then key as tiebreak), so the kept set is reproducible
+    * under any partitioning and stable as other groups grow.
+    *
+    * Scale: one window per group with a rank cutoff — Spark's
+    * WindowGroupLimit pushes the top-k down to a PARTIAL pass before the
+    * exchange, so the shuffle carries ≤ maxPerGroup rows per group per
+    * input partition, not whole groups. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      maxPerGroup: Int, salt: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerGroup >= 1)
+    val u = unitHash(col(keyCol), salt)
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(u, col(keyCol))))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
+
   /** Mixture weighting by repetition — the domain-mixing primitive of a
     * training run ("2.5 epochs of wiki, 0.25 of web"): every row of
     * class c is emitted floor(rate_c) times, plus one more with

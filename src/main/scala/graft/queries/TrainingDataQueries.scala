@@ -1036,6 +1036,32 @@ object TrainingDataQueries {
        |ORDER BY zkey, o_orderkey""".stripMargin
   }
 
+  /** ds_cap_per_group — per-source contribution cap (Sampling
+    * .capPerGroup): at most `CapN` documents per source, chosen by the
+    * key-stable unit hash. */
+  private val CapN = 10
+
+  val dsCapPerGroup: Q = (s, dir) =>
+    graft.operators.Sampling.capPerGroup(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source", maxPerGroup = CapN)
+      .orderBy("doc_id")
+
+  val dsCapPerGroupOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH u AS (
+       |  SELECT doc_id, source,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+       |  FROM u)
+       |SELECT doc_id, source FROM r WHERE rn <= $CapN
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** op_merge_scd2 — SCD2 incremental merge (operators.Merge): customer
     * is the dimension, per-customer order totals are the change batch
     * (plus synthetic brand-new keys to exercise the insert branch).
@@ -1106,6 +1132,7 @@ object TrainingDataQueries {
   val queries: Map[String, Q] = Map(
     "ta_vocab" -> taVocab,
     "op_zorder" -> opZorder,
+    "ds_cap_per_group" -> dsCapPerGroup,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1141,6 +1168,7 @@ object TrainingDataQueries {
   val oracles: Map[String, String] = Map(
     "ta_vocab" -> taVocabOracle,
     "op_zorder" -> opZorderOracle,
+    "ds_cap_per_group" -> dsCapPerGroupOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,

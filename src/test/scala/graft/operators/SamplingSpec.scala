@@ -39,6 +39,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(overlap / 2000.0 - 0.09) < 0.04, s"overlap $overlap") // ≈ 0.3²
   }
 
+  test("capPerGroup keeps at most N per group, key-stable as other groups grow") {
+    val df = (1L to 900L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "grp")
+    val capped = Sampling.capPerGroup(df, "id", "grp", maxPerGroup = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.groupBy(_._2).forall(_._2.length == 7))
+    // growing group "c" must not change what survives in "a"/"b"
+    val grown = df.union(
+      (10000L to 10500L).map(i => (i, "c")).toDF("id", "grp"))
+    val cappedGrown = Sampling.capPerGroup(grown, "id", "grp", maxPerGroup = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.filter(_._2 != "c").toSet === cappedGrown.filter(_._2 != "c").toSet)
+  }
+
   test("stratified fractions apply per class; unlisted strata drop") {
     val df = (1L to 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
       .toDF("id", "cls")
