@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{DotProduct, MinHashSignature}
+import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -48,7 +48,15 @@ object GraftExtensions {
       DotProduct(args(0), args(1))
     })
 
-  private val all = Seq(minhashFunction, dotFunction)
+  private val maxMultFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_maxmult"),
+    new ExpressionInfo(classOf[MaxMultiplicity].getName, "graft_maxmult"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_maxmult(arr)")
+      MaxMultiplicity(args.head)
+    })
+
+  private val all = Seq(minhashFunction, dotFunction, maxMultFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

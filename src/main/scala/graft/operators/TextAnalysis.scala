@@ -120,42 +120,46 @@ object TextAnalysis {
     * cannot differ between engines. */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
+  /** n-grams WITH duplicates (unlike shinglesFromTokens): frequency is
+    * the point for repetition signals. */
+  private[operators] def grams(tok: Column, n: Int): Column = {
+    val g = transform(
+      sequence(lit(0), size(tok) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
+    when(size(tok) >= n, g).otherwise(array().cast("array<string>"))
+  }
+
+  /** The HOF formulation of max gram multiplicity (longest run in the
+    * sorted array) — kept as the executable spec of `graft_maxmult`
+    * (equality asserted on random inputs in MaxMultiplicityExprSpec). */
+  private[graft] def topRunCountHof(gramArr: Column): Column = aggregate(
+    array_sort(gramArr),
+    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+    (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    },
+    acc => acc.getField("best"))
+
   /** Repetition signals (Gopher-style quality filters): the fraction of
     * the document covered by its most frequent token bigram/trigram —
     * high values flag boilerplate, keyword stuffing, and generation
-    * loops. Computed entirely IN-ROW: max multiplicity of a gram = the
-    * longest run in the sorted gram array (one array_sort + one linear
-    * aggregate per doc). Zero shuffles — the per-document statistic is
-    * embarrassingly parallel, and the first-cut explode + groupBy(doc,
-    * gram) + max + join-back shape measured 7.0s at sf0.1 against
-    * sub-second for this projection (it shuffled ~1M gram rows for no
-    * reason). */
+    * loops. Computed entirely IN-ROW — zero shuffles, embarrassingly
+    * parallel (the first-cut explode + groupBy(doc, gram) + max +
+    * join-back shape measured 7.0s at sf0.1 against sub-second for this
+    * projection). The per-doc count is the native `graft_maxmult` hash
+    * loop (plans/MaxMultiplicityExpr): the sorted-run HOF it replaces
+    * interpreted ~2 node evaluations per gram per step. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // n-grams WITH duplicates (unlike shinglesFromTokens): frequency is
-    // the point here
-    def grams(tok: Column, n: Int): Column = {
-      val g = transform(
-        sequence(lit(0), size(tok) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
-      when(size(tok) >= n, g).otherwise(array().cast("array<string>"))
-    }
-    // longest run in the sorted array == max element multiplicity
-    def topRunCount(gramArr: Column): Column = aggregate(
-      array_sort(gramArr),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    graft.GraftExtensions.register(df.sparkSession)
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("n_tokens"),
         grams(col("__toks"), 2).as("__g2"), grams(col("__toks"), 3).as("__g3"))
       .select(col(idCol), col("n_tokens"),
-        topRunCount(col("__g2")).as("top_bigram_count"),
-        topRunCount(col("__g3")).as("top_trigram_count"))
+        call_function("graft_maxmult", col("__g2")).as("top_bigram_count"),
+        call_function("graft_maxmult", col("__g3")).as("top_trigram_count"))
       .select(
         col(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
