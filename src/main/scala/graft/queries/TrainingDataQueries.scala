@@ -832,7 +832,10 @@ object TrainingDataQueries {
       k = KmK, iters = KmIters, roundDp = KmRound)
       .orderBy("vec_id")
 
-  val clKmeansOracle: String = {
+  /** Shared DuckDB CTE prefix computing the k-means assignment (`asg`:
+    * vec_id, cluster_id) — unrolled Lloyd rounds, same constants as the
+    * Spark operator. */
+  private def kmeansCtes: String = {
     val iterCtes = (1 to KmIters).map { i =>
       s"""s$i AS (
          |  SELECT e.vec_id, e.v, c.cid,
@@ -857,9 +860,50 @@ object TrainingDataQueries {
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
        |      c.cid ASC) AS rn
-       |  FROM e CROSS JOIN c$KmIters c)
-       |SELECT vec_id, cid AS cluster_id FROM sf WHERE rn = 1
+       |  FROM e CROSS JOIN c$KmIters c),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM sf WHERE rn = 1)""".stripMargin
+  }
+
+  val clKmeansOracle: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, cluster_id FROM asg
        |ORDER BY vec_id""".stripMargin
+
+  /** ds_semantic_cap — SemDeDup-style semantic diversity pass: cluster
+    * embeddings (cl_kmeans), keep at most `SemCapN` members per cluster
+    * (key-stable), join back to the documents. Proves the operators
+    * COMPOSE under the cross-engine gate, like tp_curate does for the
+    * text pipeline. */
+  private val SemCapN = 40
+
+  val dsSemanticCap: Q = (s, dir) => {
+    val clusters = graft.operators.Clustering.kmeansAssign(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmK, iters = KmIters, roundDp = KmRound)
+    val capped = graft.operators.Sampling.capPerGroup(
+      clusters, "vec_id", "cluster_id", maxPerGroup = SemCapN, salt = "semcap")
+    capped.join(Tables.documents(s, dir),
+        capped("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val dsSemanticCapOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""$kmeansCtes,
+       |withu AS (
+       |  SELECT vec_id, cluster_id,
+       |    (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'semcap'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM asg
+       |), r AS (
+       |  SELECT vec_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY u, vec_id) AS rn
+       |  FROM withu)
+       |SELECT d.doc_id, r.cluster_id, d.source
+       |FROM r JOIN documents d ON d.doc_id = r.vec_id
+       |WHERE r.rn <= $SemCapN
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** ta_tfidf — per-document top-terms by TF-IDF (TextAnalysis
@@ -1133,6 +1177,7 @@ object TrainingDataQueries {
     "ta_vocab" -> taVocab,
     "op_zorder" -> opZorder,
     "ds_cap_per_group" -> dsCapPerGroup,
+    "ds_semantic_cap" -> dsSemanticCap,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1169,6 +1214,7 @@ object TrainingDataQueries {
     "ta_vocab" -> taVocabOracle,
     "op_zorder" -> opZorderOracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
+    "ds_semantic_cap" -> dsSemanticCapOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
