@@ -168,16 +168,34 @@ object Dedup {
     * (band,bkey), which computes the signature plan twice (Spark cannot
     * reuse the exchange into a broadcast build side) — one pass + one
     * shuffle instead. Bucket skew = B² pairs for a B-member bucket is
-    * inherent to LSH; callers control it via band width. */
-  private def bucketPairs(banded: DataFrame): DataFrame =
+    * inherent to LSH; callers control it via band width.
+    *
+    * A pair colliding in SEVERAL bands must still be emitted once.
+    * Rather than a `dropDuplicates` — a second full shuffle of the
+    * candidate set, the largest intermediate in the whole dedup — each
+    * pair is kept only in its FIRST colliding band, decided IN-ROW from
+    * the signatures both members carry: bands `0 until band` must
+    * disagree on their `r`-wide slices. Exact-once by construction, zero
+    * extra exchanges. */
+  private def bucketPairs(banded: DataFrame, r: Int): DataFrame = {
+    def bandSlice(sig: Column, b: Column): Column =
+      slice(sig, b * r + 1, lit(r))
+    val firstCollision =
+      when(col("band") === 0, lit(true))
+        .otherwise(forall(
+          // sequence() steps DOWNWARD for an empty range, hence the
+          // band === 0 guard above
+          sequence(lit(0), col("band") - 1),
+          b => !(bandSlice(col("p.sig_x"), b) === bandSlice(col("p.sig_y"), b))))
     banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
+      .select(col("band"), explode(flatten(transform(col("ms"), (a, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
           struct(a.getField("doc").as("doc_x"), b.getField("doc").as("doc_y"),
             a.getField("sig").as("sig_x"), b.getField("sig").as("sig_y"))))))
         .as("p"))
+      .filter(firstCollision)
       .select(
         least(col("p.doc_x"), col("p.doc_y")).as("doc_a"),
         greatest(col("p.doc_x"), col("p.doc_y")).as("doc_b"),
@@ -185,7 +203,7 @@ object Dedup {
           .otherwise(col("p.sig_y")).as("sig_a"),
         when(col("p.doc_x") < col("p.doc_y"), col("p.sig_y"))
           .otherwise(col("p.sig_x")).as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** MinHash + LSH near-duplicate pairs. k-component signatures are cut
     * into `bands` bands of k/bands rows; documents colliding in any band
@@ -227,7 +245,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
-    bucketPairs(banded)
+    bucketPairs(banded, r)
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -327,7 +345,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
-    bucketPairs(banded)
+    bucketPairs(banded, r)
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
