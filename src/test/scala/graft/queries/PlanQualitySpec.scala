@@ -145,12 +145,12 @@ class PlanQualitySpec extends SparkSpecBase {
       s"top-V must be TakeOrdered, not a global sort:\n$pv")
   }
 
-  test("dd_minhash: signature computation has no shuffle before banding") {
+  test("dd_minhash: the bucket groupBy is the ONLY hash shuffle") {
     val p = plan("dd_minhash")
-    // exactly the candidate-generation aggregate shuffles; signatures are
-    // projections over the scan. Two hash-aggregate exchanges expected:
-    // bucket groupBy and dropDuplicates.
+    // signatures are projections over the scan; multi-band pair dedup is
+    // in-row (first-colliding-band filter), so the candidate set is never
+    // re-shuffled
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert(exchanges === 1, s"$exchanges exchanges:\n$p")
   }
 }
