@@ -83,6 +83,35 @@ object MediaCodec {
     Some(BmpInfo(width, height, bpp, sum.toDouble / n))
   }
 
+  /** Nearest-neighbor resize of a 24bpp BMP (the classic integer-only
+    * resample: src pixel = (dst·srcDim)/dstDim, floor). Decode →
+    * resample → re-encode, all pure JVM; None if the input isn't a
+    * well-formed 24bpp BMP or the target stride isn't 4-byte aligned. */
+  def resizeBmp24(bytes: Array[Byte], newWidth: Int, newHeight: Int): Option[Array[Byte]] = {
+    if (newWidth <= 0 || newHeight <= 0 || newWidth * 3 % 4 != 0) return None
+    decodeBmp(bytes).map { info =>
+      val dataOff = rd32(bytes, 10)
+      val stride = (info.width * 3 + 3) / 4 * 4
+      val out = new Array[Byte](newWidth * newHeight * 3)
+      var y = 0
+      while (y < newHeight) {
+        val sy = (y.toLong * info.height / newHeight).toInt
+        var x = 0
+        while (x < newWidth) {
+          val sx = (x.toLong * info.width / newWidth).toInt
+          val src = dataOff + sy * stride + sx * 3
+          val dst = (y * newWidth + x) * 3
+          out(dst) = bytes(src)
+          out(dst + 1) = bytes(src + 1)
+          out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp24(newWidth, newHeight, out)
+    }
+  }
+
   // ---- WAV ----------------------------------------------------------
   val WavHeaderSize = 44 // RIFF + fmt(16) + data header
 

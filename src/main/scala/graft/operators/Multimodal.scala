@@ -114,6 +114,24 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** Image resize: nearest-neighbor downscale of every decodable 24bpp
+    * BMP to (`newWidth`, `newHeight`) — the standard thumbnail/
+    * normalization pass before feature extraction. A REAL resample
+    * (MediaCodec.resizeBmp24 decodes, resamples, re-encodes); rows that
+    * aren't well-formed BMPs pass through with null output bytes rather
+    * than failing the batch (per-item error isolation, like
+    * extractDecodedFeatures). Typed mapPartitions, streaming — one
+    * output row per input row, no per-partition accumulation. */
+  def resizeImages(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val resized = Option(r.bytes)
+        .flatMap(b => MediaCodec.resizeBmp24(b, newWidth, newHeight))
+      (r.media_id, r.kind, Option(r.bytes).map(_.length).getOrElse(0),
+        resized.orNull, resized.map(_ => newWidth), resized.map(_ => newHeight))
+    }).toDF("media_id", "kind", "orig_n_bytes", "resized", "width", "height")
+  }
+
   /** Frame sampling plumbing for video rows: emits (media_id, frame_idx,
     * frame_bytes) slices every `everyMs` without decoding — the slice
     * boundaries are the stub; a real sampler seeks keyframes. One input

@@ -94,4 +94,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(perMedia.forall(_.getAs[Long]("count") >= 1))
     assert(frames.schema("frame_bytes").dataType.typeName === "binary")
   }
+  test("resizeImages: real nearest-neighbor BMP downscale, exact pixel provenance") {
+    import spark.implicits._
+    // hand-built 4x4 BMP whose pixel (x,y) encodes its coordinates
+    val px = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; ((p % 4) * 16 + (p / 4)).toByte
+    }
+    val bmp = MediaCodec.encodeBmp24(4, 4, px)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "bmp", 4, 4, 0L, bmp),
+      Multimodal.MediaRow(2L, "video", "mp4", 0, 0, 1000L, Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resizeImages(rows, 4, 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Array[Byte]]), r.get(4))).toMap
+    // non-BMP row degrades to null output, not a failure
+    assert(out(2L)._1.isEmpty && out(2L)._2 == null)
+    val resized = out(1L)._1.get
+    val info = MediaCodec.decodeBmp(resized).get
+    assert(info.width === 4 && info.height === 2)
+    // nearest-neighbor: output row y takes source row 2*y -> every output
+    // pixel byte must equal the corresponding source pixel byte
+    val got = resized.drop(MediaCodec.BmpHeaderSize)
+    val expected = Array.tabulate(4 * 2 * 3) { i =>
+      val p = i / 3; val x = p % 4; val y = p / 4
+      px(((2 * y) * 4 + x) * 3 + (i % 3))
+    }
+    assert(got.toSeq === expected.toSeq)
+  }
+
 }
