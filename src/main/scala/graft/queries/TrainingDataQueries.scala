@@ -1106,6 +1106,28 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ft_normalize — per-dimension min-max embedding normalization
+    * (operators.Features): exact min/max aggregates + one correctly-
+    * rounded rescale per component, so even the double outputs
+    * hash-match cross-engine. */
+  val ftNormalize: Q = (s, dir) =>
+    graft.operators.Features.minMaxNormalize(
+      Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  val ftNormalizeOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(i.idx AS BIGINT) AS pos, v[i.idx + 1] AS x
+       |  FROM e, range($EmbDim) i(idx)
+       |), st AS (
+       |  SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1
+       |)
+       |SELECT vec_id, x.pos,
+       |  CASE WHEN mx = mn THEN 0.0 ELSE (x - mn) / (mx - mn) END AS x_norm
+       |FROM x JOIN st USING (pos)
+       |ORDER BY vec_id, pos""".stripMargin
+
   /** op_merge_scd2 — SCD2 incremental merge (operators.Merge): customer
     * is the dimension, per-customer order totals are the change batch
     * (plus synthetic brand-new keys to exercise the insert branch).
@@ -1178,6 +1200,7 @@ object TrainingDataQueries {
     "op_zorder" -> opZorder,
     "ds_cap_per_group" -> dsCapPerGroup,
     "ds_semantic_cap" -> dsSemanticCap,
+    "ft_normalize" -> ftNormalize,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1215,6 +1238,7 @@ object TrainingDataQueries {
     "op_zorder" -> opZorderOracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
+    "ft_normalize" -> ftNormalizeOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
