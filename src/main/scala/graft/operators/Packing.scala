@@ -38,4 +38,32 @@ object Packing {
         col(idCol), col("shard"), col("n_tokens"), col("offset"),
         floor(col("offset") / tokenBudget).as("pack_id"))
   }
+  /** Context-window chunking: split each document into `chunkTokens`-token
+    * chunks with `overlap` tokens of context carried between consecutive
+    * chunks — how long documents are fitted to a model's window without
+    * losing cross-boundary context. Deterministic integer arithmetic +
+    * one explode; a doc with ≤ chunkTokens tokens yields exactly one
+    * chunk. Scan-shaped: no shuffle, output rows ≈ corpus_tokens/stride.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val n = size(col("__toks"))
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(floor((n - chunkTokens + stride - 1).cast("double") / stride)
+        .cast("long") + 1L)
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(
+        col(idCol), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("__chunk"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
 }

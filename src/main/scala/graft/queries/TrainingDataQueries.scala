@@ -1106,6 +1106,38 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** tp_chunk — context-window chunking (Packing.chunkDocuments):
+    * `ChunkC`-token chunks, `ChunkOv` tokens of overlap. Pure integer
+    * arithmetic + slicing — hash-exact cross-engine. */
+  private val ChunkC = 32
+  private val ChunkOv = 8
+
+  val tpChunk: Q = (s, dir) =>
+    graft.operators.Packing.chunkDocuments(
+      Tables.documents(s, dir), "doc_id", "text",
+      chunkTokens = ChunkC, overlap = ChunkOv)
+      .orderBy("doc_id", "chunk_idx")
+
+  val tpChunkOracle: String = {
+    val stride = ChunkC - ChunkOv
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), n AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN len(t) <= $ChunkC THEN 1
+       |         ELSE CAST(floor((len(t) - $ChunkC + ${stride - 1}) / $stride) AS BIGINT) + 1
+       |    END AS nchunks
+       |  FROM tok)
+       |, ex AS (
+       |  SELECT doc_id, t, unnest(range(nchunks)) AS idx FROM n
+       |)
+       |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(t[(idx * $stride + 1):(idx * $stride + $ChunkC)]) AS BIGINT) AS n_tokens,
+       |  array_to_string(t[(idx * $stride + 1):(idx * $stride + $ChunkC)], ' ') AS chunk_text
+       |FROM ex
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** ft_normalize — per-dimension min-max embedding normalization
     * (operators.Features): exact min/max aggregates + one correctly-
     * rounded rescale per component, so even the double outputs
@@ -1201,6 +1233,7 @@ object TrainingDataQueries {
     "ds_cap_per_group" -> dsCapPerGroup,
     "ds_semantic_cap" -> dsSemanticCap,
     "ft_normalize" -> ftNormalize,
+    "tp_chunk" -> tpChunk,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1239,6 +1272,7 @@ object TrainingDataQueries {
     "ds_cap_per_group" -> dsCapPerGroupOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
     "ft_normalize" -> ftNormalizeOracle,
+    "tp_chunk" -> tpChunkOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
