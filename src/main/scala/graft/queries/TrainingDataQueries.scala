@@ -151,6 +151,41 @@ object TrainingDataQueries {
        |ORDER BY train_id, eval_id""".stripMargin
   }
 
+  /** tp_decontaminated — the REMOVAL half of decontamination: the
+    * training corpus with every contaminated document dropped
+    * (left_anti against the dd_decontaminate pair set — the anti-join
+    * shuffles only ids, never text). */
+  val tpDecontaminated: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val pairs = Dedup.contaminationPairs(
+      train, docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+    train.join(pairs.select(col("train_id")).distinct(),
+        col("doc_id") === col("train_id"), "left_anti")
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  val tpDecontaminatedOracle: String = {
+    val n = Dedup.DefaultShingleN
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
+       |  FROM documents),
+       |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
+       |bad AS (
+       |  SELECT DISTINCT train_id FROM (
+       |    SELECT t.train_id,
+       |      CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) AS containment
+       |    FROM tr t, ev e)
+       |  WHERE containment >= 0.5)
+       |SELECT d.doc_id, d.source, d.lang
+       |FROM documents d
+       |WHERE d.doc_id % 20 <> 0
+       |  AND d.doc_id NOT IN (SELECT train_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash
     * coefficient literals, the band keys (signature slices, not opaque
@@ -1234,6 +1269,7 @@ object TrainingDataQueries {
     "ds_semantic_cap" -> dsSemanticCap,
     "ft_normalize" -> ftNormalize,
     "tp_chunk" -> tpChunk,
+    "tp_decontaminated" -> tpDecontaminated,
     "cl_kmeans" -> clKmeans,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
@@ -1273,6 +1309,7 @@ object TrainingDataQueries {
     "ds_semantic_cap" -> dsSemanticCapOracle,
     "ft_normalize" -> ftNormalizeOracle,
     "tp_chunk" -> tpChunkOracle,
+    "tp_decontaminated" -> tpDecontaminatedOracle,
     "cl_kmeans" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
