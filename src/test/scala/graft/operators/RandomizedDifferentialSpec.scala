@@ -184,6 +184,30 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     assert(closedKeys === changedKeys)
   }
 
+  test("tfidfTopTerms equals the naive driver-side computation on random corpora") {
+    val rnd = new scala.util.Random(0x7F1D)
+    val vocab = (1 to 15).map(i => s"w$i")
+    val docs = (1L to 80L).map(i =>
+      (i, (0 until (5 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size)))))
+    val df = docs.map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topM = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSet).toMap
+    val n = docs.size
+    val dfMap = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val naive = docs.map { case (i, ws) =>
+      val tf = ws.groupBy(identity).view.mapValues(_.size).toMap
+      val scored = tf.toSeq.map { case (t, f) =>
+        (t, f.toLong, dfMap(t).toLong, r6(f.toDouble * math.log(n.toDouble / dfMap(t))))
+      }
+      i -> scored.sortBy { case (t, _, _, s) => (-s, t) }.take(3).toSet
+    }.toMap
+    assert(got === naive)
+  }
+
   test("duplicateClusters equals union-find on a random pair graph") {
     val rnd = new scala.util.Random(0xC1C1)
     val pairs = (1 to 150).map { _ =>
