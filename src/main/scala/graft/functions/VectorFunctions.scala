@@ -30,6 +30,27 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cross-engine-safe fixed-point rounding: floor(x·10^dp + 0.5)/10^dp.
+    * Unlike `round()` — whose half-way semantics differ between Spark
+    * (shortest-decimal-string BigDecimal HALF_UP) and DuckDB (scaled
+    * binary multiply) — every step here is the same correctly-rounded
+    * IEEE op in both engines, so results are bit-identical by
+    * construction on ANY input, not just inputs that avoid the
+    * boundary. The SQL twin is `floor(x * 10^dp + 0.5) / 10^dp`,
+    * written with the same literal. */
+  def roundFixed(x: Column, dp: Int): Column = {
+    require(dp >= 0 && dp <= 15)
+    val scale = math.pow(10, dp) // exact powers of ten up to 1e15
+    floor(x * lit(scale) + lit(0.5)) / lit(scale)
+  }
+
+  /** Reassemble exploded (pos, value) rows into a position-ordered array
+    * — an aggregate expression for `groupBy(id).agg(...)` callers. */
+  def reassembleByPos(pos: Column, value: Column): Column =
+    transform(
+      array_sort(collect_list(struct(pos.as("p"), value.as("v")))),
+      s => s.getField("v"))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** splitmix64 finalizer — the plane-component PRNG. Chosen over

@@ -49,11 +49,13 @@ object Clustering {
     val e = corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
 
-    var cents: Seq[(Long, Array[Double])] = e.filter(col("id") < k)
+    // the k LOWEST ids — not `id < k`, which silently under-seeds on any
+    // corpus whose ids don't start at 0
+    var cents: Seq[(Long, Array[Double])] = e.orderBy("id").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"no vectors with $idCol < $k to seed centroids")
+    require(cents.nonEmpty, "empty corpus: no vectors to seed centroids")
 
     // ½|c|² summed sequentially left-to-right — the same accumulation
     // order as list_dot_product(c, c), so the oracle's runtime value is
@@ -79,11 +81,9 @@ object Clustering {
       val means = e.withColumn("cluster", assignCol(cents))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
-        .agg(round(avg(col("x")), roundDp).as("m"))
+        .agg(roundFixed(avg(col("x")), roundDp).as("m"))
         .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"),
-          transform(col("pm"), p => p.getField("m")).as("c"))
+        .agg(reassembleByPos(col("pos"), col("m")).as("c"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .toMap
@@ -98,8 +98,8 @@ object Clustering {
     * capping per-cluster contributions (semantic diversity sampling). */
   def kmeansWithSizes(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
-    val assigned = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      k: Int = 8, iters: Int = 2, roundDp: Int = 6): DataFrame = {
+    val assigned = kmeansAssign(corpus, idCol, vecCol, k, iters, roundDp)
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     assigned.join(broadcast(sizes), "cluster_id")
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"))

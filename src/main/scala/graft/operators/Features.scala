@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.asDoubles
+import graft.functions.VectorFunctions.{asDoubles, reassembleByPos}
 
 /** Feature-space preprocessing for embedding columns — the
   * normalization pass before clustering/ANN indexing when dimensions
@@ -39,7 +39,5 @@ object Features {
   def minMaxNormalizeVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     minMaxNormalize(df, idCol, vecCol)
       .groupBy(idCol)
-      .agg(array_sort(collect_list(struct(col("pos"), col("x_norm")))).as("pm"))
-      .select(col(idCol),
-        transform(col("pm"), p => p.getField("x_norm")).as("embedding_norm"))
+      .agg(reassembleByPos(col("pos"), col("x_norm")).as("embedding_norm"))
 }

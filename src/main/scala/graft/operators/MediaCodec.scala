@@ -68,9 +68,16 @@ object MediaCodec {
     val height = rd32(bytes, 22)
     val bpp = rd16(bytes, 28)
     if (width <= 0 || height <= 0 || bpp != 24 || dataOff < BmpHeaderSize) return None
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) / 4 * 4
-    if (dataOff.toLong + stride.toLong * height > bytes.length) return None
+    // all geometry math in Long: a hostile header (width ~ 2^30) overflows
+    // `width * 3` in Int, slips a 32-bit bounds check, and turns the pixel
+    // loops into out-of-bounds reads — a corrupt ROW must degrade to None,
+    // never crash the task (per-item error isolation)
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) / 4 * 4
+    if (dataOff.toLong + strideL * height > bytes.length) return None
+    // bounds check passed ⇒ every offset below fits in Int
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     var sum = 0L
     var row = 0
     while (row < height) {
@@ -79,7 +86,7 @@ object MediaCodec {
       while (i < rowBytes) { sum += bytes(base + i) & 0xff; i += 1 }
       row += 1
     }
-    val n = rowBytes.toLong * height
+    val n = rowBytesL * height
     Some(BmpInfo(width, height, bpp, sum.toDouble / n))
   }
 
@@ -88,7 +95,8 @@ object MediaCodec {
     * resample → re-encode, all pure JVM; None if the input isn't a
     * well-formed 24bpp BMP or the target stride isn't 4-byte aligned. */
   def resizeBmp24(bytes: Array[Byte], newWidth: Int, newHeight: Int): Option[Array[Byte]] = {
-    if (newWidth <= 0 || newHeight <= 0 || newWidth * 3 % 4 != 0) return None
+    if (newWidth <= 0 || newHeight <= 0 || newWidth * 3 % 4 != 0 ||
+      newWidth.toLong * newHeight * 3 > Int.MaxValue - BmpHeaderSize) return None
     decodeBmp(bytes).map { info =>
       val dataOff = rd32(bytes, 10)
       val stride = (info.width * 3 + 3) / 4 * 4

@@ -21,7 +21,10 @@ object Merge {
     * `dim` carries `keyCol`, `attrCols` (carried attributes, not change-
     * tracked), `trackedCols` (change-tracked values), and the SCD2
     * bookkeeping columns `valid_from: date`, `valid_to: date`,
-    * `is_current: boolean`. `updates` carries `keyCol` + `trackedCols`.
+    * `is_current: boolean`. `updates` carries `keyCol` + `trackedCols`,
+    * AT MOST ONE ROW PER KEY — duplicates raise at execution (standard
+    * SQL MERGE semantics; a silent fan-out would duplicate history and
+    * open two current rows).
     *
     * Semantics (per key):
     *   - history rows (`is_current = false`): untouched;
@@ -45,8 +48,23 @@ object Merge {
     val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
     val current = dim.filter(col("is_current"))
 
+    // SQL MERGE semantics: several update rows for one key is an error,
+    // not a silent fan-out (the full-outer join would duplicate the
+    // closed row and open TWO current rows). Enforced in-plan with a
+    // window count + raise_error — no extra action, one pass over the
+    // (small) batch.
+    val perKey = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol)))
+    // the guard lives INSIDE the join key so column pruning can't drop it
+    val guardedKey = when(perKey > 1,
+      raise_error(concat(lit("scd2Merge: multiple update rows for key "),
+        col(keyCol).cast("string"))))
+      .otherwise(col(keyCol))
+    val uniqueUpdates = updates.select(
+      (guardedKey.as(keyCol) +: trackedCols.map(col)): _*)
+
     val joined = current.as("c")
-      .join(updates.as("u"), col(s"c.$keyCol") === col(s"u.$keyCol"), "full_outer")
+      .join(uniqueUpdates.as("u"), col(s"c.$keyCol") === col(s"u.$keyCol"), "full_outer")
     val hasC = col(s"c.$keyCol").isNotNull
     val hasU = col(s"u.$keyCol").isNotNull
     val changed = trackedCols.map(t => !(col(s"c.$t") <=> col(s"u.$t"))).reduce(_ || _)

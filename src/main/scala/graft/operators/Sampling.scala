@@ -98,8 +98,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(nShards >= 1)
     val kstr = concat(col(keyCol).cast("string"), lit(salt))
-    df.select(col(keyCol), md5(kstr).as("__h"),
-        pmod(TextFunctions.baseHash(kstr), lit(nShards.toLong)).as("shard"))
+    // withColumn, not select: payload columns ride along (the point is
+    // shuffling the CORPUS, not just its keys)
+    df.withColumn("__h", md5(kstr))
+      .withColumn("shard", pmod(TextFunctions.baseHash(kstr), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
           .orderBy(col("__h"), col(keyCol))).cast("long"))
@@ -145,9 +147,10 @@ object Sampling {
       when(col(classCol) === s, r).otherwise(acc)
     }
     val u = unitHash(col(keyCol), salt)
-    val nCopies = (floor(rate).cast("long") +
-      when(u < rate - floor(rate), 1L).otherwise(0L)).as("n_copies")
-    df.select(col(keyCol), col(classCol), nCopies)
+    val nCopies = floor(rate).cast("long") +
+      when(u < rate - floor(rate), 1L).otherwise(0L)
+    // withColumn: payload columns ride along into the repeated output
+    df.withColumn("n_copies", nCopies)
       .filter(col("n_copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
   }

@@ -196,13 +196,15 @@ object SimilaritySearch {
       dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3): DataFrame = {
     require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids)
     graft.GraftExtensions.register(corpus.sparkSession)
+    // the nCentroids LOWEST ids — not `id < nCentroids`, which silently
+    // under-trains on any corpus whose ids don't start at 0
     val cents: Array[(Long, Seq[Double])] = corpus
       .select(col(idCol).cast("long").as("cid"), asDoubles(col(vecCol)).as("c"))
-      .filter(col("cid") < nCentroids)
+      .orderBy("cid").limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, s"no vectors with $idCol < $nCentroids to train on")
+    require(cents.nonEmpty, "empty corpus: no vectors to train the quantizer")
     // per vector: centroid cells sorted by (similarity desc, cid asc);
     // cell 0 is the home cell (membership), cells 0..nProbe-1 are probed
     val cells = array_sort(array(cents.map { case (cid, c) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.roundFixed
 
 /** Text-analysis operators for training-data curation: token statistics,
   * quality scoring, heuristic language identification, and content
@@ -202,12 +203,13 @@ object TextAnalysis {
   /** TF-IDF top terms per document — the classic term-importance signal
     * (keyword extraction, topic hints, near-dup explanation).
     *
-    * score = round(tf · ln(N / df), `roundDp`). Every FP step is the
-    * same correctly-rounded op in both engines; the one transcendental
-    * (ln) can differ by an ulp between libm implementations, which the
-    * rounding absorbs — and the per-doc RANK uses the rounded score
-    * (ties toward the lexicographically smaller term), so row selection
-    * is deterministic cross-engine too.
+    * score = tf · ln(N / df), fixed-point rounded via
+    * VectorFunctions.roundFixed (floor(x·10^dp + 0.5)/10^dp — every
+    * step the same correctly-rounded IEEE op in both engines, immune to
+    * the Spark-vs-DuckDB round() half-way semantics gap). The rounding
+    * absorbs cross-libm ln ulps, and the per-doc RANK uses the rounded
+    * score (term tiebreak), so row selection is deterministic
+    * cross-engine too.
     *
     * Scale: one explode + two map-side-combinable aggregations (term
     * frequencies per doc, document frequencies per term) + a per-doc
@@ -236,7 +238,7 @@ object TextAnalysis {
       .join(broadcast(docFreq), "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
-        round(col("tf").cast("double") *
+        roundFixed(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df")), roundDp))
     scored
       .withColumn("rn", row_number().over(
@@ -319,7 +321,7 @@ object TextAnalysis {
       .reduceLeft(_ + _)
     withTf.crossJoin(broadcast(stats))
       .select(col(idCol),
-        round(total, roundDp).as("bm25"),
+        roundFixed(total, roundDp).as("bm25"),
         nMatched.as("n_matched"))
       .filter(col("n_matched") > 0)
   }

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * an `aggregate` run-length scan) interprets ~2 Catalyst node
   * evaluations per element per lambda step; this is a single hash-count
   * loop in straight Java, O(n) with no sort at all. Null elements are
-  * skipped (gram builders never produce them); a null array is null.
-  *
-  * Bit-for-bit equal to the HOF formulation by construction (both count
-  * exact string equality) — asserted on random inputs in
-  * MaxMultiplicityExprSpec.
+  * SKIPPED (an all-null array counts 0); a null array is null. That is
+  * the intended semantic — the sorted-run HOF formulation instead
+  * treats a null element as a run of length 1 (its `x === prev` lambda
+  * never matches), an artifact, so the two agree on null-free arrays
+  * only (which is what gram builders produce; equality asserted on
+  * random null-free inputs in MaxMultiplicityExprSpec).
   */
 case class MaxMultiplicity(child: Expression) extends UnaryExpression {
 

@@ -716,7 +716,7 @@ object TrainingDataQueries {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $IvfCentroids
+       |  SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $IvfCentroids
        |), sims AS (
        |  SELECT e.vec_id, e.v, cents.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -880,7 +880,8 @@ object TrainingDataQueries {
          |  FROM e CROSS JOIN c${i - 1} c),
          |a$i AS (SELECT vec_id, v, cid AS cluster FROM s$i WHERE rn = 1),
          |m$i AS (
-         |  SELECT cluster, i.idx, round(avg(v[i.idx + 1]), $KmRound) AS m
+         |  SELECT cluster, i.idx,
+         |    floor(avg(v[i.idx + 1]) * 1000000.0 + 0.5) / 1000000.0 AS m
          |  FROM a$i, range($EmbDim) i(idx) GROUP BY 1, 2),
          |g$i AS (SELECT cluster AS cid, list(m ORDER BY idx) AS c FROM m$i GROUP BY 1),
          |c$i AS (
@@ -888,7 +889,7 @@ object TrainingDataQueries {
          |  FROM c${i - 1} LEFT JOIN g$i USING (cid))""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $KmK),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $KmK),
        |$iterCtes,
        |sf AS (
        |  SELECT e.vec_id, c.cid,
@@ -962,7 +963,7 @@ object TrainingDataQueries {
        |), nd AS (SELECT count(*) AS n_docs FROM documents
        |), scored AS (
        |  SELECT doc_id, term, tf, df,
-       |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), $TfidfRound) AS score
+       |    floor((CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000.0 + 0.5) / 1000000.0 AS score
        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
        |), r AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1010,7 +1011,7 @@ object TrainingDataQueries {
        |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM t
        |)
        |SELECT doc_id,
-       |  round($termScores, $Bm25Round) AS bm25,
+       |  floor(($termScores) * 1000000.0 + 0.5) / 1000000.0 AS bm25,
        |  CAST($matched AS BIGINT) AS n_matched
        |FROM t CROSS JOIN st
        |WHERE $anyMatch

@@ -66,6 +66,20 @@ class MergeSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("duplicate update keys raise instead of silently fanning out history") {
+    val dupUpdates = Seq((2L, 21.0), (2L, 22.0)).toDF("k", "bal")
+    val ex = intercept[Exception] {
+      Merge.scd2Merge(dim, dupUpdates, "k",
+        trackedCols = Seq("bal"), attrCols = Seq("name"),
+        effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("multiple update rows")), ex.toString)
+  }
+
   test("exactly one current row per key after merge") {
     val out = Merge.scd2Merge(dim, updates, "k",
       trackedCols = Seq("bal"), attrCols = Seq("name"),

@@ -130,8 +130,7 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
         byC.get(cid) match {
           case Some(members) =>
             val m = Array.tabulate(dim) { d =>
-              BigDecimal(members.map(_._2(d)).sum / members.size)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              math.floor(members.map(_._2(d)).sum / members.size * 1e6 + 0.5) / 1e6
             }
             (cid, m)
           case None => (cid, old)
@@ -196,8 +195,7 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSet).toMap
     val n = docs.size
     val dfMap = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val naive = docs.map { case (i, ws) =>
       val tf = ws.groupBy(identity).view.mapValues(_.size).toMap
       val scored = tf.toSeq.map { case (t, f) =>

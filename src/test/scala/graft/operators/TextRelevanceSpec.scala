@@ -22,8 +22,8 @@ class TextRelevanceSpec extends SparkSpecBase {
     val byDoc = out.groupBy(_._1)
     // doc 1: cat tf=2 df=1 score=2·ln(3); dog tf=1 df=2 score=ln(1.5)
     val d1 = byDoc(1L).map(t => t._2 -> (t._3, t._4, t._5)).toMap
-    assert(d1("cat") === ((2L, 1L, BigDecimal(2 * math.log(3.0))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(d1("cat") === ((2L, 1L,
+      math.floor(2 * math.log(3.0) * 1e6 + 0.5) / 1e6)))
     assert(d1("dog")._1 === 1L && d1("dog")._2 === 2L)
     // doc 3: bird (df=1) must be present despite tf=1; fish tf=3
     val d3 = byDoc(3L).map(_._2).toSet
@@ -57,6 +57,10 @@ class TextRelevanceSpec extends SparkSpecBase {
   }
 
   test("shuffleShard: permutation — every key once, dense positions per shard, stable") {
+    // payload columns must ride along (shuffling the corpus, not just ids)
+    val withPayload = Sampling.shuffleShard(
+      Seq((1L, "textA"), (2L, "textB")).toDF("id", "text"), "id", 2)
+    assert(withPayload.columns.toSet === Set("id", "text", "shard", "pos"))
     val df = (1L to 1000L).toDF("id")
     val out = Sampling.shuffleShard(df, "id", nShards = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
