@@ -36,7 +36,7 @@ object Bench {
     "cl_kmeans", "ta_tfidf", "ss_bm25",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "ds_cap_per_group", "ds_semantic_cap",
-    "ft_normalize", "tp_chunk")
+    "ft_normalize", "tp_chunk", "ds_weighted")
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine

@@ -130,6 +130,27 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * keep the k rows with the largest u^(1/w), where u is the key-stable
+    * unit hash — inclusion probability proportional to weight, sample
+    * reproducible under any partitioning. The sort key goes through
+    * VectorFunctions.roundFixed so the one non-correctly-rounded op
+    * (pow, 1-ulp across libms) cannot flip cross-engine row selection;
+    * ties break by key column.
+    *
+    * Scale: a projection + top-k — TakeOrderedAndProject, never a global
+    * sort. */
+  def weightedSampleByKey(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k >= 1)
+    val u = unitHash(col(keyCol), salt)
+    val key = graft.functions.VectorFunctions.roundFixed(
+      pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    df.withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Mixture weighting by repetition — the domain-mixing primitive of a
     * training run ("2.5 epochs of wiki, 0.25 of web"): every row of
     * class c is emitted floor(rate_c) times, plus one more with

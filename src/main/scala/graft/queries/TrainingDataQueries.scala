@@ -1116,6 +1116,36 @@ object TrainingDataQueries {
        |ORDER BY zkey, o_orderkey""".stripMargin
   }
 
+  /** ds_weighted — weighted sampling without replacement (Sampling
+    * .weightedSampleByKey): 50 documents drawn with probability ∝
+    * n_chars (importance sampling by length/quality weight). */
+  private val WSampleK = 50
+
+  val dsWeighted: Q = (s, dir) =>
+    graft.operators.Sampling.weightedSampleByKey(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = WSampleK)
+      .orderBy("doc_id")
+
+  val dsWeightedOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH u AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    floor(pow(u, 1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5)
+       |      / 1000000000.0 AS sample_key
+       |  FROM u
+       |), r AS (
+       |  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rn
+       |  FROM keyed)
+       |SELECT doc_id, source, n_chars, sample_key FROM r WHERE rn <= $WSampleK
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ds_cap_per_group — per-source contribution cap (Sampling
     * .capPerGroup): at most `CapN` documents per source, chosen by the
     * key-stable unit hash. */
@@ -1267,6 +1297,7 @@ object TrainingDataQueries {
     "ta_vocab" -> taVocab,
     "op_zorder" -> opZorder,
     "ds_cap_per_group" -> dsCapPerGroup,
+    "ds_weighted" -> dsWeighted,
     "ds_semantic_cap" -> dsSemanticCap,
     "ft_normalize" -> ftNormalize,
     "tp_chunk" -> tpChunk,
@@ -1307,6 +1338,7 @@ object TrainingDataQueries {
     "ta_vocab" -> taVocabOracle,
     "op_zorder" -> opZorderOracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
+    "ds_weighted" -> dsWeightedOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
     "ft_normalize" -> ftNormalizeOracle,
     "tp_chunk" -> tpChunkOracle,

@@ -53,6 +53,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(capped.filter(_._2 != "c").toSet === cappedGrown.filter(_._2 != "c").toSet)
   }
 
+  test("weightedSampleByKey: deterministic, k-sized, weight-proportional inclusion") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+    def draw(): Seq[Long] =
+      Sampling.weightedSampleByKey(df, "id", "w", k = 400)
+        .collect().map(_.getLong(0)).toSeq
+    val a = draw()
+    assert(a.length === 400 && a.distinct.length === 400)
+    // partitioning-invariant
+    assert(draw().sorted === Sampling.weightedSampleByKey(
+      df.repartition(11), "id", "w", k = 400)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // heavy rows (10× weight) dominate the sample
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 300, s"heavy-weight rows in sample: $heavy/400")
+  }
+
   test("stratified fractions apply per class; unlisted strata drop") {
     val df = (1L to 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
       .toDF("id", "cls")

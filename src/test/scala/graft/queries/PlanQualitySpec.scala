@@ -143,6 +143,9 @@ class PlanQualitySpec extends SparkSpecBase {
     val pv = plan("ta_vocab")
     assert(pv.contains("TakeOrderedAndProject"),
       s"top-V must be TakeOrdered, not a global sort:\n$pv")
+    val pw = plan("ds_weighted")
+    assert(pw.contains("TakeOrderedAndProject"),
+      s"weighted sample must be TakeOrdered, not a global sort:\n$pw")
   }
 
   test("dd_minhash: the bucket groupBy is the ONLY hash shuffle") {
