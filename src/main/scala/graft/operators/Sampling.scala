@@ -134,9 +134,17 @@ object Sampling {
     * keep the k rows with the largest u^(1/w), where u is the key-stable
     * unit hash — inclusion probability proportional to weight, sample
     * reproducible under any partitioning. The sort key goes through
-    * VectorFunctions.roundFixed so the one non-correctly-rounded op
-    * (pow, 1-ulp across libms) cannot flip cross-engine row selection;
-    * ties break by key column.
+    * VectorFunctions.roundFixed, which shrinks the window in which the
+    * one non-correctly-rounded op (pow, 1-ulp across libms) could flip
+    * cross-engine row selection to a vanishing sliver — the oracle gate,
+    * not the rounding, is what certifies the concrete sample. Ties break
+    * by key column.
+    *
+    * Weights must be > 0 and non-NULL: w = 0 gives u^∞ (never sampled),
+    * w < 0 inverts the inclusion order so invalid rows silently dominate,
+    * and NULL poisons the sort key — all are corpus bugs, so they fail
+    * loudly in-plan (same raise_error pattern as scd2Merge's duplicate-
+    * key guard) rather than skew the sample.
     *
     * Scale: a projection + top-k — TakeOrderedAndProject, never a global
     * sort. */
@@ -144,8 +152,15 @@ object Sampling {
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1)
     val u = unitHash(col(keyCol), salt)
+    val w = col(weightCol).cast("double")
+    // guard lives INSIDE the weight expression so pruning can't drop it
+    val guardedW = when(w.isNull || w <= 0,
+      raise_error(concat(
+        lit(s"weightedSampleByKey: non-positive or NULL weight '$weightCol' for key "),
+        col(keyCol).cast("string"))))
+      .otherwise(w)
     val key = graft.functions.VectorFunctions.roundFixed(
-      pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+      pow(u, lit(1.0) / guardedW), 9)
     df.withColumn("sample_key", key)
       .orderBy(col("sample_key").desc, col(keyCol))
       .limit(k)

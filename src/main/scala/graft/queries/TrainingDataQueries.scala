@@ -126,7 +126,11 @@ object TrainingDataQueries {
     * (doc_id % 20 ≠ 0) containing ≥ 50% of some eval document's
     * shingles (doc_id % 20 = 0) — the asymmetric overlap that catches
     * an eval answer quoted inside a longer training doc. Inverted-index
-    * plan (Dedup.contaminationPairs); naive cross-corpus oracle. */
+    * plan (Dedup.contaminationPairs) with the relative doc-frequency
+    * skew guard ON; the oracle applies the SAME prune (shingles present
+    * in > max(floor, 10% of eval docs) eval documents are excluded from
+    * the intersection), so the two sides stay equivalent at any scale —
+    * not just where the floor happens to disable pruning. */
   val ddDecontaminate: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     Dedup.contaminationPairs(
@@ -136,20 +140,41 @@ object TrainingDataQueries {
       .orderBy("train_id", "eval_id")
   }
 
-  val ddDecontaminateOracle: String = {
+  /** Guarded containment-pairs oracle shared by dd_decontaminate and
+    * tp_decontaminated: mirrors contaminationPairs exactly — eval-side
+    * doc-frequency prune (df ≤ max(MinDocFreqFloor, fraction·|eval|);
+    * shingles are per-doc distinct so df = #docs), containment
+    * denominator = the FULL pre-prune shingle-set size. */
+  private def decontaminatePairsCtes: String = {
     val n = Dedup.DefaultShingleN
-    s"""WITH sh AS (
+    val floor = Dedup.MinDocFreqFloor
+    val frac = Dedup.DefaultMaxDocFreqFraction
+    s"""sh AS (
        |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
        |  FROM documents),
        |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),
-       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0)
-       |SELECT train_id, eval_id, containment FROM (
-       |  SELECT t.train_id, e.eval_id,
-       |    CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) AS containment
-       |  FROM tr t, ev e)
-       |WHERE containment >= 0.5
-       |ORDER BY train_id, eval_id""".stripMargin
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
+       |lim AS (SELECT greatest($floor.0, count(*) * $frac) AS df_limit
+       |        FROM documents WHERE doc_id % 20 = 0),
+       |evx AS (SELECT eval_id, unnest(s) AS s FROM ev),
+       |keep AS (SELECT s FROM evx, lim
+       |         GROUP BY s, df_limit HAVING count(*) <= df_limit),
+       |trx AS (SELECT train_id, unnest(s) AS s FROM tr),
+       |hits AS (
+       |  SELECT t.train_id, e.eval_id, count(*) AS common
+       |  FROM trx t JOIN evx e USING (s) JOIN keep k USING (s)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT train_id, eval_id,
+       |    CAST(common AS DOUBLE) / len(ev.s) AS containment
+       |  FROM hits JOIN ev USING (eval_id)
+       |  WHERE CAST(common AS DOUBLE) / len(ev.s) >= 0.5)""".stripMargin
   }
+
+  val ddDecontaminateOracle: String =
+    s"""WITH $decontaminatePairsCtes
+       |SELECT train_id, eval_id, containment FROM pairs
+       |ORDER BY train_id, eval_id""".stripMargin
 
   /** tp_decontaminated — the REMOVAL half of decontamination: the
     * training corpus with every contaminated document dropped
@@ -166,25 +191,13 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
-  val tpDecontaminatedOracle: String = {
-    val n = Dedup.DefaultShingleN
-    s"""WITH sh AS (
-       |  SELECT doc_id, ${duckShingles("string_split(text,' ')", n)} AS s
-       |  FROM documents),
-       |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 20 <> 0),
-       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
-       |bad AS (
-       |  SELECT DISTINCT train_id FROM (
-       |    SELECT t.train_id,
-       |      CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(e.s) AS containment
-       |    FROM tr t, ev e)
-       |  WHERE containment >= 0.5)
+  val tpDecontaminatedOracle: String =
+    s"""WITH $decontaminatePairsCtes
        |SELECT d.doc_id, d.source, d.lang
        |FROM documents d
        |WHERE d.doc_id % 20 <> 0
-       |  AND d.doc_id NOT IN (SELECT train_id FROM bad)
+       |  AND d.doc_id NOT IN (SELECT DISTINCT train_id FROM pairs)
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash

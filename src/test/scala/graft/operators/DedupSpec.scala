@@ -127,6 +127,60 @@ class DedupSpec extends SparkSpecBase {
     assert(!j.contains((1L, 100L)))
   }
 
+  test("contaminationPairs matches a naive guarded reference when the doc-freq prune ENGAGES") {
+    import spark.implicits._
+    // The sf0.01 gate passes with the floor disabling the prune; this
+    // corpus is built so the prune fires (boilerplate shingles in all 60
+    // eval docs, df_limit = max(5, 60*0.1) = 6) and asserts Spark still
+    // equals the guarded-oracle semantics: prune eval shingles with
+    // df > limit, containment denominator = FULL pre-prune shingle count.
+    //
+    // Shingle accounting (n=3): eval doc = 8-token boiler + 8 unique
+    // tokens → 14 shingles: 6 pure-boiler (df=60 → pruned), 2 boundary
+    // + 6 pure-unique (df=1 → kept). Train 1 shares only the boiler:
+    // 6/14 ≈ 0.43 unguarded, 0 guarded. Train 2 shares eval-100's unique
+    // tail: 6/14 ≈ 0.43 both ways. Threshold 0.3 separates the regimes.
+    val boiler = "terms of service apply to this content always"
+    def tail(i: Int) = (0 until 8).map(j => s"u${i}x$j").mkString(" ")
+    val evalDocs = (0 until 60).map(i => (100L + i, s"$boiler ${tail(i)}"))
+    val trainDocs = Seq(
+      (1L, s"$boiler plus entirely unrelated trailing prose tokens"),
+      (2L, s"${tail(0)} with additional training only material"))
+    val evalDF = evalDocs.toDF("doc_id", "text")
+    val trainDF = trainDocs.toDF("doc_id", "text")
+    val threshold = 0.3
+
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val limit = math.max(Dedup.MinDocFreqFloor.toDouble,
+      evalDocs.size * Dedup.DefaultMaxDocFreqFraction)
+    val df = evalDocs.toSeq.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val naive = (for {
+      (tid, ttext) <- trainDocs
+      (eid, etext) <- evalDocs
+      esh = shingles(etext)
+      kept = esh.filter(s => df(s) <= limit)
+      common = shingles(ttext) & kept
+      c = common.size.toDouble / esh.size
+      if c >= threshold
+    } yield (tid, eid, c)).toSet
+
+    val got = Dedup.contaminationPairs(trainDF, evalDF, "doc_id", "text",
+        threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === naive)
+    assert(got.map(p => (p._1, p._2)) === Set((2L, 100L)),
+      "only the prune-surviving pair remains")
+    // prove the prune actually engaged: unguarded keeps the boilerplate
+    // pair (train 1 × every eval doc) that the guard must drop
+    val unguarded = Dedup.contaminationPairs(trainDF, evalDF, "doc_id", "text",
+        threshold = threshold, maxDocFreq = None, maxDocFreqFraction = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((1L, 100L)))
+    assert(unguarded.size === 60 + 1, "train 1 pairs with all 60 eval docs unguarded")
+  }
+
   test("duplicateClusters: min-label propagation finds components of the pair graph") {
     import spark.implicits._
     // two components: a 4-doc chain (needs >1 propagation round) and a pair

@@ -70,6 +70,32 @@ class SamplingSpec extends SparkSpecBase {
     assert(heavy > 300, s"heavy-weight rows in sample: $heavy/400")
   }
 
+  test("weightedSampleByKey fails loudly on zero, negative, or NULL weights") {
+    // w=0 → u^∞ (never sampled), w<0 → inverted order silently dominates,
+    // NULL → poisoned sort key: all corpus bugs, all must raise in-plan
+    def chainMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    for (bad <- Seq(0.0, -2.5)) {
+      val df = Seq((1L, 1.0), (2L, bad), (3L, 3.0)).toDF("id", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedSampleByKey(df, "id", "w", k = 2).collect()
+      }
+      assert(chainMessage(e).contains("weightedSampleByKey"), chainMessage(e))
+    }
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSampleByKey(withNull, "id", "w", k = 2).collect()
+    }
+    assert(chainMessage(e).contains("weightedSampleByKey"), chainMessage(e))
+    // an all-valid corpus is untouched by the guard
+    val ok = Sampling.weightedSampleByKey(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "w"), "id", "w", k = 2)
+      .collect()
+    assert(ok.length === 2)
+  }
+
   test("stratified fractions apply per class; unlisted strata drop") {
     val df = (1L to 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
       .toDF("id", "cls")
