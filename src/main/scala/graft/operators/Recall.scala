@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Retrieval-quality measurement for the approximate operators: the
+  * parity oracle (DuckDB running the same algorithm) certifies that an
+  * ANN/dedup implementation computes what it claims, but says nothing
+  * about whether what it claims is a GOOD approximation. Recall against
+  * exact ground truth is that second gate — the bar a production ANN
+  * index or MinHash dedup actually carries (cf. the ann-benchmarks
+  * recall/QPS methodology and the Broder-resemblance S-curve guarantees
+  * MinHash bands are tuned for).
+  *
+  * Scale design: ground truth is exact but only over a SAMPLED query
+  * set — Q query vectors broadcast (Q·dim doubles, KB–MB scale) against
+  * one distributed corpus scan, per-query top-k bounded map-side by
+  * TopKAggregator. Sampling the queries, never the corpus: recall@k is
+  * an average over queries, so a query sample estimates it with
+  * ~1/√Q error, while sampling the CORPUS would change every query's
+  * true neighbor set and measure recall against the wrong truth.
+  */
+object Recall {
+
+  /** Exact cosine top-k for the query vectors whose id satisfies
+    * `id % sampleEveryNth == 0` — deterministic, rerun-stable sampling.
+    * Returns (vec_id, neighbor_id, cos) in the same total order as the
+    * ANN operators (cos DESC, neighbor_id ASC), self-pairs excluded. */
+  def bruteForceNeighbors(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleEveryNth: Long = 1L): DataFrame = {
+    require(k >= 1 && sampleEveryNth >= 1)
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), norm(col("v")).as("nrm"))
+    val queries = base
+      .filter(col("id") % sampleEveryNth === 0)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = base
+      .crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"),
+        col("id").as("neighbor_id"))
+    SimilaritySearch.topKPerVector(pairs, k)
+  }
+
+  /** recall@k of `approx` against exact `truth` (both carrying vec_id,
+    * neighbor_id): the fraction of true (query, neighbor) entries the
+    * approximate result found. Truth queries missing entirely from
+    * `approx` (no candidate collided) count as 0 recall — an index that
+    * returns nothing must not score well. Every sampled query contributes
+    * the same number of truth entries (k, corpus permitting), so this
+    * micro-average equals the per-query macro-average. */
+  def recallAtK(approx: DataFrame, truth: DataFrame): Double = {
+    val t = truth.select(col("vec_id").cast("long"), col("neighbor_id").cast("long"))
+    val a = approx.select(col("vec_id").cast("long"), col("neighbor_id").cast("long"))
+    val total = t.count()
+    require(total > 0, "empty ground truth")
+    val hit = t.join(a, Seq("vec_id", "neighbor_id"), "left_semi").count()
+    hit.toDouble / total
+  }
+
+  /** Pair-level recall of a candidate-pair operator (doc_a, doc_b)
+    * against an exact pair set: fraction of true pairs found. Pairs are
+    * canonicalized (unordered) before comparison so the metric cannot be
+    * gamed or broken by emission order. */
+  def pairRecall(found: DataFrame, truth: DataFrame): Double = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("doc_a"), col("doc_b")).as("pa"),
+      greatest(col("doc_a"), col("doc_b")).as("pb"))
+    val t = canon(truth)
+    val total = t.count()
+    require(total > 0, "empty ground truth")
+    val hit = t.join(canon(found), Seq("pa", "pb"), "left_semi").count()
+    hit.toDouble / total
+  }
+}

@@ -157,7 +157,7 @@ object SimilaritySearch {
     * inside the buffer so the ascending order drops the LARGER id on
     * cosine ties — i.e. the result order is `cos DESC, neighbor_id ASC`,
     * the same total order a SQL oracle's row_number uses. */
-  private def topKPerVector(pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerVector(pairs: DataFrame, k: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs.as[(Long, Double, Long)]
