@@ -5,7 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -56,7 +59,34 @@ object GraftExtensions {
       MaxMultiplicity(args.head)
     })
 
-  private val all = Seq(minhashFunction, dotFunction, maxMultFunction)
+  /** graft_nearest_center(vec, centersLit, cidsLit): the two literal
+    * arguments are UNPACKED AT BUILD TIME into the expression's
+    * reference-object fields and discarded from the tree — the whole
+    * point of the large-k path is that the centroid matrix travels as
+    * one serialized object, never as k·dim plan literals (the nested-
+    * array literal the caller passes is a single Literal node, paid once
+    * here, not per analysis/codegen walk). */
+  private val nearestCenterFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nearest_center"),
+    new ExpressionInfo(classOf[NearestCenter].getName, "graft_nearest_center"),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, "graft_nearest_center(vec, centers, cids)")
+      val centers = args(1) match {
+        case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+          v.toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        case other => sys.error(
+          s"graft_nearest_center centers must be an array<array<double>> literal, got $other")
+      }
+      val cids = args(2) match {
+        case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
+        case other => sys.error(
+          s"graft_nearest_center cids must be an array<bigint> literal, got $other")
+      }
+      NearestCenter(args.head, centers, cids)
+    })
+
+  private val all = Seq(minhashFunction, dotFunction, maxMultFunction, nearestCenterFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

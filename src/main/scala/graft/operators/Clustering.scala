@@ -38,12 +38,25 @@ import graft.functions.VectorFunctions._
   */
 object Clustering {
 
+  /** Above this many k·dim terms, assignment switches from the composed
+    * plan-literal formulation to the native NearestCenter expression
+    * carrying the centroid matrix as ONE reference object. The literal
+    * path is Catalyst-native and oracle-expressible, but its expression
+    * tree scales with k·dim — at SemDeDup-scale k (10⁴–10⁵ clusters)
+    * plan construction/analysis/codegen blow up long before the data
+    * does. The two paths are bit-identical (differentially asserted in
+    * ClusteringSpec); the gated k=8·dim=64 = 512 stays literal, keeping
+    * the DuckDB oracle untouched. */
+  val LiteralAssignMaxTerms = 4096
+
   /** Assign every vector to one of `k` clusters after `iters` Lloyd
     * update rounds. Returns (vec_id, cluster_id) where cluster_id is the
-    * seed vector's id. */
+    * seed vector's id. `literalMaxTerms` overrides the literal-vs-native
+    * assignment switchover (tests pin it to force either path). */
   def kmeansAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, roundDp: Int = 6): DataFrame = {
+      k: Int = 8, iters: Int = 2, roundDp: Int = 6,
+      literalMaxTerms: Int = LiteralAssignMaxTerms): DataFrame = {
     require(k >= 1 && iters >= 0 && roundDp >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)
     val e = corpus
@@ -66,16 +79,22 @@ object Clustering {
       0.5 * s
     }
 
-    // cells sorted by (score desc, cid asc) via (negated score, cid)
-    def assignCol(cs: Seq[(Long, Array[Double])]): Column = {
-      val cells = array_sort(array(cs.map { case (cid, c) =>
-        struct(
-          (-(dot(col("v"), array(c.toSeq.map(lit): _*)) - lit(halfNormSq(c))))
-            .as("negs"),
-          lit(cid).as("cid"))
-      }: _*))
-      element_at(cells, 1).getField("cid")
-    }
+    // cells sorted by (score desc, cid asc) via (negated score, cid);
+    // beyond literalMaxTerms the same argmax runs inside the native
+    // NearestCenter expression (matrix as one reference object — plan
+    // size O(1) in k), bit-identical by construction
+    def assignCol(cs: Seq[(Long, Array[Double])]): Column =
+      if (cs.size.toLong * cs.head._2.length <= literalMaxTerms) {
+        val cells = array_sort(array(cs.map { case (cid, c) =>
+          struct(
+            (-(dot(col("v"), array(c.toSeq.map(lit): _*)) - lit(halfNormSq(c))))
+              .as("negs"),
+            lit(cid).as("cid"))
+        }: _*))
+        element_at(cells, 1).getField("cid")
+      } else
+        call_function("graft_nearest_center", col("v"),
+          typedLit(cs.map(_._2.toSeq)), typedLit(cs.map(_._1)))
 
     for (_ <- 1 to iters) {
       val means = e.withColumn("cluster", assignCol(cents))

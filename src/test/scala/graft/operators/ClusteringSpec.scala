@@ -49,6 +49,36 @@ class ClusteringSpec extends SparkSpecBase {
     assert(o2 <= o0 + 1e-9, s"objective worsened: iters=0 → $o0, iters=2 → $o2")
   }
 
+  test("native large-k assignment path is bit-identical to the literal path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // k=8·dim=64 = 512 terms: literalMaxTerms=0 forces NearestCenter,
+    // the default keeps the composed-literal formulation — same Lloyd
+    // rounds, same data, assignments must agree row-for-row
+    def run(maxTerms: Int): Map[Long, Long] =
+      Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2,
+        literalMaxTerms = maxTerms)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val literal = run(Int.MaxValue)
+    val native = run(0)
+    assert(native === literal)
+  }
+
+  test("large-k smoke: k=1024·dim=64 plans and runs via the native path") {
+    // 65536 terms — far beyond LiteralAssignMaxTerms; the composed
+    // formulation would build 64k literal subtrees and stall in
+    // analysis/codegen, the reference-object path must stay cheap
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val out = Clustering.kmeansAssign(emb, "vec_id", "embedding",
+      k = 1024, iters = 1)
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === emb.count())
+    assert(out.select(countDistinct("cluster_id")).collect()(0).getLong(0) > 256,
+      "a 1024-seed quantizer over 2000 vectors must keep many occupied cells")
+    assert(secs < 120, s"native large-k assignment took ${secs}s")
+  }
+
   test("kmeansWithSizes sizes sum to the corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Clustering.kmeansWithSizes(emb, "vec_id", "embedding", k = 4, iters = 1)
