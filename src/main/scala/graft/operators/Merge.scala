@@ -41,11 +41,35 @@ object Merge {
       dim: DataFrame, updates: DataFrame, keyCol: String,
       trackedCols: Seq[String], attrCols: Seq[String],
       effectiveDate: String, endOfTime: String = "9999-12-31"): DataFrame = {
+    val outCols: Seq[String] =
+      (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+    val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
+    history.unionByName(scd2MergeDelta(
+      dim, updates, keyCol, trackedCols, attrCols, effectiveDate, endOfTime))
+  }
+
+  /** The REWRITTEN rows only — the partition-aware write path of
+    * scd2Merge. On a dimension stored `PARTITIONED BY (is_current)` this
+    * plan's only dim scan carries `is_current = true` as a partition
+    * filter, so closed history — the overwhelming bulk of an old
+    * dimension — is pruned at file-listing time, never read (asserted in
+    * MergeSpec; scd2Merge's full output additionally unions the history
+    * passthrough, which a full-table rewrite would re-copy anyway).
+    *
+    * Write protocol for the delta (what a production merge job runs):
+    * APPEND `filter(!is_current)` (the newly-closed versions) to the
+    * history partition; dynamic-partition-OVERWRITE the current
+    * partition with `filter(is_current)`. Merge cost is then
+    * |current| + |updates| in both read and write, independent of
+    * accumulated history — the property MergeSpec replays end-to-end. */
+  def scd2MergeDelta(
+      dim: DataFrame, updates: DataFrame, keyCol: String,
+      trackedCols: Seq[String], attrCols: Seq[String],
+      effectiveDate: String, endOfTime: String = "9999-12-31"): DataFrame = {
     require(trackedCols.nonEmpty, "scd2Merge needs at least one tracked column")
     val outCols: Seq[String] =
       (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
 
-    val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
     val current = dim.filter(col("is_current"))
 
     // SQL MERGE semantics: several update rows for one key is an error,
@@ -88,10 +112,8 @@ object Merge {
       when(hasC && (!hasU || !changed), array(keptRow))
         .when(hasC && hasU && changed, array(closedRow, openedRow))
         .otherwise(array(openedRow))
-    val merged = joined
+    joined
       .select(explode(versions).as("__v"))
       .select(outCols.map(n => col(s"__v.$n")): _*)
-
-    history.unionByName(merged)
   }
 }

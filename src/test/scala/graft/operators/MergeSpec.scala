@@ -80,6 +80,70 @@ class MergeSpec extends SparkSpecBase {
     assert(messages(ex).exists(_.contains("multiple update rows")), ex.toString)
   }
 
+  test("partitioned dimension: delta merge prunes to the current partition — closed rows never read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_dim").toString
+    dim.write.partitionBy("is_current").mode("overwrite").parquet(dir)
+
+    // 1) plan proof: every file scan in the delta plan carries is_current
+    //    as a PARTITION filter (pruned at listing time, not post-scan)
+    val delta = Merge.scd2MergeDelta(spark.read.schema(dim.schema).parquet(dir), updates, "k",
+      trackedCols = Seq("bal"), attrCols = Seq("name"),
+      effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+    // (string match: AQE's AdaptiveSparkPlanExec holds its input plan as
+    // a field, not a TreeNode child, so collect{} can't reach the scans)
+    val planStr = delta.queryExecution.executedPlan.toString
+    val dimScans = planStr.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(dir)).toSeq
+    assert(dimScans.nonEmpty, planStr)
+    dimScans.foreach { l =>
+      assert(l.contains("PartitionFilters: [isnotnull(is_current"),
+        s"dim scan without is_current partition filter:\n$l")
+    }
+
+    // 2) physical proof: delete the history partition's files outright —
+    //    the delta merge must not notice
+    val expectedDelta = delta.collect().map(_.toSeq).toSet
+    import scala.reflect.io.Directory
+    assert(new Directory(new java.io.File(s"$dir/is_current=false")).deleteRecursively())
+    val gutted = Merge.scd2MergeDelta(spark.read.schema(dim.schema).parquet(dir), updates, "k",
+      trackedCols = Seq("bal"), attrCols = Seq("name"),
+      effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+    assert(gutted.collect().map(_.toSeq).toSet === expectedDelta)
+  }
+
+  test("delta write protocol (append closed, overwrite current) reproduces the full merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_proto").toString
+    dim.write.partitionBy("is_current").mode("overwrite").parquet(dir)
+    val full = Merge.scd2Merge(dim, updates, "k",
+      trackedCols = Seq("bal"), attrCols = Seq("name"),
+      effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+      .collect().map(_.toSeq).toSet
+
+    // materialize the delta before touching the files it reads
+    val delta = Merge.scd2MergeDelta(spark.read.schema(dim.schema).parquet(dir), updates, "k",
+      trackedCols = Seq("bal"), attrCols = Seq("name"),
+      effectiveDate = "2024-06-01", endOfTime = "2099-12-31")
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // newly-closed versions append to history; the current partition is
+      // dynamically overwritten — history files are never rewritten
+      delta.filter(!col("is_current"))
+        .write.partitionBy("is_current").mode("append").parquet(dir)
+      delta.filter(col("is_current"))
+        .write.partitionBy("is_current").mode("overwrite").parquet(dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partitionBy writes is_current last; reorder to the dim column order
+    val readBack = spark.read.schema(dim.schema).parquet(dir)
+      .select(dim.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(readBack === full)
+  }
+
   test("exactly one current row per key after merge") {
     val out = Merge.scd2Merge(dim, updates, "k",
       trackedCols = Seq("bal"), attrCols = Seq("name"),
