@@ -144,6 +144,68 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(rows.length === 20, s"got ${rows.length} correlated pairs")
   }
 
+  test("checkpointed kill/restart: session state recovers, sink stays exactly-once, output equals batch") {
+    val events = spark.read.schema(SchemaRegistry.events.schema)
+      .json(s"$landing/*.jsonl")
+      .filter(col("user_id").isin("user_6", "user_7"))
+    val batch = StreamingIngest.sessionizeBatch(events, gapMinutes = 30).collect()
+      .map(r => (r.getAs[String]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events")))
+
+    // cut INSIDE a non-final session of user_6 (events sit at consecutive
+    // minutes, so start+90s leaves events on both sides): the session
+    // must be stitched together from state RESTORED across the restart
+    val u6 = batch.filter(_._1 === "user_6").sortBy(_._2)
+    val splitSession = u6(u6.length / 2)
+    val cutMs = splitSession._2 + 90 * 1000L
+    val cut = new java.sql.Timestamp(cutMs)
+    val ts = to_timestamp(col("timestamp"))
+    assert(events.filter(ts < cut && ts >= lit(new java.sql.Timestamp(splitSession._2))).count() > 0)
+    assert(events.filter(ts > cut && ts <= lit(new java.sql.Timestamp(splitSession._3))).count() > 0)
+
+    val srcDir = Files.createTempDirectory("graft-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(SchemaRegistry.events.schema).json(srcDir)
+      val q = StreamingIngest.sessionize(spark, stream, gapMinutes = 30)
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    // phase 1: only pre-cut events exist; query drains them and dies
+    events.filter(ts < cut).coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    // phase 2: the rest lands while the query is down; a NEW query on the
+    // same checkpoint+sink resumes from recovered offsets AND state
+    events.filter(ts >= cut).coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events")))
+    // exactly-once: no duplicate session rows across the restart
+    assert(emitted.length === emitted.toSet.size, "sink duplicated rows across restart")
+    // the cut session was reassembled whole from restored state
+    assert(emitted.toSet.contains(splitSession),
+      s"split session $splitSession not stitched; got ${emitted.toSet}")
+    // full equivalence with the batch anchor, minus each user's final
+    // session (held open on bounded input — same contract as the
+    // no-restart equality test)
+    val finals = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(emitted.toSet === batch.toSet -- finals,
+      "restarted stream must emit exactly the batch sessions minus held-open finals")
+  }
+
   test("streaming sessionize equals the batch window formulation (minus held-open finals)") {
     val events = spark.read.schema(SchemaRegistry.events.schema)
       .json(s"$landing/*.jsonl")
