@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter}
+import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter, NearestCenters}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -86,7 +86,35 @@ object GraftExtensions {
       NearestCenter(args.head, centers, cids)
     })
 
-  private val all = Seq(minhashFunction, dotFunction, maxMultFunction, nearestCenterFunction)
+  /** graft_nearest_centers(vec, centersLit, cidsLit, p): top-p variant
+    * for IVF probe-cell selection — same build-time literal unpacking as
+    * graft_nearest_center. */
+  private val nearestCentersFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nearest_centers"),
+    new ExpressionInfo(classOf[NearestCenters].getName, "graft_nearest_centers"),
+    (args: Seq[Expression]) => {
+      require(args.size == 4, "graft_nearest_centers(vec, centers, cids, p)")
+      val centers = args(1) match {
+        case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+          v.toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        case other => sys.error(
+          s"graft_nearest_centers centers must be an array<array<double>> literal, got $other")
+      }
+      val cids = args(2) match {
+        case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
+        case other => sys.error(
+          s"graft_nearest_centers cids must be an array<bigint> literal, got $other")
+      }
+      val p = args(3) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_nearest_centers p must be an int literal, got $other")
+      }
+      NearestCenters(args.head, centers, cids, p)
+    })
+
+  private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
+    nearestCenterFunction, nearestCentersFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

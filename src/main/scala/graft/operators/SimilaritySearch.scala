@@ -193,7 +193,8 @@ object SimilaritySearch {
     * `nBitsFor` does for LSH buckets. */
   def ivfNeighbors(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3): DataFrame = {
+      dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3,
+      literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms): DataFrame = {
     require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids)
     graft.GraftExtensions.register(corpus.sparkSession)
     // the nCentroids LOWEST ids — not `id < nCentroids`, which silently
@@ -205,17 +206,29 @@ object SimilaritySearch {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "empty corpus: no vectors to train the quantizer")
-    // per vector: centroid cells sorted by (similarity desc, cid asc);
-    // cell 0 is the home cell (membership), cells 0..nProbe-1 are probed
-    val cells = array_sort(array(cents.map { case (cid, c) =>
-      struct((-dot(col("v"), array(c.map(lit): _*))).as("negsim"),
-        lit(cid).as("cid"))
-    }: _*))
+    // per vector: the nProbe best cells by (similarity desc, cid asc);
+    // cell 0 is the home cell (membership), cells 0..nProbe-1 are probed.
+    // Composed-literal formulation below literalMaxTerms (oracle-
+    // expressible); above it the same top-p selection runs inside the
+    // native NearestCenters expression carrying the centroid matrix as
+    // one reference object — production IVF cell counts (10⁴–10⁵) would
+    // otherwise blow up the plan exactly like large-k k-means (see
+    // Clustering.LiteralAssignMaxTerms; bit-identical, differentially
+    // asserted in SimilaritySearchSpec).
+    val probedCids: Column =
+      if (cents.length.toLong * cents.head._2.length <= literalMaxTerms) {
+        val cells = array_sort(array(cents.map { case (cid, c) =>
+          struct((-dot(col("v"), array(c.map(lit): _*))).as("negsim"),
+            lit(cid).as("cid"))
+        }: _*))
+        transform(slice(cells, 1, nProbe), c => c.getField("cid"))
+      } else
+        call_function("graft_nearest_centers", col("v"),
+          typedLit(cents.map(_._2).toSeq), typedLit(cents.map(_._1).toSeq), lit(nProbe))
     val base = corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
       .select(col("id"), col("v"), norm(col("v")).as("nrm"),
-        posexplode(transform(slice(cells, 1, nProbe), c => c.getField("cid")))
-          .as(Seq("pidx", "bucket")))
+        posexplode(probedCids).as(Seq("pidx", "bucket")))
       .withColumn("is_member", col("pidx") === 0)
     val pairs = base
       .groupBy("bucket")

@@ -79,6 +79,31 @@ class SimilaritySearchSpec extends SparkSpecBase {
     assert(nonEmptyBoth.nonEmpty)
   }
 
+  test("native large-nCentroids probe path is bit-identical to the literal path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(maxTerms: Int): Set[(Long, Long, Double)] =
+      SimilaritySearch.ivfNeighbors(emb, "vec_id", "embedding",
+        dim = 64, nCentroids = 16, nProbe = 3, k = 3, literalMaxTerms = maxTerms)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos"))).toSet
+    assert(run(0) === run(Int.MaxValue))
+  }
+
+  test("large-nCentroids smoke: 1024 cells plan and run via the native path") {
+    // 1024·64 = 65536 terms — the composed formulation would sort 1024
+    // literal structs per row and stall in analysis/codegen
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val nn = SimilaritySearch.ivfNeighbors(emb, "vec_id", "embedding",
+      dim = 64, nCentroids = 1024, nProbe = 4, k = 3)
+    val n = nn.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(nn.groupBy("vec_id").count().agg(max("count")).collect()(0).getLong(0) <= 3)
+    assert(secs < 120, s"native large-nCentroids IVF took ${secs}s")
+  }
+
   test("multiple plane tables amplify recall without changing per-pair semantics") {
     val emb = Tables.embeddings(spark, sfDir)
     // ground truth top-1 for the first 15 vectors
