@@ -156,4 +156,30 @@ class PlanQualitySpec extends SparkSpecBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"$exchanges exchanges:\n$p")
   }
+
+  test("large-k kmeans: the native assignment path is STILL a pure projection") {
+    // the reference-object path must preserve every plan property the
+    // literal path is locked to above: no join, no window, no exchange —
+    // and the matrix must not leak into the rendered plan
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val p = graft.operators.Clustering.kmeansAssign(
+      emb, "vec_id", "embedding", k = 8, iters = 0, literalMaxTerms = 0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_nearest_center"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(p.length < 20000, s"plan rendering must stay O(1) in k, got ${p.length} chars")
+  }
+
+  test("large-nCentroids IVF: native probe path keeps the <=2-exchange contract") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val p = graft.operators.SimilaritySearch.ivfNeighbors(
+      emb, "vec_id", "embedding", dim = 64, nCentroids = 16, nProbe = 2, k = 3,
+      literalMaxTerms = 0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_nearest_centers"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
