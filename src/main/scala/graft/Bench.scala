@@ -103,10 +103,10 @@ object Bench {
     * cosine ≈ 0.41 median — no similarity structure to exploit), the
     * worst case for any ANN index, so the measured numbers are a LOWER
     * bound on real-corpus behavior. 8 LSH tables reach 0.90 there
-    * (4 reach 0.67); IVF needs nProbe=8 of ~16 cells for 0.76 — the
-    * standard IVF degradation on unclustered data (on the clustered
-    * smaller fixtures both sit at ≥ 0.97). Random-guess recall@3 at
-    * n=2000 is 0.0015. */
+    * (4 reach 0.67); IVF needs nProbe=8 of ~16 cells plus the 2-round
+    * Lloyd-refined quantizer for 0.81 (0.76 unrefined, the standard IVF
+    * degradation on unclustered data; on the clustered smaller fixtures
+    * both sit at ≥ 0.97). Random-guess recall@3 at n=2000 is 0.0015. */
   def measureRecall(spark: SparkSession, dir: String, k: Int = 3): Seq[(String, Double)] = {
     import graft.operators.{Dedup, Recall, SimilaritySearch}
     import graft.sources.Tables
@@ -123,7 +123,7 @@ object Bench {
       emb, "vec_id", "embedding", dim = 64, nBits = nBits, k = k, nTables = nTables)
     val ivf = SimilaritySearch.ivfNeighbors(
       emb, "vec_id", "embedding", dim = 64, nCentroids = nCents,
-      nProbe = math.min(8, nCents), k = k)
+      nProbe = math.min(8, nCents), k = k, refineIters = 2)
     val exactPairs = Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", threshold = 0.8,
       maxDocFreq = None, maxDocFreqFraction = None)

@@ -49,14 +49,40 @@ object Clustering {
     * the DuckDB oracle untouched. */
   val LiteralAssignMaxTerms = 4096
 
-  /** Assign every vector to one of `k` clusters after `iters` Lloyd
-    * update rounds. Returns (vec_id, cluster_id) where cluster_id is the
-    * seed vector's id. `literalMaxTerms` overrides the literal-vs-native
-    * assignment switchover (tests pin it to force either path). */
-  def kmeansAssign(
+  /** ½|c|² summed sequentially left-to-right — the same accumulation
+    * order as list_dot_product(c, c), so the oracle's runtime value is
+    * bit-identical to this plan literal. */
+  private[operators] def halfNormSq(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    0.5 * s
+  }
+
+  /** Nearest-centroid assignment column over a vector column `v` —
+    * cells ranked by (L2 score desc, cid asc); beyond literalMaxTerms
+    * the same argmax runs inside the native NearestCenter expression
+    * (matrix as one reference object — plan size O(1) in k),
+    * bit-identical by construction. */
+  private def assignCol(cs: Seq[(Long, Array[Double])], literalMaxTerms: Int): Column =
+    if (cs.size.toLong * cs.head._2.length <= literalMaxTerms) {
+      val cells = array_sort(array(cs.map { case (cid, c) =>
+        struct(
+          (-(dot(col("v"), array(c.toSeq.map(lit): _*)) - lit(halfNormSq(c))))
+            .as("negs"),
+          lit(cid).as("cid"))
+      }: _*))
+      element_at(cells, 1).getField("cid")
+    } else
+      call_function("graft_nearest_center", col("v"),
+        typedLit(cs.map(_._2.toSeq)), typedLit(cs.map(_._1)))
+
+  /** The trained centroids alone — seed (k lowest-id vectors) + `iters`
+    * Lloyd rounds. Shared by kmeansAssign and ivfNeighbors' refined
+    * quantizer; returned sorted by seed cid (ascending). */
+  def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2, roundDp: Int = 6,
-      literalMaxTerms: Int = LiteralAssignMaxTerms): DataFrame = {
+      literalMaxTerms: Int = LiteralAssignMaxTerms): Seq[(Long, Array[Double])] = {
     require(k >= 1 && iters >= 0 && roundDp >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)
     val e = corpus
@@ -70,34 +96,8 @@ object Clustering {
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, "empty corpus: no vectors to seed centroids")
 
-    // ½|c|² summed sequentially left-to-right — the same accumulation
-    // order as list_dot_product(c, c), so the oracle's runtime value is
-    // bit-identical to this plan literal
-    def halfNormSq(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      0.5 * s
-    }
-
-    // cells sorted by (score desc, cid asc) via (negated score, cid);
-    // beyond literalMaxTerms the same argmax runs inside the native
-    // NearestCenter expression (matrix as one reference object — plan
-    // size O(1) in k), bit-identical by construction
-    def assignCol(cs: Seq[(Long, Array[Double])]): Column =
-      if (cs.size.toLong * cs.head._2.length <= literalMaxTerms) {
-        val cells = array_sort(array(cs.map { case (cid, c) =>
-          struct(
-            (-(dot(col("v"), array(c.toSeq.map(lit): _*)) - lit(halfNormSq(c))))
-              .as("negs"),
-            lit(cid).as("cid"))
-        }: _*))
-        element_at(cells, 1).getField("cid")
-      } else
-        call_function("graft_nearest_center", col("v"),
-          typedLit(cs.map(_._2.toSeq)), typedLit(cs.map(_._1)))
-
     for (_ <- 1 to iters) {
-      val means = e.withColumn("cluster", assignCol(cents))
+      val means = e.withColumn("cluster", assignCol(cents, literalMaxTerms))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(roundFixed(avg(col("x")), roundDp).as("m"))
@@ -108,8 +108,23 @@ object Clustering {
         .toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    cents
+  }
 
-    e.select(col("id").as("vec_id"), assignCol(cents).as("cluster_id"))
+  /** Assign every vector to one of `k` clusters after `iters` Lloyd
+    * update rounds. Returns (vec_id, cluster_id) where cluster_id is the
+    * seed vector's id. `literalMaxTerms` overrides the literal-vs-native
+    * assignment switchover (tests pin it to force either path). */
+  def kmeansAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, roundDp: Int = 6,
+      literalMaxTerms: Int = LiteralAssignMaxTerms): DataFrame = {
+    val cents = kmeansCentroids(
+      corpus, idCol, vecCol, k, iters, roundDp, literalMaxTerms)
+    corpus
+      .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("id").as("vec_id"),
+        assignCol(cents, literalMaxTerms).as("cluster_id"))
   }
 
   /** Cluster assignment plus per-cluster size and the member's rank by

@@ -194,18 +194,36 @@ object SimilaritySearch {
   def ivfNeighbors(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3,
-      literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms): DataFrame = {
+      literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
+      refineIters: Int = 0): DataFrame = {
     require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids)
+    require(refineIters >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)
-    // the nCentroids LOWEST ids — not `id < nCentroids`, which silently
-    // under-trains on any corpus whose ids don't start at 0
-    val cents: Array[(Long, Seq[Double])] = corpus
-      .select(col(idCol).cast("long").as("cid"), asDoubles(col(vecCol)).as("c"))
-      .orderBy("cid").limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    // Quantizer: refineIters=0 is the oracle-gated legacy surface — a
+    // deterministic corpus sample ranked by raw inner product.
+    // refineIters>0 runs Lloyd rounds over the sample (Clustering
+    // .kmeansCentroids — the standard IVF train step) and ranks cells by
+    // L2 via the augmented-dimension trick: centroid c becomes
+    // (c, −½|c|²) and every vector gets a constant 1.0 component, so
+    // dot(v', c') = v·c − ½|c|² with the identical plan shape in both
+    // the literal and native paths (refined centroids are means with
+    // varying norms — raw dot would bias probing toward long centroids).
+    val cents: Array[(Long, Seq[Double])] =
+      if (refineIters > 0)
+        Clustering.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
+          .map { case (cid, c) => (cid, (c :+ -Clustering.halfNormSq(c)).toSeq) }
+          .toArray
+      else corpus
+        // the nCentroids LOWEST ids — not `id < nCentroids`, which
+        // silently under-trains on any corpus whose ids don't start at 0
+        .select(col(idCol).cast("long").as("cid"), asDoubles(col(vecCol)).as("c"))
+        .orderBy("cid").limit(nCentroids)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     require(cents.nonEmpty, "empty corpus: no vectors to train the quantizer")
+    val rankVec: Column =
+      if (refineIters > 0) concat(col("v"), array(lit(1.0))) else col("v")
     // per vector: the nProbe best cells by (similarity desc, cid asc);
     // cell 0 is the home cell (membership), cells 0..nProbe-1 are probed.
     // Composed-literal formulation below literalMaxTerms (oracle-
@@ -218,12 +236,12 @@ object SimilaritySearch {
     val probedCids: Column =
       if (cents.length.toLong * cents.head._2.length <= literalMaxTerms) {
         val cells = array_sort(array(cents.map { case (cid, c) =>
-          struct((-dot(col("v"), array(c.map(lit): _*))).as("negsim"),
+          struct((-dot(rankVec, array(c.map(lit): _*))).as("negsim"),
             lit(cid).as("cid"))
         }: _*))
         transform(slice(cells, 1, nProbe), c => c.getField("cid"))
       } else
-        call_function("graft_nearest_centers", col("v"),
+        call_function("graft_nearest_centers", rankVec,
           typedLit(cents.map(_._2).toSeq), typedLit(cents.map(_._1).toSeq), lit(nProbe))
     val base = corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))

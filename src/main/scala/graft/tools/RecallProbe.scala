@@ -44,12 +44,12 @@ object RecallProbe {
             emb, "vec_id", "embedding", dim = 64, nBits = bits, k = k, nTables = nT), truth)
           println(f"  lsh bits=$bits%2d (tgt=$tgt) tables=$nT%2d  recall=$r%.4f")
         }
-        for (tgt <- Seq(128, 256); nP <- Seq(4, 8)) {
+        for (tgt <- Seq(128, 256); nP <- Seq(4, 8); refine <- Seq(0, 2)) {
           val nc = SimilaritySearch.nCentroidsFor(n, tgt)
           val r = Recall.recallAtK(SimilaritySearch.ivfNeighbors(
             emb, "vec_id", "embedding", dim = 64, nCentroids = nc,
-            nProbe = math.min(nP, nc), k = k), truth)
-          println(f"  ivf cells=$nc%3d (tgt=$tgt) probe=${math.min(nP, nc)}%2d  recall=$r%.4f")
+            nProbe = math.min(nP, nc), k = k, refineIters = refine), truth)
+          println(f"  ivf cells=$nc%3d (tgt=$tgt) probe=${math.min(nP, nc)}%2d refine=$refine  recall=$r%.4f")
         }
         truth.unpersist()
       }

@@ -16,7 +16,8 @@ import graft.SparkSpecBase
   *
   * Measured at the posture under test (sweep, 2026-08):
   *   lsh nTables=1 0.24 · nTables=4 0.67 · nTables=8 0.90
-  *   ivf nProbe=4 0.51 · nProbe=8 0.76 · minhash-vs-exact(0.8) 1.00
+  *   ivf nProbe=8: 0.76 sampled quantizer, 0.81 Lloyd-refined (the
+  *   bench posture, refineIters=2) · minhash-vs-exact(0.8) 1.00
   */
 class RecallSpec extends SparkSpecBase {
 

@@ -104,6 +104,22 @@ class SimilaritySearchSpec extends SparkSpecBase {
     assert(secs < 120, s"native large-nCentroids IVF took ${secs}s")
   }
 
+  test("refined quantizer: deterministic, partitioning-invariant, k-bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      SimilaritySearch.ivfNeighbors(df, "vec_id", "embedding",
+        dim = 64, nCentroids = 8, nProbe = 2, k = 3, refineIters = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos"))).toSet
+    val a = run(emb)
+    assert(a.nonEmpty)
+    assert(a.groupBy(_._1).values.forall(_.size <= 3))
+    // Lloyd rounds collect + re-broadcast centroids, so the refined
+    // quantizer must stay partitioning-invariant like everything else
+    assert(run(emb.repartition(13)) === a)
+  }
+
   test("multiple plane tables amplify recall without changing per-pair semantics") {
     val emb = Tables.embeddings(spark, sfDir)
     // ground truth top-1 for the first 15 vectors
