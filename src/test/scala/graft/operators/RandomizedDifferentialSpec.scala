@@ -229,4 +229,43 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     val naive = parent.keys.map(x => x -> find(x)).toMap
     assert(got === naive)
   }
+
+  test("NearestCenter(s) equal the naive argmax/top-p, including deliberate score ties") {
+    val rnd = new scala.util.Random(0xCE27)
+    val dim = 5; val nCents = 9; val p = 3
+    // duplicated centroid vectors under distinct cids force exact score
+    // ties — the tie must resolve to the SMALLER cid in both expressions
+    val base = Array.fill(nCents - 3)(Array.fill(dim)(rnd.nextGaussian()))
+    val cents: Seq[(Long, Array[Double])] =
+      (base ++ Array(base(0).clone(), base(1).clone(), base(2).clone()))
+        .zipWithIndex.map { case (c, i) => (i.toLong * 7, c) }.sortBy(_._1)
+    val vecs = (0L until 200L).map(i => i -> Array.fill(dim)(rnd.nextGaussian()))
+    graft.GraftExtensions.register(spark)
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val gotNearest = df.select(col("id"),
+      call_function("graft_nearest_center", col("v"),
+        typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotTop = df.select(col("id"),
+      call_function("graft_nearest_centers", col("v"),
+        typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1)), lit(p)).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    def l2Scores(v: Array[Double]) = cents.map { case (cid, c) =>
+      val dot = c.indices.foldLeft(0.0)((s, j) => s + v(j) * c(j))
+      val hn = 0.5 * c.indices.foldLeft(0.0)((s, j) => s + c(j) * c(j))
+      (-(dot - hn), cid) // ascending sort = score desc, cid asc on ties
+    }.sorted
+    def dotScores(v: Array[Double]) = cents.map { case (cid, c) =>
+      (-c.indices.foldLeft(0.0)((s, j) => s + v(j) * c(j)), cid)
+    }.sorted
+    vecs.foreach { case (i, v) =>
+      assert(gotNearest(i) === l2Scores(v).head._2, s"vec $i (L2 argmax)")
+      assert(gotTop(i) === dotScores(v).take(p).map(_._2).toList, s"vec $i (dot top-$p)")
+    }
+    // ties actually exercised: some vector must pick a duplicated centroid
+    val dupCids = cents.groupBy(_._2.toSeq).values.filter(_.size > 1)
+      .flatMap(_.map(_._1)).toSet
+    assert(vecs.exists { case (i, _) => dupCids.contains(gotNearest(i)) })
+  }
 }
