@@ -79,6 +79,22 @@ class ClusteringSpec extends SparkSpecBase {
     assert(secs < 120, s"native large-k assignment took ${secs}s")
   }
 
+  test("SemDeDup at production k: native large-k assignment composes with the cluster cap") {
+    // k=256·dim=64 = 16384 terms — the native path — feeding the same
+    // capPerGroup the gated ds_semantic_cap uses at k=8: the SemDeDup
+    // regime the literal formulation could not reach
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val clusters = Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 256, iters = 1)
+    val capped = Sampling.capPerGroup(
+      clusters, "vec_id", "cluster_id", maxPerGroup = 4, salt = "semcap")
+    val perCluster = capped.groupBy("cluster_id").count().collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) <= 4))
+    assert(perCluster.map(_.getLong(1)).sum <= 256L * 4)
+    assert(secs < 180, s"production-k SemDeDup pass took ${secs}s")
+  }
+
   test("kmeansWithSizes sizes sum to the corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Clustering.kmeansWithSizes(emb, "vec_id", "embedding", k = 4, iters = 1)
