@@ -50,7 +50,8 @@ object StreamingDedup {
       timeCol: String = "timestamp", horizonMinutes: Int = 10,
       n: Int = Dedup.DefaultShingleN, k: Int = Dedup.DefaultMinhashK,
       bands: Int = Dedup.DefaultMinhashBands,
-      threshold: Double = Dedup.DefaultMinhashThreshold): DataFrame = {
+      threshold: Double = Dedup.DefaultMinhashThreshold,
+      fast: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     require(horizonMinutes >= 1)
     import spark.implicits._
@@ -69,8 +70,10 @@ object StreamingDedup {
         tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("event_time"),
+        // `fast` swaps md5 for xxhash64 exactly like the batch operator
+        // (the production mode when no cross-engine anchor is needed)
         call_function("graft_minhash",
-          shinglesFromTokens(col("toks"), n), lit(k), lit(false)).as("sig"))
+          shinglesFromTokens(col("toks"), n), lit(k), lit(fast)).as("sig"))
       .select(col("doc_id"), col("event_time"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), i =>
           concat(i.cast("string"), lit(":"),
