@@ -537,6 +537,78 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** ss_recall_lsh — retrieval QUALITY under the cross-engine gate: the
+    * recall@3 of the LSH index against exact brute-force ground truth,
+    * both computed in-plan, reduced to one row (hits, total, recall).
+    * Because signatures, cosines and tie orders are bit-identical
+    * cross-engine, the recall METRIC itself must hash-match — the
+    * oracle doesn't just replay the index, it certifies the measured
+    * quality number (RecallSpec asserts posture floors at sf0.1; this
+    * gates the measurement machinery at sf0.01). Truth is the full
+    * query set (every vector): at gate scale the quadratic brute force
+    * is cheap, and the metric needs no sampling error. nBits is pinned
+    * to nBitsFor(500) = 1 — the corpus-scaled bucket rule at gate
+    * scale — so the gated number is a representative single-table
+    * recall, not an over-bucketed fixture artifact (the oracle text is
+    * static, so the SAME literal plane is used at any SF the gate runs
+    * at; the hash match is SF-independent). */
+  val ssRecallLsh: Q = (s, dir) => {
+    import graft.operators.{Recall, SimilaritySearch}
+    val emb = Tables.embeddings(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = SimilaritySearch.lshNeighbors(
+      emb, "vec_id", "embedding", dim = 64, nBits = 1, k = 3)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+    val hits = truth.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = truth.agg(count(lit(1)).as("total_truth"))
+    hits.crossJoin(total)
+      .select(col("hits"), col("total_truth"),
+        (col("hits").cast("double") / col("total_truth")).as("recall"))
+  }
+
+  val ssRecallLshOracle: String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    val bucket = hyperplaneBitsSql("v", hyperplanes(1, 64))
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), bf AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |), bfr AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM bf
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM bfr WHERE rn <= 3
+       |), b AS (
+       |  SELECT vec_id, v, $bucket AS bucket FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM p
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM r WHERE rn <= 3
+       |), h AS (
+       |  SELECT count(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |                WHERE a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id)
+       |), tot AS (
+       |  SELECT count(*) AS total_truth FROM truth
+       |)
+       |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS recall
+       |FROM h, tot""".stripMargin
+  }
+
   /** op_salted_agg — two-phase salted aggregation (operators.Skew) under
     * the cross-engine gate: the salted decomposition must be EXACTLY the
     * plain GROUP BY (sums go through decimal, so partial-merge order
@@ -1345,6 +1417,7 @@ object TrainingDataQueries {
     "ta_fingerprint" -> taFingerprint,
     "ss_topk_cosine" -> ssTopkCosine,
     "ss_ann_lsh" -> ssAnnLsh,
+    "ss_recall_lsh" -> ssRecallLsh,
     "ss_ann_ivf" -> ssAnnIvf)
 
   val oracles: Map[String, String] = Map(
@@ -1386,5 +1459,6 @@ object TrainingDataQueries {
     "ta_fingerprint" -> taFingerprintOracle,
     "ss_topk_cosine" -> ssTopkCosineOracle,
     "ss_ann_lsh" -> ssAnnLshOracle,
+    "ss_recall_lsh" -> ssRecallLshOracle,
     "ss_ann_ivf" -> ssAnnIvfOracle)
 }
