@@ -257,6 +257,50 @@ object TrainingDataQueries {
        |WHERE est_jaccard >= ${Dedup.DefaultMinhashThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd_recall_minhash — MinHash dedup QUALITY under the cross-engine
+    * gate: pair-level recall of the banded MinHash pipeline against the
+    * exact n-gram Jaccard pair graph at the 0.8 near-duplicate bar (the
+    * regime the k=64/bands=16 S-curve is tuned to catch), reduced to one
+    * (hits, total, pair_recall) row. Truth runs with the skew guard OFF
+    * (the exact graph, not the pruned production one) so the metric is
+    * against ground truth, and both engines recompute the identical
+    * signatures — the measured recall number itself must hash-match. */
+  val ddRecallMinhash: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxDocFreq = None, maxDocFreqFraction = None)
+      .select("doc_a", "doc_b")
+    val found = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val hits = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = truth.agg(count(lit(1)).as("total_truth"))
+    hits.crossJoin(total)
+      .select(col("hits"), col("total_truth"),
+        (col("hits").cast("double") / col("total_truth")).as("pair_recall"))
+  }
+
+  val ddRecallMinhashOracle: String =
+    s"""$minhashOraclePrefix,
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8
+       |), found AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE est_jaccard >= ${Dedup.DefaultMinhashThreshold}
+       |), h AS (
+       |  SELECT count(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM found f
+       |                WHERE f.doc_a = t.doc_a AND f.doc_b = t.doc_b)
+       |), tot AS (
+       |  SELECT count(*) AS total_truth FROM truth
+       |)
+       |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS pair_recall
+       |FROM h, tot""".stripMargin
+
   /** dd_minhash_verified — LSH candidates (permissive est ≥ 0.3 cut)
     * re-ranked by exact shingle Jaccard (≥ 0.5). Oracle-gated like
     * dd_minhash. */
@@ -797,7 +841,9 @@ object TrainingDataQueries {
       dim = 64, nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
       .orderBy("vec_id", "neighbor_id")
 
-  val ssAnnIvfOracle: String =
+  /** Shared IVF oracle CTEs, ending in `r` (vec_id, neighbor_id, cos,
+    * rn) — used by both the index gate and the recall gate. */
+  private def ivfOracleCtes: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), cents AS (
@@ -821,9 +867,58 @@ object TrainingDataQueries {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos DESC, neighbor_id ASC) AS rn
        |  FROM cand
-       |)
+       |)""".stripMargin
+
+  val ssAnnIvfOracle: String =
+    s"""$ivfOracleCtes
        |SELECT vec_id, neighbor_id, cos FROM r WHERE rn <= $IvfK
        |ORDER BY vec_id, neighbor_id""".stripMargin
+
+  /** ss_recall_ivf — IVF retrieval quality under the cross-engine gate
+    * (same design as ss_recall_lsh): recall@k of the gated IVF config
+    * vs in-plan brute-force truth, one (hits, total, recall) row. */
+  val ssRecallIvf: Q = (s, dir) => {
+    import graft.operators.{Recall, SimilaritySearch}
+    val emb = Tables.embeddings(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = SimilaritySearch.ivfNeighbors(
+      emb, "vec_id", "embedding", dim = 64,
+      nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+    val hits = truth.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = truth.agg(count(lit(1)).as("total_truth"))
+    hits.crossJoin(total)
+      .select(col("hits"), col("total_truth"),
+        (col("hits").cast("double") / col("total_truth")).as("recall"))
+  }
+
+  val ssRecallIvfOracle: String =
+    s"""$ivfOracleCtes,
+       |bf AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |), bfr AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM bf
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM bfr WHERE rn <= $IvfK
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM r WHERE rn <= $IvfK
+       |), h AS (
+       |  SELECT count(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |                WHERE a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id)
+       |), tot AS (
+       |  SELECT count(*) AS total_truth FROM truth
+       |)
+       |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS recall
+       |FROM h, tot""".stripMargin
 
   /** mm_features — multimodal binary columns with a REAL decode: image
     * rows are well-formed 24bpp BMPs and audio rows PCM-8 WAVs (built by
@@ -1418,6 +1513,8 @@ object TrainingDataQueries {
     "ss_topk_cosine" -> ssTopkCosine,
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_recall_lsh" -> ssRecallLsh,
+    "ss_recall_ivf" -> ssRecallIvf,
+    "dd_recall_minhash" -> ddRecallMinhash,
     "ss_ann_ivf" -> ssAnnIvf)
 
   val oracles: Map[String, String] = Map(
@@ -1460,5 +1557,7 @@ object TrainingDataQueries {
     "ss_topk_cosine" -> ssTopkCosineOracle,
     "ss_ann_lsh" -> ssAnnLshOracle,
     "ss_recall_lsh" -> ssRecallLshOracle,
+    "ss_recall_ivf" -> ssRecallIvfOracle,
+    "dd_recall_minhash" -> ddRecallMinhashOracle,
     "ss_ann_ivf" -> ssAnnIvfOracle)
 }
