@@ -1296,6 +1296,29 @@ object TrainingDataQueries {
        |ORDER BY zkey, o_orderkey""".stripMargin
   }
 
+  /** op_zorder3 — the n-column fold (round-robin interleave, bit i of
+    * column j at position i·n+j) hash-locked on lineitem's three keys;
+    * 3·ZBits3 = 45 bits. The 2-column gate above pins the classic
+    * interleave; this pins the generalization LayoutSpec layout-tests. */
+  private val ZBits3 = 15
+
+  val opZorder3: Q = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      graft.operators.Layout.zorderKey(
+        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")), ZBits3).as("zkey"))
+      .orderBy("zkey", "l_orderkey", "l_linenumber")
+
+  val opZorder3Oracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val zTerms = (for { i <- 0 until ZBits3; (c, j) <- cols.zipWithIndex }
+      yield s"((($c >> $i) & 1) << ${i * 3 + j})").mkString(" + ")
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       |  CAST($zTerms AS BIGINT) AS zkey
+       |FROM lineitem
+       |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** ds_weighted — weighted sampling without replacement (Sampling
     * .weightedSampleByKey): 50 documents drawn with probability ∝
     * n_chars (importance sampling by length/quality weight). */
@@ -1476,6 +1499,7 @@ object TrainingDataQueries {
   val queries: Map[String, Q] = Map(
     "ta_vocab" -> taVocab,
     "op_zorder" -> opZorder,
+    "op_zorder3" -> opZorder3,
     "ds_cap_per_group" -> dsCapPerGroup,
     "ds_weighted" -> dsWeighted,
     "ds_semantic_cap" -> dsSemanticCap,
@@ -1520,6 +1544,7 @@ object TrainingDataQueries {
   val oracles: Map[String, String] = Map(
     "ta_vocab" -> taVocabOracle,
     "op_zorder" -> opZorderOracle,
+    "op_zorder3" -> opZorder3Oracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
     "ds_weighted" -> dsWeightedOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
