@@ -38,7 +38,7 @@ object Bench {
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled",
     "cl_kmeans", "ta_tfidf", "ss_bm25",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
-    "ta_vocab", "op_zorder", "ds_cap_per_group", "ds_semantic_cap",
+    "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
     "ft_normalize", "tp_chunk", "ds_weighted")
 
   /** Bench-only variants, outside the driver correctness gate:
