@@ -20,6 +20,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# optional third arg: comma-separated query names to skip (the
+# quadratic-oracle set when cross-checking at sf0.1)
+skip = set(filter(None, (sys.argv[3] if len(sys.argv) > 3 else "").split(",")))
 n_pass = n_fail = 0
 
 
@@ -47,6 +50,9 @@ def norm(col):
 
 
 for name in sorted(oracle):
+    if name in skip:
+        print(f"SKIP {name}")
+        continue
     sql = oracle[name]
     try:
         sdf = pd.read_parquet(f"{out}/{name}")
