@@ -581,6 +581,54 @@ object TrainingDataQueries {
 
   val ssAnnLshOracle: String = lshOracle(nBits = 6, k = 3)
 
+  /** ss_ann_lsh_multi — the multi-table recall-amplified LSH path under
+    * the cross-engine gate (previously the one ANN path anchored only by
+    * the randomized differential spec): a pair is a candidate if it
+    * collides in ANY of the plane tables; duplicate candidates collapse
+    * (identical cosine from the same vectors) and the per-vector top-k
+    * uses the same (cos DESC, neighbor ASC) order the single-table gate
+    * pins. Spark bounds the top-k map-side via TopKAggregator; the
+    * oracle's DISTINCT + row_number is the closed form of the same
+    * result. */
+  private val LshMultiTables = 2
+
+  val ssAnnLshMulti: Q = (s, dir) =>
+    SimilaritySearch.lshNeighbors(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, nBits = 6, k = 3, nTables = LshMultiTables)
+      .orderBy("vec_id", "neighbor_id")
+
+  val ssAnnLshMultiOracle: String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    // per-table planes draw from the same disjoint splitmix64 ranges the
+    // Spark operator uses (seed + t·2^48)
+    val buckets = (0 until LshMultiTables).map { t =>
+      hyperplaneBitsSql("v", hyperplanes(6, 64, seed = 0x5CA1AB1EL + t * 0x1000000000000L))
+    }
+    val bucketCols = buckets.zipWithIndex
+      .map { case (b, t) => s"$b AS b$t" }.mkString(", ")
+    val anyCollision = (0 until LshMultiTables)
+      .map(t => s"a.b$t = c.b$t").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v,
+       |    $bucketCols
+       |  FROM e
+       |), p AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM b a JOIN b c ON ($anyCollision) AND a.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM p
+       |)
+       |SELECT vec_id, neighbor_id, cos FROM r WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
   /** ss_recall_lsh — retrieval QUALITY under the cross-engine gate: the
     * recall@3 of the LSH index against exact brute-force ground truth,
     * both computed in-plan, reduced to one row (hits, total, recall).
@@ -1536,6 +1584,7 @@ object TrainingDataQueries {
     "ta_fingerprint" -> taFingerprint,
     "ss_topk_cosine" -> ssTopkCosine,
     "ss_ann_lsh" -> ssAnnLsh,
+    "ss_ann_lsh_multi" -> ssAnnLshMulti,
     "ss_recall_lsh" -> ssRecallLsh,
     "ss_recall_ivf" -> ssRecallIvf,
     "dd_recall_minhash" -> ddRecallMinhash,
@@ -1581,6 +1630,7 @@ object TrainingDataQueries {
     "ta_fingerprint" -> taFingerprintOracle,
     "ss_topk_cosine" -> ssTopkCosineOracle,
     "ss_ann_lsh" -> ssAnnLshOracle,
+    "ss_ann_lsh_multi" -> ssAnnLshMultiOracle,
     "ss_recall_lsh" -> ssRecallLshOracle,
     "ss_recall_ivf" -> ssRecallIvfOracle,
     "dd_recall_minhash" -> ddRecallMinhashOracle,
