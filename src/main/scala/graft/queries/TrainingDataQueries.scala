@@ -889,6 +889,15 @@ object TrainingDataQueries {
       dim = 64, nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
       .orderBy("vec_id", "neighbor_id")
 
+  /** ss_ann_ivf_native — the SAME IVF against the SAME oracle with the
+    * NearestCenters top-p probe path forced (see cl_kmeans_native). */
+  val ssAnnIvfNative: Q = (s, dir) =>
+    SimilaritySearch.ivfNeighbors(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK,
+      literalMaxTerms = 0)
+      .orderBy("vec_id", "neighbor_id")
+
   /** Shared IVF oracle CTEs, ending in `r` (vec_id, neighbor_id, cos,
     * rn) — used by both the index gate and the recall gate. */
   private def ivfOracleCtes: String =
@@ -1093,6 +1102,17 @@ object TrainingDataQueries {
     graft.operators.Clustering.kmeansAssign(
       Tables.embeddings(s, dir), "vec_id", "embedding",
       k = KmK, iters = KmIters, roundDp = KmRound)
+      .orderBy("vec_id")
+
+  /** cl_kmeans_native — the SAME k-means against the SAME oracle, with
+    * the reference-object NearestCenter path forced (literalMaxTerms=0):
+    * the large-k codegen'd expression itself must hash-match DuckDB, not
+    * just the composed-literal formulation it is differentially tested
+    * against. */
+  val clKmeansNative: Q = (s, dir) =>
+    graft.operators.Clustering.kmeansAssign(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmK, iters = KmIters, roundDp = KmRound, literalMaxTerms = 0)
       .orderBy("vec_id")
 
   /** Shared DuckDB CTE prefix computing the k-means assignment (`asg`:
@@ -1555,6 +1575,7 @@ object TrainingDataQueries {
     "tp_chunk" -> tpChunk,
     "tp_decontaminated" -> tpDecontaminated,
     "cl_kmeans" -> clKmeans,
+    "cl_kmeans_native" -> clKmeansNative,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
     "tp_shuffle" -> tpShuffle,
@@ -1588,7 +1609,8 @@ object TrainingDataQueries {
     "ss_recall_lsh" -> ssRecallLsh,
     "ss_recall_ivf" -> ssRecallIvf,
     "dd_recall_minhash" -> ddRecallMinhash,
-    "ss_ann_ivf" -> ssAnnIvf)
+    "ss_ann_ivf" -> ssAnnIvf,
+    "ss_ann_ivf_native" -> ssAnnIvfNative)
 
   val oracles: Map[String, String] = Map(
     "ta_vocab" -> taVocabOracle,
@@ -1601,6 +1623,7 @@ object TrainingDataQueries {
     "tp_chunk" -> tpChunkOracle,
     "tp_decontaminated" -> tpDecontaminatedOracle,
     "cl_kmeans" -> clKmeansOracle,
+    "cl_kmeans_native" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
     "tp_shuffle" -> tpShuffleOracle,
@@ -1634,5 +1657,6 @@ object TrainingDataQueries {
     "ss_recall_lsh" -> ssRecallLshOracle,
     "ss_recall_ivf" -> ssRecallIvfOracle,
     "dd_recall_minhash" -> ddRecallMinhashOracle,
-    "ss_ann_ivf" -> ssAnnIvfOracle)
+    "ss_ann_ivf" -> ssAnnIvfOracle,
+    "ss_ann_ivf_native" -> ssAnnIvfOracle)
 }
