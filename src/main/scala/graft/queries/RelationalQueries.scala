@@ -642,6 +642,35 @@ object RelationalQueries {
       |ORDER BY order_date""".stripMargin
 
   /** Name → query map consumed by SparkEntry. */
+  /** q23 — exact percentile aggregation (median / p90 / p99 per group),
+    * beyond the reference's surface but a standard OLAP op. Spark's
+    * `percentile` and DuckDB's `quantile_cont` are both exact
+    * sort-and-interpolate; their interpolation formulas differ in FP
+    * term order, so both sides go through roundFixed(6) (the shared
+    * cross-engine fixed-point idiom) — the oracle gate, not the
+    * rounding, certifies the concrete values. */
+  val q23Percentiles: Q = (s, dir) => {
+    import graft.functions.VectorFunctions.roundFixed
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        roundFixed(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        roundFixed(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        roundFixed(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q23Oracle: String =
+    """SELECT l_returnflag,
+      |  floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+      |  floor(quantile_cont(l_extendedprice, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+      |  floor(quantile_cont(l_extendedprice, 0.99) * 1e6 + 0.5) / 1e6 AS p99,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -664,11 +693,13 @@ object RelationalQueries {
     "q19_json_extract" -> q19JsonExtract,
     "q20_window_running" -> q20WindowRunning,
     "q21_asof_join" -> q21AsOfJoin,
-    "q22_range_join" -> q22RangeJoin)
+    "q22_range_join" -> q22RangeJoin,
+    "q23_percentiles" -> q23Percentiles)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
     "q22_range_join" -> q22Oracle,
+    "q23_percentiles" -> q23Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,
