@@ -642,6 +642,54 @@ object RelationalQueries {
       |ORDER BY order_date""".stripMargin
 
   /** Name → query map consumed by SparkEntry. */
+  /** q24 — CUBE aggregation: all 2^n grouping combinations of
+    * (returnflag, linestatus), the full-lattice sibling of q15's rollup.
+    * Decimal-cast sums per the cross-engine convention. */
+  val q24Cube: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  val q24Oracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** q25 — PIVOT: wide per-linestatus revenue columns via the DataFrame
+    * pivot API (explicit value list, so the plan is a single pass with
+    * no distinct-values pre-query); the oracle is the conditional-
+    * aggregation closed form. */
+  val q25Pivot: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(asDouble(sum(dec2(col("l_extendedprice")))))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("rev_f"),
+        coalesce(col("O"), lit(0.0)).as("rev_o"))
+      .orderBy("l_returnflag")
+
+  val q25Oracle: String =
+    """SELECT l_returnflag,
+      |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS rev_f,
+      |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS rev_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q23 — exact percentile aggregation (median / p90 / p99 per group),
     * beyond the reference's surface but a standard OLAP op. Spark's
     * `percentile` and DuckDB's `quantile_cont` are both exact
@@ -694,12 +742,16 @@ object RelationalQueries {
     "q20_window_running" -> q20WindowRunning,
     "q21_asof_join" -> q21AsOfJoin,
     "q22_range_join" -> q22RangeJoin,
-    "q23_percentiles" -> q23Percentiles)
+    "q23_percentiles" -> q23Percentiles,
+    "q24_cube" -> q24Cube,
+    "q25_pivot" -> q25Pivot)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
     "q22_range_join" -> q22Oracle,
     "q23_percentiles" -> q23Oracle,
+    "q24_cube" -> q24Oracle,
+    "q25_pivot" -> q25Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,
