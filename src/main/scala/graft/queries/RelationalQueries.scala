@@ -691,21 +691,47 @@ object RelationalQueries {
       |ORDER BY l_returnflag""".stripMargin
 
   /** q23 — exact percentile aggregation (median / p90 / p99 per group),
-    * beyond the reference's surface but a standard OLAP op. Spark's
-    * `percentile` and DuckDB's `quantile_cont` are both exact
-    * sort-and-interpolate; their interpolation formulas differ in FP
-    * term order, so both sides go through roundFixed(6) (the shared
-    * cross-engine fixed-point idiom) — the oracle gate, not the
-    * rounding, certifies the concrete values. */
+    * beyond the reference's surface but a standard OLAP op.
+    *
+    * Deliberately NOT Spark's `percentile` aggregate: that collects a
+    * per-group value buffer (ObjectHashAggregate) — 3.7s at sf0.1 and an
+    * OOM at 100 TB group sizes. This is the sort-based closed form: one
+    * window rank per group (a sort-shuffle, spillable at any scale),
+    * keep only the 2 boundary ranks per requested percentile, then
+    * linear interpolation `lo + (hi − lo)·frac` — the same formula as
+    * DuckDB's quantile_cont, with both sides through roundFixed(6) (the
+    * shared fixed-point idiom) so FP term-order differences collapse;
+    * the oracle gate certifies the concrete values. */
   val q23Percentiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.roundFixed
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        roundFixed(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        roundFixed(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        roundFixed(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
-        count(lit(1)).as("n"))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+    // row_number ties on equal x are arbitrary, but the rank→value map
+    // over a sorted multiset is deterministic regardless
+    val ranked = l.withColumn("rn",
+      row_number().over(Window.partitionBy("rf").orderBy("x")))
+    val marks = l.groupBy("rf").agg(count(lit(1)).as("n"))
+      .select(col("rf") +: col("n") +: ps.map { case (p, nm) =>
+        floor((col("n") - 1) * lit(p)).cast("long").as(s"lo_$nm") }: _*)
+    val needed = ps.map { case (_, nm) =>
+      col("rn") === col(s"lo_$nm") + 1 || col("rn") === col(s"lo_$nm") + 2 }
+      .reduce(_ || _)
+    def interp(p: Double, nm: String): Column = {
+      val frac = (col("n") - 1) * lit(p) - col(s"lo_$nm").cast("double")
+      val vlo = max(when(col("rn") === col(s"lo_$nm") + 1, col("x")))
+      val vhi = max(when(col("rn") === col(s"lo_$nm") + 2, col("x")))
+      roundFixed(vlo + (coalesce(vhi, vlo) - vlo) * frac, 6).as(nm)
+    }
+    ranked.join(broadcast(marks), "rf")
+      .filter(needed)
+      // lo_* are functions of rf; grouping by them keeps the frac terms
+      // legal outside aggregate functions
+      .groupBy(col("rf").as("l_returnflag"), col("n"),
+        col("lo_p50"), col("lo_p90"), col("lo_p99"))
+      .agg(interp(0.5, "p50"), interp(0.9, "p90"), interp(0.99, "p99"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"), col("n"))
       .orderBy("l_returnflag")
   }
 
