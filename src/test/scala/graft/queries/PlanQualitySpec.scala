@@ -157,6 +157,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges === 1, s"$exchanges exchanges:\n$p")
   }
 
+  test("q23/q24/q25: sort-based percentiles (no value buffer), partial cube, single-pass pivot") {
+    val p23 = plan("q23_percentiles")
+    // the percentile AGGREGATE collects a per-group buffer — q23 must
+    // stay the window-rank formulation (spillable at any group size)
+    assert(!p23.contains("ObjectHashAggregate"), p23)
+    assert(p23.contains("Window"), p23)
+    val p24 = plan("q24_cube")
+    assert(p24.contains("Expand"), p24)
+    assert(p24.contains("partial_count") || p24.contains("partial_sum"), p24)
+    val p25 = plan("q25_pivot")
+    // explicit pivot values ⇒ one scan, no distinct-values pre-query and
+    // no join; Spark plans pivot as two partial-aggregated levels
+    // ((rf,ls) sum, then pivotfirst on rf) — exactly 2 exchanges
+    assert(!p25.contains("Join"), p25)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p25).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p25")
+    assert(p25.contains("partial_sum"), p25)
+  }
+
   test("large-k kmeans: the native assignment path is STILL a pure projection") {
     // the reference-object path must preserve every plan property the
     // literal path is locked to above: no join, no window, no exchange —
