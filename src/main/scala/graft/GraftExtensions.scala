@@ -59,53 +59,47 @@ object GraftExtensions {
       MaxMultiplicity(args.head)
     })
 
-  /** graft_nearest_center(vec, centersLit, cidsLit): the two literal
-    * arguments are UNPACKED AT BUILD TIME into the expression's
-    * reference-object fields and discarded from the tree — the whole
-    * point of the large-k path is that the centroid matrix travels as
-    * one serialized object, never as k·dim plan literals (the nested-
-    * array literal the caller passes is a single Literal node, paid once
-    * here, not per analysis/codegen walk). */
+  /** Unpack the (centers, cids) literal arguments shared by both
+    * nearest-center builders: the nested-array literals are consumed AT
+    * BUILD TIME into plain JVM arrays and discarded from the tree — the
+    * whole point of the large-k path is that the centroid matrix travels
+    * as one serialized object, never as k·dim plan literals. */
+  private def unpackCentroidLiterals(
+      args: Seq[Expression], fn: String): (Array[Array[Double]], Array[Long]) = {
+    val centers = args(1) match {
+      case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+        v.toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray())
+      case other => sys.error(
+        s"$fn centers must be an array<array<double>> literal, got $other")
+    }
+    val cids = args(2) match {
+      case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
+      case other => sys.error(
+        s"$fn cids must be an array<bigint> literal, got $other")
+    }
+    (centers, cids)
+  }
+
+  /** graft_nearest_center(vec, centersLit, cidsLit) — see
+    * unpackCentroidLiterals. */
   private val nearestCenterFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nearest_center"),
     new ExpressionInfo(classOf[NearestCenter].getName, "graft_nearest_center"),
     (args: Seq[Expression]) => {
       require(args.size == 3, "graft_nearest_center(vec, centers, cids)")
-      val centers = args(1) match {
-        case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
-          v.toObjectArray(ArrayType(DoubleType))
-            .map(_.asInstanceOf[ArrayData].toDoubleArray())
-        case other => sys.error(
-          s"graft_nearest_center centers must be an array<array<double>> literal, got $other")
-      }
-      val cids = args(2) match {
-        case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
-        case other => sys.error(
-          s"graft_nearest_center cids must be an array<bigint> literal, got $other")
-      }
+      val (centers, cids) = unpackCentroidLiterals(args, "graft_nearest_center")
       NearestCenter(args.head, centers, cids)
     })
 
   /** graft_nearest_centers(vec, centersLit, cidsLit, p): top-p variant
-    * for IVF probe-cell selection — same build-time literal unpacking as
-    * graft_nearest_center. */
+    * for IVF probe-cell selection. */
   private val nearestCentersFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nearest_centers"),
     new ExpressionInfo(classOf[NearestCenters].getName, "graft_nearest_centers"),
     (args: Seq[Expression]) => {
       require(args.size == 4, "graft_nearest_centers(vec, centers, cids, p)")
-      val centers = args(1) match {
-        case Literal(v: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
-          v.toObjectArray(ArrayType(DoubleType))
-            .map(_.asInstanceOf[ArrayData].toDoubleArray())
-        case other => sys.error(
-          s"graft_nearest_centers centers must be an array<array<double>> literal, got $other")
-      }
-      val cids = args(2) match {
-        case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
-        case other => sys.error(
-          s"graft_nearest_centers cids must be an array<bigint> literal, got $other")
-      }
+      val (centers, cids) = unpackCentroidLiterals(args, "graft_nearest_centers")
       val p = args(3) match {
         case Literal(v: Int, _) => v
         case other => sys.error(s"graft_nearest_centers p must be an int literal, got $other")

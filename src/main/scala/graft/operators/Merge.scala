@@ -37,12 +37,18 @@ object Merge {
     *   - update key absent from the dimension: new current row inserted
     *     (attributes null).
     */
+  /** The SCD2 output shape — ONE definition shared by the history
+    * passthrough and the delta path, so the unionByName sides cannot
+    * silently diverge. */
+  private def scd2OutCols(
+      keyCol: String, trackedCols: Seq[String], attrCols: Seq[String]): Seq[String] =
+    (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+
   def scd2Merge(
       dim: DataFrame, updates: DataFrame, keyCol: String,
       trackedCols: Seq[String], attrCols: Seq[String],
       effectiveDate: String, endOfTime: String = "9999-12-31"): DataFrame = {
-    val outCols: Seq[String] =
-      (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+    val outCols = scd2OutCols(keyCol, trackedCols, attrCols)
     val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
     history.unionByName(scd2MergeDelta(
       dim, updates, keyCol, trackedCols, attrCols, effectiveDate, endOfTime))
@@ -67,8 +73,7 @@ object Merge {
       trackedCols: Seq[String], attrCols: Seq[String],
       effectiveDate: String, endOfTime: String = "9999-12-31"): DataFrame = {
     require(trackedCols.nonEmpty, "scd2Merge needs at least one tracked column")
-    val outCols: Seq[String] =
-      (keyCol +: attrCols) ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+    val outCols = scd2OutCols(keyCol, trackedCols, attrCols)
 
     val current = dim.filter(col("is_current"))
 

@@ -153,10 +153,15 @@ object Sampling {
     require(k >= 1)
     val u = unitHash(col(keyCol), salt)
     val w = col(weightCol).cast("double")
-    // guard lives INSIDE the weight expression so pruning can't drop it
-    val guardedW = when(w.isNull || w <= 0,
+    // guard lives INSIDE the weight expression so pruning can't drop it.
+    // The domain is finite positive: NULL poisons the sort key, w <= 0
+    // inverts the inclusion order, NaN sorts above every double (NaN-
+    // weight rows would silently FILL the sample), and +Inf yields
+    // pow(u, 0) = 1.0 (deterministically beating every finite weight) —
+    // all corpus bugs, all rejected loudly
+    val guardedW = when(w.isNull || isnan(w) || w <= 0 || w === lit(Double.PositiveInfinity),
       raise_error(concat(
-        lit(s"weightedSampleByKey: non-positive or NULL weight '$weightCol' for key "),
+        lit(s"weightedSampleByKey: weight '$weightCol' must be finite and > 0 for key "),
         col(keyCol).cast("string"))))
       .otherwise(w)
     val key = graft.functions.VectorFunctions.roundFixed(

@@ -241,8 +241,13 @@ object SimilaritySearch {
         }: _*))
         transform(slice(cells, 1, nProbe), c => c.getField("cid"))
       } else
+        // the quantizer can train FEWER centroids than requested (corpus
+        // smaller than nCentroids); the literal path degrades by slicing
+        // the available cells, so the native path must clamp p the same
+        // way rather than fail NearestCenters' p <= centers.length check
         call_function("graft_nearest_centers", rankVec,
-          typedLit(cents.map(_._2).toSeq), typedLit(cents.map(_._1).toSeq), lit(nProbe))
+          typedLit(cents.map(_._2).toSeq), typedLit(cents.map(_._1).toSeq),
+          lit(math.min(nProbe, cents.length)))
     val base = corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
       .select(col("id"), col("v"), norm(col("v")).as("nrm"),

@@ -23,6 +23,20 @@ object TrainingDataQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Reduce a (truth, approx) row-set pair to the single (hits,
+    * total_truth, <metric>) row every recall gate emits — the DataFrame
+    * twin of Recall.recallAtK/pairRecall, shared so the three gates
+    * cannot drift in casts, null handling, or column names. */
+  private def recallRow(truth: DataFrame, approx: DataFrame,
+      joinCols: Seq[String], metricName: String): DataFrame = {
+    val hits = truth.join(approx, joinCols, "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = truth.agg(count(lit(1)).as("total_truth"))
+    hits.crossJoin(total)
+      .select(col("hits"), col("total_truth"),
+        (col("hits").cast("double") / col("total_truth")).as(metricName))
+  }
+
   /** dd_exact — exact dedup groups by content fingerprint. */
   val ddExact: Q = (s, dir) =>
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
@@ -272,12 +286,7 @@ object TrainingDataQueries {
       .select("doc_a", "doc_b")
     val found = Dedup.minhashPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b")
-    val hits = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    val total = truth.agg(count(lit(1)).as("total_truth"))
-    hits.crossJoin(total)
-      .select(col("hits"), col("total_truth"),
-        (col("hits").cast("double") / col("total_truth")).as("pair_recall"))
+    recallRow(truth, found, Seq("doc_a", "doc_b"), "pair_recall")
   }
 
   val ddRecallMinhashOracle: String =
@@ -653,12 +662,7 @@ object TrainingDataQueries {
       emb, "vec_id", "embedding", dim = 64, nBits = 1, k = 3)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
-    val hits = truth.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    val total = truth.agg(count(lit(1)).as("total_truth"))
-    hits.crossJoin(total)
-      .select(col("hits"), col("total_truth"),
-        (col("hits").cast("double") / col("total_truth")).as("recall"))
+    recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
   }
 
   val ssRecallLshOracle: String = {
@@ -944,12 +948,7 @@ object TrainingDataQueries {
       nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
-    val hits = truth.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    val total = truth.agg(count(lit(1)).as("total_truth"))
-    hits.crossJoin(total)
-      .select(col("hits"), col("total_truth"),
-        (col("hits").cast("double") / col("total_truth")).as("recall"))
+    recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
   }
 
   val ssRecallIvfOracle: String =

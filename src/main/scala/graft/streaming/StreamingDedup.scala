@@ -102,8 +102,11 @@ object StreamingDedup {
             // arrival order within the micro-batch: (event_time, doc_id)
             rows.toSeq.sortBy(e => (e.event_time.getTime, e.doc_id)).foreach { e =>
               val t = e.event_time.getTime
+              // first matching member only: one notice per (doc, band) —
+              // a hot duplicate cluster must not emit O(bucket occupancy)
+              // notices per arrival
               members.iterator
-                .filter { case (d, at, s) =>
+                .find { case (d, at, s) =>
                   d != e.doc_id && at <= t && est(s, e.sig) >= threshold }
                 .foreach { case (d, _, _) => out += DupNotice(e.doc_id, e.event_time, d) }
               members = (e.doc_id, t, e.sig) :: members

@@ -76,7 +76,10 @@ class SamplingSpec extends SparkSpecBase {
     def chainMessage(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    for (bad <- Seq(0.0, -2.5)) {
+    // NaN sorts above every double (NaN rows would silently FILL the
+    // sample) and +Inf gives pow(u,0)=1.0 (deterministically first) —
+    // non-finite weights must raise like the rest
+    for (bad <- Seq(0.0, -2.5, Double.NaN, Double.PositiveInfinity)) {
       val df = Seq((1L, 1.0), (2L, bad), (3L, 3.0)).toDF("id", "w")
       val e = intercept[Exception] {
         Sampling.weightedSampleByKey(df, "id", "w", k = 2).collect()

@@ -104,6 +104,21 @@ class SimilaritySearchSpec extends SparkSpecBase {
     assert(secs < 120, s"native large-nCentroids IVF took ${secs}s")
   }
 
+  test("native probe path degrades like the literal path when the corpus under-trains the quantizer") {
+    // 30-vector corpus, 40 requested centroids, nProbe 35: only 30 cells
+    // can train; the literal path slices down to what exists and the
+    // native path must clamp p identically instead of failing
+    // NearestCenters' p <= centers.length require
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 30)
+    def run(maxTerms: Int): Set[(Long, Long, Double)] =
+      SimilaritySearch.ivfNeighbors(emb, "vec_id", "embedding",
+        dim = 64, nCentroids = 40, nProbe = 35, k = 2, literalMaxTerms = maxTerms)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cos"))).toSet
+    assert(run(0) === run(Int.MaxValue))
+  }
+
   test("refined quantizer: deterministic, partitioning-invariant, k-bounded") {
     val emb = Tables.embeddings(spark, sfDir)
     def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
