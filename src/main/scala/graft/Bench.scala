@@ -203,13 +203,27 @@ object Bench {
     // object rather than poisoning the throughput line
     val recall =
       try measureRecall(spark, sfDir)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        // Locale.ROOT, not the f interpolator: a comma-decimal default
+        // locale would render 0,9000 and corrupt the JSON line
+        .map { case (k, v) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)) }
         .mkString("{", ",", "}")
       catch { case e: Throwable =>
         System.err.println(s"[bench] recall measurement failed: ${e.getMessage}")
         "{}"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"recall":$recall,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"recall":$recall,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is what the driver tail-captures, and at ~4KB it
+    // has been truncated mid-JSON before (round 5 lost q01–q16); the
+    // file copy makes the artifact self-contained regardless of capture
+    // length
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

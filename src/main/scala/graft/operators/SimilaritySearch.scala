@@ -210,7 +210,12 @@ object SimilaritySearch {
     // varying norms — raw dot would bias probing toward long centroids).
     val cents: Array[(Long, Seq[Double])] =
       if (refineIters > 0)
-        Clustering.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
+        // literalMaxTerms forwarded so a caller's literal/native override
+        // governs the Lloyd training assignments too, not just probe-cell
+        // selection (forced-native gates must exercise the native path
+        // inside refined-quantizer training)
+        Clustering.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters,
+          literalMaxTerms = literalMaxTerms)
           .map { case (cid, c) => (cid, (c :+ -Clustering.halfNormSq(c)).toSeq) }
           .toArray
       else corpus

@@ -49,7 +49,12 @@ case class NearestCenters(
 
   /** Insert candidate c (scanned in ascending-cid order) into the
     * best-first buffers with STRICT comparison: equal scores keep the
-    * earlier — smaller — cid, the composed sort's tie order. */
+    * earlier — smaller — cid, the composed sort's tie order. A NaN
+    * score (non-finite inputs) ranks BELOW every real score — `s >
+    * NaN` alone is false both ways, which would freeze a NaN that
+    * entered the buffer above later real candidates; the explicit
+    * buffer-NaN check reproduces the composed path's total order
+    * (array_sort places the NaN negsim last). */
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
@@ -68,7 +73,10 @@ case class NearestCenters(
       var s = 0.0; var j = 0
       while (j < dim) { s += x(j) * cen(j); j += 1 }
       var pos = filled
-      while (pos > 0 && s > bestS(pos - 1)) pos -= 1
+      while (pos > 0 &&
+        (s > bestS(pos - 1) ||
+          (java.lang.Double.isNaN(bestS(pos - 1)) && !java.lang.Double.isNaN(s))))
+        pos -= 1
       if (pos < p) {
         val last = math.min(filled, p - 1)
         var m = last
@@ -117,7 +125,8 @@ case class NearestCenters(
          |      double $s = 0.0;
          |      for (int $j = 0; $j < $dim; $j++) { $s += $x[$j] * $cen[$j]; }
          |      int $pos = $filled;
-         |      while ($pos > 0 && $s > $bestS[$pos - 1]) $pos--;
+         |      while ($pos > 0 && ($s > $bestS[$pos - 1] ||
+         |          (Double.isNaN($bestS[$pos - 1]) && !Double.isNaN($s)))) $pos--;
          |      if ($pos < $p) {
          |        int $last = java.lang.Math.min($filled, $p - 1);
          |        for (int $m = $last; $m > $pos; $m--) {

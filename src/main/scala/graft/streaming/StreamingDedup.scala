@@ -104,10 +104,15 @@ object StreamingDedup {
               val t = e.event_time.getTime
               // first matching member only: one notice per (doc, band) —
               // a hot duplicate cluster must not emit O(bucket occupancy)
-              // notices per arrival
+              // notices per arrival. `t - at <= horizonMs` enforces the
+              // horizon EXACTLY: watermark pruning alone leaves members
+              // farther apart than the horizon visible when both arrive
+              // before the watermark advances (e.g. in one micro-batch),
+              // so it remains purely a state bound, not the semantics
               members.iterator
                 .find { case (d, at, s) =>
-                  d != e.doc_id && at <= t && est(s, e.sig) >= threshold }
+                  d != e.doc_id && at <= t && t - at <= horizonMs &&
+                    est(s, e.sig) >= threshold }
                 .foreach { case (d, _, _) => out += DupNotice(e.doc_id, e.event_time, d) }
               members = (e.doc_id, t, e.sig) :: members
             }

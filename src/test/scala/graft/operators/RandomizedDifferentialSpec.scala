@@ -236,9 +236,15 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     // duplicated centroid vectors under distinct cids force exact score
     // ties — the tie must resolve to the SMALLER cid in both expressions
     val base = Array.fill(nCents - 3)(Array.fill(dim)(rnd.nextGaussian()))
+    // a NaN-component centroid at the SMALLEST cid: scanned first, its
+    // NaN score enters the insertion buffer before any real candidate —
+    // both expressions must rank it below every finite score (the
+    // composed array_sort's NaN-last total order), never freeze it at
+    // rank 0
+    val nanCent = { val c = Array.fill(dim)(rnd.nextGaussian()); c(2) = Double.NaN; c }
     val cents: Seq[(Long, Array[Double])] =
-      (base ++ Array(base(0).clone(), base(1).clone(), base(2).clone()))
-        .zipWithIndex.map { case (c, i) => (i.toLong * 7, c) }.sortBy(_._1)
+      ((-1L, nanCent) +: (base ++ Array(base(0).clone(), base(1).clone(), base(2).clone()))
+        .zipWithIndex.map { case (c, i) => (i.toLong * 7, c) }.toSeq).sortBy(_._1)
     val vecs = (0L until 200L).map(i => i -> Array.fill(dim)(rnd.nextGaussian()))
     graft.GraftExtensions.register(spark)
     val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
