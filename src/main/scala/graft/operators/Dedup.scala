@@ -46,6 +46,22 @@ object Dedup {
   val DefaultMaxDocFreqFraction = 0.1
   val MinDocFreqFloor = 5L
 
+  /** Hot-bucket occupancy guard (ON by default): an LSH band bucket
+    * with more members than this switches from exact pair enumeration
+    * (O(m²) candidate structs inside ONE aggregation row — an executor
+    * OOM when a 100k-member boilerplate cluster lands in one bucket) to
+    * survivor-pairs + representative chains, bounding per-bucket work
+    * at O(cap² + m). The floor is above any bucket the gated fixtures
+    * produce (OccupancyProbe: minhash bands max 4; simhash bands max
+    * 1338 at sf0.1 — SimHash slices are far more collision-prone), so
+    * at tested scales the guard is dormant and every cross-engine gate
+    * takes the bit-identical exact branch — the same floor-off
+    * contract as the doc-freq guard above. A boundary-sized exact
+    * bucket costs cap²/2 compact ~50 B pair structs (~100 MB
+    * transient), which is the accepted worst case for keeping the
+    * sf0.1 gates exact. */
+  val DefaultMaxBucket = 2048
+
   /** Exact dedup groups by content fingerprint (md5 of the raw text).
     * One hash-aggregate; map-side partial aggregation keeps the shuffle
     * proportional to the number of *distinct* documents. */
@@ -167,8 +183,7 @@ object Dedup {
     * indexed-lambda explode. This beats the natural self-join on
     * (band,bkey), which computes the signature plan twice (Spark cannot
     * reuse the exchange into a broadcast build side) — one pass + one
-    * shuffle instead. Bucket skew = B² pairs for a B-member bucket is
-    * inherent to LSH; callers control it via band width.
+    * shuffle instead.
     *
     * A pair colliding in SEVERAL bands must still be emitted once.
     * Rather than a `dropDuplicates` — a second full shuffle of the
@@ -176,33 +191,71 @@ object Dedup {
     * pair is kept only in its FIRST colliding band, decided IN-ROW from
     * the signatures both members carry: bands `0 until band` must
     * disagree on their `r`-wide slices. Exact-once by construction, zero
-    * extra exchanges. */
-  private def bucketPairs(banded: DataFrame, r: Int): DataFrame = {
+    * extra exchanges.
+    *
+    * The caller's symmetric `score` (est-Jaccard, Hamming) is computed
+    * IN-ROW inside the pair lambda, so the emitted candidate struct is
+    * (doc_a, doc_b, score, keep) — ~40 bytes — instead of dragging both
+    * full signatures (~1 KB at k=64) through the expansion: the exact
+    * branch's peak per-bucket memory drops ~25× for free.
+    *
+    * Hot-bucket guard (`maxBucket`): a bucket with m > cap members
+    * would otherwise materialize O(m²) candidate structs inside one
+    * aggregation row — the executor-OOM regime when a boilerplate
+    * near-dup cluster (routine in web crawls) lands in one bucket. Above
+    * the cap the bucket switches to survivor-pairs + representative
+    * chains: the `cap` lowest-id members (deterministic and key-stable —
+    * bucket membership alone decides) enumerate pairs exactly, every
+    * remaining member CHAINS to the bucket representative (the min doc).
+    * Per-bucket work becomes O(cap² + m), and connectivity is preserved
+    * — every member stays linked to the rep, so `duplicateClusters`
+    * resolves a capped cluster to exactly the same component. The price
+    * is pair-level completeness among non-survivors, which is the right
+    * trade in the regime that triggers it: a bucket only grows hot when
+    * near-identical documents share band slices, where chain scores
+    * match pair scores. Cold buckets (every gated fixture) take the
+    * exact branch bit-identically. */
+  private def bucketPairs(
+      banded: DataFrame, r: Int,
+      score: (Column, Column) => Column,
+      maxBucket: Option[Int]): DataFrame = {
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     def bandSlice(sig: Column, b: Column): Column =
       slice(sig, b * r + 1, lit(r))
-    val firstCollision =
-      when(col("band") === 0, lit(true))
+    def pair(x: Column, y: Column): Column = {
+      val keep = when(col("band") === 0, lit(true))
         .otherwise(forall(
           // sequence() steps DOWNWARD for an empty range, hence the
           // band === 0 guard above
           sequence(lit(0), col("band") - 1),
-          b => !(bandSlice(col("p.sig_x"), b) === bandSlice(col("p.sig_y"), b))))
+          b => !(bandSlice(x.getField("sig"), b) === bandSlice(y.getField("sig"), b))))
+      struct(
+        least(x.getField("doc"), y.getField("doc")).as("doc_a"),
+        greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
+        score(x.getField("sig"), y.getField("sig")).as("score"),
+        keep.as("keep"))
+    }
+    def allPairs(ms: Column): Column =
+      flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + 2, size(ms)), b => pair(a, b))))
+    val pairsCol = maxBucket match {
+      case None => allPairs(col("ms"))
+      case Some(cap) =>
+        // struct sort = doc ascending (doc is the first field), so the
+        // survivor set and the representative are order-independent
+        val sorted = array_sort(col("ms"))
+        when(size(col("ms")) <= cap, allPairs(col("ms")))
+          .otherwise(concat(
+            allPairs(slice(sorted, 1, cap)),
+            transform(slice(sorted, lit(cap + 1), size(col("ms")) - cap),
+              x => pair(element_at(sorted, 1), x))))
+    }
     banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(col("band"), explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-          struct(a.getField("doc").as("doc_x"), b.getField("doc").as("doc_y"),
-            a.getField("sig").as("sig_x"), b.getField("sig").as("sig_y"))))))
-        .as("p"))
-      .filter(firstCollision)
-      .select(
-        least(col("p.doc_x"), col("p.doc_y")).as("doc_a"),
-        greatest(col("p.doc_x"), col("p.doc_y")).as("doc_b"),
-        when(col("p.doc_x") < col("p.doc_y"), col("p.sig_x"))
-          .otherwise(col("p.sig_y")).as("sig_a"),
-        when(col("p.doc_x") < col("p.doc_y"), col("p.sig_y"))
-          .otherwise(col("p.sig_x")).as("sig_b"))
+      .select(explode(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.score").as("score"))
   }
 
   /** MinHash + LSH near-duplicate pairs. k-component signatures are cut
@@ -210,11 +263,14 @@ object Dedup {
     * become candidates; candidates are scored by signature-estimated
     * Jaccard. With k=64, bands=16 (r=4) the LSH S-curve crosses ~0.5 —
     * tuned for finding ≥0.8-similar training-corpus duplicates. */
-  def minhashPairs(
+  /** The banded LSH index rows (`doc, sig, band, bkey`) minhashPairs
+    * buckets on — exposed as the occupancy-observability surface (feed
+    * to `Occupancy.stats(_, cap, "band", "bkey")` to see the skew regime
+    * the hot-bucket guard would face). */
+  def minhashBanded(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
-      bands: Int = DefaultMinhashBands,
-      threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
+      bands: Int = DefaultMinhashBands, native: Boolean = true,
       fast: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -240,15 +296,25 @@ object Dedup {
     // string (not hashed — the join key must be recomputable by the
     // DuckDB oracle, and the slice itself is exactly as shuffle-compact
     // at r=4 components)
-    val banded = sig.select(
+    sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
-    bucketPairs(banded, r)
-      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
-      .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands,
+      threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
+      fast: Boolean = false,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val banded = minhashBanded(df, idCol, textCol, n, k, bands, native, fast)
+    bucketPairs(banded, k / bands, estJaccard, maxBucket)
+      .filter(col("score") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("score").as("est_jaccard"))
   }
 
   /** MinHash LSH candidates re-ranked by *exact* n-gram Jaccard — the
@@ -329,7 +395,23 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
-      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    bucketPairs(
+      simhashBanded(df, idCol, textCol, bits, bands, minTokens),
+      bits / bands, hamming, maxBucket)
+      .filter(col("score") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+
+  /** SimHash's banded index rows — the occupancy-observability surface,
+    * mirroring `minhashBanded`. SimHash bands are far more collision-
+    * prone than MinHash bands (an r-bit slice has ≤ 2^r distinct values
+    * and real token distributions skew them), so this is the projection
+    * to watch on clustered corpora. */
+  def simhashBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      minTokens: Int = 1): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
     val sig = df
@@ -340,14 +422,10 @@ object Dedup {
       // B² pair blowup. Require ≥ minTokens non-empty tokens.
       .filter(size(array_remove(col("toks"), "")) >= minTokens)
       .select(col("doc"), simhashBits(col("toks"), bits).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
-    bucketPairs(banded, r)
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
   }
 }

@@ -67,6 +67,42 @@ object SimilaritySearch {
       math.ceil(corpusSize.toDouble / targetCellSize).toInt))
   }
 
+  /** Hot-bucket occupancy guard (ON by default): a bucket/cell with
+    * more members than this has its CANDIDATE POOL capped to a
+    * key-stable sample (see `candidatePool`) and, on the paths that
+    * materialize the visitor×candidate expansion in-row, its visitors
+    * split into `VisitorChunk`-sized slices — bounding per-row work at
+    * O(chunk · cap) instead of O(m²) when a dense semantic cluster
+    * lands in one bucket. The cap sits far above both every gated
+    * fixture's occupancy AND the recall-posture expected bucket size
+    * (256/128 via nBitsFor/nCentroidsFor), so at tested scales the
+    * guard is dormant and results are bit-identical to the unguarded
+    * plan; quality-wise, top-k against a 4096-member random sample of
+    * your own dense cluster is the regime IVF/LSH sampling is built
+    * for. */
+  val DefaultMaxBucketOccupancy = 4096
+  val VisitorChunk = 256
+
+  /** Key-stable candidate pool: the full member list when it fits the
+    * cap, else the `cap` members ranked by xxhash64(id) — an id-keyed
+    * pseudo-random sample that is deterministic (independent of
+    * partitioning or arrival order) and unbiased w.r.t. insertion
+    * order, unlike a low-id prefix. */
+  private def candidatePool(ms: Column, cap: Int): Column =
+    when(size(ms) <= cap, ms)
+      .otherwise(transform(
+        slice(array_sort(transform(ms, m =>
+          struct(xxhash64(m.getField("id")).as("h"), m.as("m")))), 1, cap),
+        s => s.getField("m")))
+
+  /** Visitor slices of ≤ `chunk` members: the in-row expansion then
+    * peaks at chunk·|pool| structs per row instead of m·|pool|. Pure
+    * re-sharding — every visitor appears in exactly one slice, so the
+    * exploded pair set is identical. */
+  private def visitorChunks(ms: Column, chunk: Int): Column =
+    transform(sequence(lit(0), floor((size(ms) - 1) / lit(chunk)).cast("int")),
+      c => slice(ms, c * chunk + 1, lit(chunk)))
+
   /** Comparator: cosine descending, neighbor_id ascending — the same
     * total order as `ORDER BY cos DESC, neighbor_id ASC`, so the local
     * top-k matches the window/row_number formulation row-for-row. */
@@ -100,48 +136,65 @@ object SimilaritySearch {
     * bucket are what a constant bucket count lets grow quadratically. */
   def lshNeighbors(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int = 6, k: Int = 3, nTables: Int = 1): DataFrame = {
+      dim: Int, nBits: Int = 0, k: Int = 3, nTables: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     graft.GraftExtensions.register(corpus.sparkSession)
+    // nBits = 0 (the default) derives the corpus-scaled posture — the
+    // one a 100× scale-up needs; gated fixtures pin explicit values.
+    // The count is driver-side metadata (one count job), the same class
+    // of cost as ivfNeighbors' quantizer training.
+    val bits = if (nBits == 0) nBitsFor(corpus.count()) else nBits
     // table t's planes draw from a disjoint splitmix64 input range
-    val bucketCols = (0 until nTables).map { t =>
-      val planes = hyperplanes(nBits, dim, seed = 0x5CA1AB1EL + t * 0x1000000000000L)
-      if (nTables == 1) hyperplaneBits(col("v"), planes)
-      else concat(lit(s"$t:"), hyperplaneBits(col("v"), planes))
-    }
+    val bucketCols = lshBucketCols(dim, bits, nTables)
     val grouped = bucketedMembers(corpus, idCol, vecCol, bucketCols)
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("ms"))
       .filter(size(col("ms")) > 1)
 
-    // per member a: score every bucket-mate once (norms precomputed)
-    def scored(a: Column): Column = transform(
-      filter(col("ms"), b => b.getField("id") =!= a.getField("id")),
+    // per member a: score every pool candidate once (norms precomputed)
+    def scored(pool: Column, a: Column): Column = transform(
+      filter(pool, b => b.getField("id") =!= a.getField("id")),
       b => struct(
         (dot(a.getField("v"), b.getField("v")) /
           (a.getField("nrm") * b.getField("nrm"))).as("cos"),
         b.getField("id").as("neighbor_id")))
 
+    val pooled = grouped.select(col("ms"),
+      maxBucket.fold(col("ms"))(cap => candidatePool(col("ms"), cap)).as("pool"))
+
     if (nTables == 1) {
       // single table ⇒ all of a's candidates sit in this one group row:
-      // sort + slice k INSIDE the group — the whole query is one shuffle
+      // sort + slice k INSIDE the group — the whole query is one
+      // shuffle. Per-visitor scored arrays are transient (≤ |pool|), so
+      // this path's in-row peak is O(m + pool), no visitor chunking
+      // needed; the pool cap bounds the O(m·pool) TIME a hot bucket
+      // would otherwise spend on m² dot products in one task.
       val topk = transform(col("ms"), a =>
         transform(
-          slice(array_sort(scored(a), byCosDescIdAsc), 1, k),
+          slice(array_sort(scored(col("pool"), a), byCosDescIdAsc), 1, k),
           c => struct(
             a.getField("id").as("vec_id"),
             c.getField("neighbor_id").as("neighbor_id"),
             c.getField("cos").as("cos"))))
-      grouped.select(explode(flatten(topk)).as("p"))
+      pooled.select(explode(flatten(topk)).as("p"))
         .select(col("p.vec_id").as("vec_id"),
           col("p.neighbor_id").as("neighbor_id"), col("p.cos"))
     } else {
       // multi-table ⇒ a's candidates span tables: bound the per-vector
       // top-k map-side with the typed aggregator (duplicate candidates
       // from multiple colliding tables collapse inside its ≤k buffer —
-      // no global dropDuplicates shuffle needed).
-      val pairs = grouped.select(explode(flatten(transform(col("ms"), a =>
-        transform(scored(a), c => struct(
+      // no global dropDuplicates shuffle needed). This path materializes
+      // the visitor×pool expansion in-row before the explode, so hot
+      // buckets are additionally re-sharded into visitor chunks.
+      val rows = maxBucket match {
+        case None => pooled.select(col("ms").as("vs"), col("pool"))
+        case Some(_) => pooled.select(
+          explode(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+      }
+      val pairs = rows.select(explode(flatten(transform(col("vs"), a =>
+        transform(scored(col("pool"), a), c => struct(
           a.getField("id").as("vec_id"),
           c.getField("neighbor_id").as("neighbor_id"),
           c.getField("cos").as("cos")))))).as("p"))
@@ -149,6 +202,29 @@ object SimilaritySearch {
           col("p.cos").as("cos"), col("p.neighbor_id").cast("long").as("neighbor_id"))
       topKPerVector(pairs, k)
     }
+  }
+
+  /** Table-indexed hyperplane bucket expressions over the vector column
+    * `v` — table t's planes draw from a disjoint splitmix64 range. */
+  private def lshBucketCols(dim: Int, nBits: Int, nTables: Int): Seq[Column] =
+    (0 until nTables).map { t =>
+      val planes = hyperplanes(nBits, dim, seed = 0x5CA1AB1EL + t * 0x1000000000000L)
+      if (nTables == 1) hyperplaneBits(col("v"), planes)
+      else concat(lit(s"$t:"), hyperplaneBits(col("v"), planes))
+    }
+
+  /** The (id, tbl, bucket) assignment rows lshNeighbors groups on — the
+    * occupancy-observability surface (feed to
+    * `Occupancy.stats(_, cap, "bucket")` to see the skew regime the
+    * hot-bucket guard would face). nBits = 0 derives the corpus-scaled
+    * posture exactly like lshNeighbors. */
+  def lshBuckets(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 0, nTables: Int = 1): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val bits = if (nBits == 0) nBitsFor(corpus.count()) else nBits
+    bucketedMembers(corpus, idCol, vecCol, lshBucketCols(dim, bits, nTables))
+      .select(col("id"), col("tbl"), col("bucket"))
   }
 
   /** Map-side-bounded per-vector top-k over (vec_id, cos, neighbor_id)
@@ -193,10 +269,55 @@ object SimilaritySearch {
     * `nBitsFor` does for LSH buckets. */
   def ivfNeighbors(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nCentroids: Int = 16, nProbe: Int = 2, k: Int = 3,
+      dim: Int, nCentroids: Int = 0, nProbe: Int = 2, k: Int = 3,
+      literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
+      refineIters: Int = 0,
+      maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
+    val base = ivfMembers(corpus, idCol, vecCol, dim, nCentroids, nProbe,
+      literalMaxTerms, refineIters)
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    val grouped = base
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"), col("is_member"))).as("ms"))
+    // candidates are the cell's MEMBERS (home-cell rows), pool-capped;
+    // visitors (members + probes) are chunk-exploded so the in-row
+    // visitor×pool expansion stays O(chunk · cap) under cell skew
+    val pooled = grouped.select(col("ms"),
+      maxBucket.fold(filter(col("ms"), b => b.getField("is_member")))(cap =>
+        candidatePool(filter(col("ms"), b => b.getField("is_member")), cap)).as("pool"))
+    val rows = maxBucket match {
+      case None => pooled.select(col("ms").as("vs"), col("pool"))
+      case Some(_) => pooled.select(
+        explode(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+    }
+    val pairs = rows
+      .select(explode(flatten(transform(col("vs"), a =>
+        transform(
+          filter(col("pool"), b => b.getField("id") =!= a.getField("id")),
+          b => struct(
+            a.getField("id").as("vec_id"),
+            b.getField("id").as("neighbor_id"),
+            (dot(a.getField("v"), b.getField("v")) /
+              (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
+        col("p.neighbor_id").as("neighbor_id"))
+    topKPerVector(pairs, k)
+  }
+
+  /** The (id, v, nrm, pidx, bucket, is_member) probe rows ivfNeighbors
+    * groups on: one row per (vector, probed cell), `is_member` marking
+    * the home cell. `ivfBuckets` below is the occupancy-observability
+    * projection of the same rows. nCentroids = 0 (the default) derives
+    * the corpus-scaled posture via `nCentroidsFor(corpus.count)` — a
+    * constant cell count lets cells grow linearly with the corpus;
+    * gated fixtures pin explicit values. */
+  private def ivfMembers(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int, nProbe: Int,
       literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
       refineIters: Int = 0): DataFrame = {
-    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids)
+    val nCents = if (nCentroids == 0) nCentroidsFor(corpus.count()) else nCentroids
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     require(refineIters >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)
     // Quantizer: refineIters=0 is the oracle-gated legacy surface — a
@@ -214,15 +335,15 @@ object SimilaritySearch {
         // governs the Lloyd training assignments too, not just probe-cell
         // selection (forced-native gates must exercise the native path
         // inside refined-quantizer training)
-        Clustering.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters,
+        Clustering.kmeansCentroids(corpus, idCol, vecCol, nCents, refineIters,
           literalMaxTerms = literalMaxTerms)
           .map { case (cid, c) => (cid, (c :+ -Clustering.halfNormSq(c)).toSeq) }
           .toArray
       else corpus
-        // the nCentroids LOWEST ids — not `id < nCentroids`, which
-        // silently under-trains on any corpus whose ids don't start at 0
+        // the nCents LOWEST ids — not `id < nCents`, which silently
+        // under-trains on any corpus whose ids don't start at 0
         .select(col(idCol).cast("long").as("cid"), asDoubles(col(vecCol)).as("c"))
-        .orderBy("cid").limit(nCentroids)
+        .orderBy("cid").limit(nCents)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
@@ -253,25 +374,23 @@ object SimilaritySearch {
         call_function("graft_nearest_centers", rankVec,
           typedLit(cents.map(_._2).toSeq), typedLit(cents.map(_._1).toSeq),
           lit(math.min(nProbe, cents.length)))
-    val base = corpus
+    corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
       .select(col("id"), col("v"), norm(col("v")).as("nrm"),
         posexplode(probedCids).as(Seq("pidx", "bucket")))
       .withColumn("is_member", col("pidx") === 0)
-    val pairs = base
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"), col("nrm"), col("is_member"))).as("ms"))
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(
-          filter(col("ms"), b =>
-            b.getField("is_member") && b.getField("id") =!= a.getField("id")),
-          b => struct(
-            a.getField("id").as("vec_id"),
-            b.getField("id").as("neighbor_id"),
-            (dot(a.getField("v"), b.getField("v")) /
-              (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
-      .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
-        col("p.neighbor_id").as("neighbor_id"))
-    topKPerVector(pairs, k)
   }
+
+  /** The (id, pidx, bucket, is_member) IVF cell-assignment rows — the
+    * occupancy-observability surface for cells (home-cell occupancy is
+    * `is_member = true`; visitor load per cell is the unfiltered
+    * count). Same knobs and quantizer as ivfNeighbors. */
+  def ivfBuckets(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int = 0, nProbe: Int = 2,
+      literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
+      refineIters: Int = 0): DataFrame =
+    ivfMembers(corpus, idCol, vecCol, dim, nCentroids, nProbe,
+      literalMaxTerms, refineIters)
+      .select(col("id"), col("pidx"), col("bucket"), col("is_member"))
 }
