@@ -19,6 +19,29 @@ class SimilaritySearchSpec extends SparkSpecBase {
     assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("default posture is corpus-scaled: bucket/cell counts grow with the corpus") {
+    // nBits = 0 / nCentroids = 0 (the defaults) derive nBitsFor /
+    // nCentroidsFor from corpus.count — the contract that keeps expected
+    // occupancy ~constant under a 100x scale-up instead of letting
+    // buckets grow linearly. 500 vectors → 2 LSH buckets / 4 IVF cells;
+    // 5000 → 32 buckets / 40 cells requested (16 distinct non-empty at
+    // fixture density).
+    def lshBucketCount(dir: String): Long = SimilaritySearch
+      .lshBuckets(Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64)
+      .select("bucket").distinct().count()
+    def ivfCellCount(dir: String): Long = SimilaritySearch
+      .ivfBuckets(Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64)
+      .filter(col("is_member")).select("bucket").distinct().count()
+    val (lshSmall, lshBig) = (lshBucketCount("/root/testdata/sf0.01"),
+      lshBucketCount("/root/testdata/sf0.1"))
+    assert(lshSmall >= 2 && lshBig > lshSmall,
+      s"LSH buckets must scale with the corpus: $lshSmall -> $lshBig")
+    val (ivfSmall, ivfBig) = (ivfCellCount("/root/testdata/sf0.01"),
+      ivfCellCount("/root/testdata/sf0.1"))
+    assert(ivfSmall >= 2 && ivfBig > ivfSmall,
+      s"IVF cells must scale with the corpus: $ivfSmall -> $ivfBig")
+  }
+
   test("lshNeighbors keeps at most k neighbors per vector and respects bucket locality") {
     val nn = SimilaritySearch.lshNeighbors(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
