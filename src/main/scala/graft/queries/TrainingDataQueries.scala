@@ -705,6 +705,83 @@ object TrainingDataQueries {
        |FROM h, tot""".stripMargin
   }
 
+  /** ss_recall_lsh_t8 — the PRODUCTION-POSTURE recall under the
+    * cross-engine gate: 8 plane tables at the corpus-scaled bit width
+    * (nBitsFor — the knobs Bench's recall field ships, ~0.90 at sf0.1),
+    * not the toy single-table config ss_recall_lsh keeps for the
+    * measurement-machinery gate. The oracle is SF-adaptive despite
+    * being static SQL: hyperplane h depends only on (seed, h), so the
+    * bucket at any nBits is a PREFIX of the 10-bit bucket string, and
+    * `nbits` itself is recomputed from count(*) with the same formula
+    * as nBitsFor (tested corpus sizes sit far from the ceil(log2)
+    * boundaries where libm ulps could flip the bit count). */
+  private val LshT8Tables = 8
+  private val LshT8MaxBits = 10
+
+  val ssRecallLshT8: Q = (s, dir) => {
+    import graft.operators.{Recall, SimilaritySearch}
+    val emb = Tables.embeddings(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = SimilaritySearch.lshNeighbors(
+      emb, "vec_id", "embedding", dim = 64, nBits = 0, k = 3, nTables = LshT8Tables)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+    recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
+  }
+
+  val ssRecallLshT8Oracle: String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    val bucketCols = (0 until LshT8Tables).map { t =>
+      val bits = hyperplaneBitsSql("v",
+        hyperplanes(LshT8MaxBits, 64, seed = 0x5CA1AB1EL + t * 0x1000000000000L))
+      s"substr($bits, 1, (SELECT nbits FROM nb)) AS b$t"
+    }.mkString(",\n    ")
+    val anyCollision = (0 until LshT8Tables)
+      .map(t => s"a.b$t = c.b$t").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), nb AS (
+       |  SELECT GREATEST(1, LEAST(30, CAST(ceil(
+       |    ln(GREATEST(CAST(count(*) AS DOUBLE) / 256.0, 1.0)) / ln(2.0)) AS INT))) AS nbits
+       |  FROM e
+       |), bf AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |), bfr AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM bf
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM bfr WHERE rn <= 3
+       |), b AS (
+       |  SELECT vec_id, v,
+       |    $bucketCols
+       |  FROM e
+       |), p AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM b a JOIN b c ON ($anyCollision) AND a.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM p
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM r WHERE rn <= 3
+       |), h AS (
+       |  SELECT count(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |                WHERE a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id)
+       |), tot AS (
+       |  SELECT count(*) AS total_truth FROM truth
+       |)
+       |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS recall
+       |FROM h, tot""".stripMargin
+  }
+
   /** op_salted_agg — two-phase salted aggregation (operators.Skew) under
     * the cross-engine gate: the salted decomposition must be EXACTLY the
     * plain GROUP BY (sums go through decimal, so partial-merge order
@@ -975,6 +1052,109 @@ object TrainingDataQueries {
        |)
        |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS recall
        |FROM h, tot""".stripMargin
+
+  /** ss_recall_ivf_p8 — the PRODUCTION-POSTURE IVF recall under the
+    * cross-engine gate: corpus-scaled cell count (nCentroidsFor),
+    * nProbe = min(8, cells), and the 2-round Lloyd-REFINED quantizer —
+    * the exact knobs Bench's recall field ships (~0.81 at sf0.1),
+    * where ss_recall_ivf keeps the toy nProbe=2 machinery gate. The
+    * oracle re-derives the cell count from count(*), re-trains the
+    * same two Lloyd rounds (seed = nc lowest-id vectors, assignment by
+    * dot − ½|c|² with cid tiebreak, means rounded to 6 dp, empty cells
+    * keep their centroid — the cl_kmeans-proven CTE pattern), and
+    * replays probe/member search — so the shipped-quality NUMBER
+    * itself hash-matches. */
+  val ssRecallIvfP8: Q = (s, dir) => {
+    import graft.operators.{Recall, SimilaritySearch}
+    val emb = Tables.embeddings(s, dir)
+    val nc = SimilaritySearch.nCentroidsFor(emb.count())
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = SimilaritySearch.ivfNeighbors(
+      emb, "vec_id", "embedding", dim = 64, nCentroids = nc,
+      nProbe = math.min(8, nc), k = IvfK, refineIters = 2)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+    recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
+  }
+
+  val ssRecallIvfP8Oracle: String = {
+    // local, not the object's EmbDim: that val is declared LATER in this
+    // object and would still be 0 when this one initializes (range(0)
+    // silently empties every Lloyd mean CTE)
+    val dim = 64
+    val iterCtes = (1 to 2).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, v, cid AS cluster FROM s$i WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cluster, i.idx,
+         |    floor(avg(v[i.idx + 1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM a$i, range($dim) i(idx) GROUP BY 1, 2),
+         |g$i AS (SELECT cluster AS cid, list(m ORDER BY idx) AS c FROM m$i GROUP BY 1),
+         |c$i AS (
+         |  SELECT c${i - 1}.cid, COALESCE(g$i.c, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN g$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ncq AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 128.0) AS INT)) AS nc
+       |  FROM e
+       |), c0 AS (
+       |  SELECT cid, c FROM (
+       |    SELECT vec_id AS cid, v AS c,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= (SELECT nc FROM ncq)
+       |),
+       |$iterCtes,
+       |sf AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+       |      c.cid ASC) AS rnk
+       |  FROM e CROSS JOIN c2 c
+       |), assign AS (
+       |  SELECT vec_id, v, cid AS cell FROM sf WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id, v, cid AS bucket FROM sf
+       |  WHERE rnk <= LEAST(8, (SELECT nc FROM ncq))
+       |), cand AS (
+       |  SELECT p.vec_id, m.vec_id AS neighbor_id,
+       |    list_dot_product(p.v, m.v) /
+       |    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(m.v, m.v))) AS cos
+       |  FROM probes p JOIN assign m ON m.cell = p.bucket AND m.vec_id <> p.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM cand
+       |), bf AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |), bfr AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM bf
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM bfr WHERE rn <= $IvfK
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM r WHERE rn <= $IvfK
+       |), h AS (
+       |  SELECT count(*) AS hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |                WHERE a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id)
+       |), tot AS (
+       |  SELECT count(*) AS total_truth FROM truth
+       |)
+       |SELECT hits, total_truth, CAST(hits AS DOUBLE) / total_truth AS recall
+       |FROM h, tot""".stripMargin
+  }
 
   /** mm_features — multimodal binary columns with a REAL decode: image
     * rows are well-formed 24bpp BMPs and audio rows PCM-8 WAVs (built by
@@ -1606,7 +1786,9 @@ object TrainingDataQueries {
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_ann_lsh_multi" -> ssAnnLshMulti,
     "ss_recall_lsh" -> ssRecallLsh,
+    "ss_recall_lsh_t8" -> ssRecallLshT8,
     "ss_recall_ivf" -> ssRecallIvf,
+    "ss_recall_ivf_p8" -> ssRecallIvfP8,
     "dd_recall_minhash" -> ddRecallMinhash,
     "ss_ann_ivf" -> ssAnnIvf,
     "ss_ann_ivf_native" -> ssAnnIvfNative)
@@ -1654,7 +1836,9 @@ object TrainingDataQueries {
     "ss_ann_lsh" -> ssAnnLshOracle,
     "ss_ann_lsh_multi" -> ssAnnLshMultiOracle,
     "ss_recall_lsh" -> ssRecallLshOracle,
+    "ss_recall_lsh_t8" -> ssRecallLshT8Oracle,
     "ss_recall_ivf" -> ssRecallIvfOracle,
+    "ss_recall_ivf_p8" -> ssRecallIvfP8Oracle,
     "dd_recall_minhash" -> ddRecallMinhashOracle,
     "ss_ann_ivf" -> ssAnnIvfOracle,
     "ss_ann_ivf_native" -> ssAnnIvfOracle)
