@@ -32,7 +32,7 @@ object Bench {
     "q13_cte_retention", "q14_union", "q15_rollup", "q16_string_funcs",
     "q17_date_funcs", "q18_semi_anti", "q19_json_extract",
     "q20_window_running", "q21_asof_join", "q22_range_join", "q23_percentiles",
-    "q24_cube", "q25_pivot",
+    "q24_cube", "q25_pivot", "q26_set_ops",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",

@@ -390,6 +390,33 @@ object RelationalQueries {
       |SELECT s_suppkey AS id, s_name AS name FROM supplier
       |ORDER BY id, name""".stripMargin
 
+  /** q26 — INTERSECT and EXCEPT with DISTINCT semantics (completing the
+    * B21 set-op family next to q14's UNION / q18's UNION ALL): customer
+    * keys partitioned into those that appear among order custkeys
+    * (INTERSECT) and those that never ordered (EXCEPT), tagged and
+    * recombined. Spark's Dataset.intersect/except ARE the distinct set
+    * ops — planned as aggregate + left-semi / left-anti joins, so no
+    * operator here can go quadratic. */
+  val q26SetOps: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("id"))
+    c.intersect(o).select(lit("with_orders").as("tag"), col("id"))
+      .union(c.except(o).select(lit("no_orders").as("tag"), col("id")))
+      .orderBy("tag", "id")
+  }
+
+  val q26Oracle: String =
+    """SELECT 'with_orders' AS tag, id FROM (
+      |  SELECT c_custkey AS id FROM customer
+      |  INTERSECT
+      |  SELECT o_custkey AS id FROM orders)
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, id FROM (
+      |  SELECT c_custkey AS id FROM customer
+      |  EXCEPT
+      |  SELECT o_custkey AS id FROM orders)
+      |ORDER BY tag, id""".stripMargin
+
   /** q15 — ROLLUP grouping sets (B22 — absent from the reference,
     * provided for engine completeness): revenue at (region, nation),
     * per-region subtotal, and grand total. */
@@ -770,7 +797,8 @@ object RelationalQueries {
     "q22_range_join" -> q22RangeJoin,
     "q23_percentiles" -> q23Percentiles,
     "q24_cube" -> q24Cube,
-    "q25_pivot" -> q25Pivot)
+    "q25_pivot" -> q25Pivot,
+    "q26_set_ops" -> q26SetOps)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
@@ -778,6 +806,7 @@ object RelationalQueries {
     "q23_percentiles" -> q23Oracle,
     "q24_cube" -> q24Oracle,
     "q25_pivot" -> q25Oracle,
+    "q26_set_ops" -> q26Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,
