@@ -33,22 +33,32 @@ object Curation {
       jaccardThreshold: Double = Dedup.DefaultMinhashThreshold,
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** Stages 1–2 fused into one stateless projection + filter over one
+    * scan: every input column survives, plus `quality_score` and
+    * `predicted_lang`. Shared verbatim by the batch pipeline below and
+    * the streaming twin (streaming.StreamingCuration) so the two
+    * postures cannot drift. Token arrays are materialized in their own
+    * projections first (interpreted HOFs re-evaluate inlined
+    * expressions per lambda reference). */
+  def qualityLangFilter(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val passthrough = docs.columns.map(col).toSeq
+    docs
+      .select(passthrough :+ TextFunctions.tokens(col(textCol)).as("__t"): _*)
+      .select(passthrough ++ Seq(col("__t"), array_distinct(col("__t")).as("__td")): _*)
+      .select(passthrough ++ Seq(
+        TextAnalysis.qualityScoreCol(col("__t")).as("quality_score"),
+        TextAnalysis.predictedLangCol(col("__td")).as("predicted_lang")): _*)
+      .filter(col("quality_score") >= cfg.minQuality &&
+        col("predicted_lang").isInCollection(cfg.languages))
+  }
+
   /** Returns the curated corpus: (id, predicted_lang, quality_score,
     * split) — one row per surviving document. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    // both metrics in ONE projection over one scan; token arrays are
-    // materialized in their own projections first (interpreted HOFs
-    // re-evaluate inlined expressions per lambda reference)
-    val base = docs
-      .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), col(textCol), col("__t"),
-        array_distinct(col("__t")).as("__td"))
-      .select(col(idCol), col(textCol),
-        TextAnalysis.qualityScoreCol(col("__t")).as("quality_score"),
-        TextAnalysis.predictedLangCol(col("__td")).as("predicted_lang"))
-      .filter(col("quality_score") >= cfg.minQuality &&
-        col("predicted_lang").isInCollection(cfg.languages))
+    val base = qualityLangFilter(
+      docs.select(col(idCol), col(textCol)), idCol, textCol, cfg)
     // exact dedup: one row per content fingerprint (canonical = min id)
     val canon = base
       .select(col(idCol).as("__id"), md5(lower(trim(col(textCol)))).as("__fp"))

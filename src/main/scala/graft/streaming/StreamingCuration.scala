@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Sampling}
+
+/** Streaming twin of `Curation.curate` — the curation decision made at
+  * ARRIVAL time for continuously ingested documents, instead of in a
+  * nightly batch sweep.
+  *
+  * Composition (the same stages, re-expressed for streams):
+  *
+  *   1–2. quality floor + language filter — `Curation.qualityLangFilter`
+  *        verbatim (a stateless projection, legal on any streaming
+  *        DataFrame), so the two postures cannot drift;
+  *   3–4. dedup — `StreamingDedup.minhashDupStream` over the QUALIFIED
+  *        stream (dedup state is never spent on documents the quality
+  *        gate already rejected, matching the batch stage order). Exact
+  *        duplicates are subsumed: an identical text has an identical
+  *        signature, est-Jaccard 1.0, and is flagged in its first
+  *        colliding band;
+  *   5.   split assignment + the left_anti drop — batch-side over the
+  *        two sinks (`curatedFromSinks`): candidates minus noticed ids,
+  *        then the key-stable `Sampling.splitByKey`. The split is a
+  *        pure function of the id, so assigning it at finalization time
+  *        equals assigning it at arrival time.
+  *
+  * Semantics vs the batch pipeline — two deliberate, documented deltas,
+  * both inherent to deciding at arrival time:
+  *   - near-dup scoring uses the SIGNATURE estimate where batch re-ranks
+  *     by exact n-gram Jaccard: equal on corpora whose pairs sit clearly
+  *     on one side of the threshold (the near-duplicate regime both are
+  *     tuned for), divergent only in the S-curve's transition band;
+  *   - dropping is arrival-GREEDY (flag against any earlier registered
+  *     arrival) where batch keeps the min-id representative of each
+  *     connected component: identical whenever every component member
+  *     pairs with the component minimum directly (duplicate groups —
+  *     the dominant real shape; StreamingDedup registers flagged docs
+  *     too, so chains a→b→c still drop both b and c), divergent on
+  *     components connected ONLY through a larger-id middle element.
+  * The StreamingCurationSpec fixture proves set-equality with
+  * `Curation.curate` on a replayed corpus within the horizon.
+  */
+object StreamingCuration {
+
+  /** Stage 1–2 survivors of a STREAMING documents frame (`idCol`,
+    * `textCol`, `timeCol` preserved), annotated with quality_score and
+    * predicted_lang — the candidate stream a caller sinks for
+    * finalization. */
+  def qualifiedStream(docs: DataFrame, idCol: String, textCol: String,
+      timeCol: String = "timestamp",
+      cfg: Curation.Config = Curation.Config()): DataFrame =
+    Curation.qualityLangFilter(
+      docs.select(col(idCol), col(textCol), col(timeCol)), idCol, textCol, cfg)
+
+  /** Drop notices among the stage 1–2 survivors: one row per flagged
+    * (doc, band) naming an earlier in-horizon arrival it near-duplicates
+    * (see StreamingDedup for the state/watermark contract). */
+  def dropNotices(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, timeCol: String = "timestamp",
+      horizonMinutes: Int = 10,
+      cfg: Curation.Config = Curation.Config(),
+      fast: Boolean = false): DataFrame =
+    StreamingDedup.minhashDupStream(spark,
+      qualifiedStream(docs, idCol, textCol, timeCol, cfg),
+      idCol, textCol, timeCol, horizonMinutes,
+      n = cfg.nGram, threshold = cfg.jaccardThreshold, fast = fast)
+
+  /** The left_anti finalization over the two sinks: curated =
+    * candidates minus noticed doc ids, with the key-stable split —
+    * exactly the batch output shape (id, predicted_lang, quality_score,
+    * split). `notices` may carry several rows per dropped doc (one per
+    * colliding band); only id-presence matters. */
+  def curatedFromSinks(candidates: DataFrame, notices: DataFrame,
+      idCol: String,
+      cfg: Curation.Config = Curation.Config()): DataFrame =
+    Sampling.splitByKey(
+      candidates.join(
+        notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
+        Seq(idCol), "left_anti"),
+      idCol, cfg.splits)
+      .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+import graft.operators.Curation
+
+/** End-to-end streaming curation: the streamed curated set must equal
+  * `Curation.curate` on the same replayed corpus within the horizon —
+  * quality/langid filtering, exact-copy and near-dup dropping, and the
+  * key-stable split all included, down to the metric doubles. */
+class StreamingCurationSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", StringType)))
+
+  /** Corpus exercising every stage. Passing docs are 24 unique words
+    * including "the of" (lang "en", distinct ratio 1, quality ≈ 1.16);
+    * group structure: every group has a base, group%2==0 adds a
+    * one-word-changed near-variant (shingle Jaccard ≈ 0.84, clearly
+    * above the 0.5 cut), group%3==0 adds a verbatim copy. Interleaved
+    * rejects: a Spanish-profile doc (language filter) and a
+    * stopword-stuffed doc (quality floor) — neither may spend dedup
+    * state. Timestamps follow doc_id a minute apart so arrival order is
+    * id order (the batch-anchor regime). */
+  private def corpus: Seq[(Long, String, String)] = {
+    def ts(id: Long) = f"2024-01-01T${10 + id / 60}%02d:${id % 60}%02d:00"
+    var id = -1L
+    def next(): Long = { id += 1; id }
+    (0 until 6).flatMap { g =>
+      val words = Seq("the", "of") ++ (0 until 22).map(w => s"w${g}_$w")
+      val base = words.mkString(" ")
+      val variant = (words.dropRight(1) :+ s"changed_$g").mkString(" ")
+      val rows = Seq.newBuilder[(Long, String, String)]
+      val bid = next(); rows += ((bid, base, ts(bid)))
+      if (g % 2 == 0) { val v = next(); rows += ((v, variant, ts(v))) }
+      if (g % 3 == 0) { val c = next(); rows += ((c, base, ts(c))) }
+      if (g % 2 == 1) {
+        val es = next()
+        rows += ((es, "el la de y que en los " +
+          (0 until 17).map(w => s"es${g}_$w").mkString(" "), ts(es)))
+        val junk = next()
+        rows += ((junk, Seq.fill(24)("the").mkString(" "), ts(junk)))
+      }
+      rows.result()
+    }
+  }
+
+  test("streamed curated set equals Curation.curate on the replayed corpus") {
+    val batch = corpus.toDF("doc_id", "text", "ts")
+    val expected = Curation.curate(batch, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    // the fixture must really exercise every stage: some docs rejected
+    // by stage 1-2, some dropped as dups, survivors in several splits
+    assert(expected.size < corpus.size)
+
+    val src = Files.createTempDirectory("graft-scur-src").toString
+    batch.coalesce(1).write.mode("append").json(src)
+    def stream() = spark.readStream.schema(schema).json(src)
+
+    // candidate sink: stage 1-2 survivors with their metrics
+    val candOut = Files.createTempDirectory("graft-scur-cand").toString
+    val q1 = StreamingCuration.qualifiedStream(stream(), "doc_id", "text", timeCol = "ts")
+      .select("doc_id", "quality_score", "predicted_lang")
+      .writeStream.format("parquet").option("path", candOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-ck1").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // drop-notice sink: near-dup/exact-copy flags among the qualified
+    val dropOut = Files.createTempDirectory("graft-scur-drop").toString
+    val q2 = StreamingCuration.dropNotices(spark, stream(), "doc_id", "text",
+      timeCol = "ts", horizonMinutes = 600)
+      .writeStream.format("parquet").option("path", dropOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-ck2").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q1.stop()
+    q2.awaitTermination(120000); q2.stop()
+
+    val candSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality_score", DoubleType),
+      StructField("predicted_lang", StringType)))
+    val noticeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("event_time", TimestampType),
+      StructField("matched_doc_id", LongType)))
+    val curated = StreamingCuration.curatedFromSinks(
+      spark.read.schema(candSchema).parquet(candOut),
+      spark.read.schema(noticeSchema).parquet(dropOut), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(curated === expected,
+      s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
+  }
+}
