@@ -176,6 +176,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p25.contains("partial_sum"), p25)
   }
 
+  test("q26: set ops plan as aggregate + semi/anti joins, never nested-loop") {
+    val p = plan("q26_set_ops")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // INTERSECT/EXCEPT distinct semantics = aggregate feeding semi/anti
+    // hash joins; both branches must appear
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
   test("large-k kmeans: the native assignment path is STILL a pure projection") {
     // the reference-object path must preserve every plan property the
     // literal path is locked to above: no join, no window, no exchange —
