@@ -42,6 +42,13 @@ object Curation {
     * expressions per lambda reference). */
   def qualityLangFilter(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
+    // reserved output/scratch names: a clash would surface later as an
+    // opaque AMBIGUOUS_REFERENCE at analysis time (e.g. re-curating a
+    // frame that already carries quality_score) — fail fast instead
+    val reserved = Seq("quality_score", "predicted_lang", "__t", "__td")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"qualityLangFilter input must not carry reserved column(s) ${clash.mkString(", ")}")
     val passthrough = docs.columns.map(col).toSeq
     docs
       .select(passthrough :+ TextFunctions.tokens(col(textCol)).as("__t"): _*)

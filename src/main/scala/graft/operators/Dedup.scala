@@ -213,8 +213,20 @@ object Dedup {
     * is pair-level completeness among non-survivors, which is the right
     * trade in the regime that triggers it: a bucket only grows hot when
     * near-identical documents share band slices, where chain scores
-    * match pair scores. Cold buckets (every gated fixture) take the
-    * exact branch bit-identically. */
+    * match pair scores.
+    *
+    * Guard/keep interaction, stated precisely: `keep` assumes the FIRST
+    * colliding band represented the pair, so a pair of non-survivors
+    * whose first collision is a hot band exists only through that
+    * band's chains — a later COLD collision of the same pair is still
+    * suppressed by `keep`. If such a pair's chain scores fall below the
+    * caller's threshold, its component can split. This requires a hot
+    * bucket whose members are NOT mutually similar — with md5-derived
+    * r-component slices that is a degenerate banding, not a boilerplate
+    * cluster — and is the irreducible approximation of bounding bucket
+    * work in-row. When NO band bucket exceeds the cap (every gated
+    * fixture; the dormancy spec), results are bit-identical to the
+    * unguarded plan. */
   private def bucketPairs(
       banded: DataFrame, r: Int,
       score: (Column, Column) => Column,

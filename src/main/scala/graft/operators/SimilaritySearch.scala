@@ -144,8 +144,10 @@ object SimilaritySearch {
     // nBits = 0 (the default) derives the corpus-scaled posture — the
     // one a 100× scale-up needs; gated fixtures pin explicit values.
     // The count is driver-side metadata (one count job), the same class
-    // of cost as ivfNeighbors' quantizer training.
-    val bits = if (nBits == 0) nBitsFor(corpus.count()) else nBits
+    // of cost as ivfNeighbors' quantizer training. max(1, …): an empty
+    // corpus must yield an empty result (as any explicit-nBits call
+    // does), not an nBitsFor require failure.
+    val bits = if (nBits == 0) nBitsFor(math.max(1L, corpus.count())) else nBits
     // table t's planes draw from a disjoint splitmix64 input range
     val bucketCols = lshBucketCols(dim, bits, nTables)
     val grouped = bucketedMembers(corpus, idCol, vecCol, bucketCols)
@@ -222,7 +224,7 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 0, nTables: Int = 1): DataFrame = {
     graft.GraftExtensions.register(corpus.sparkSession)
-    val bits = if (nBits == 0) nBitsFor(corpus.count()) else nBits
+    val bits = if (nBits == 0) nBitsFor(math.max(1L, corpus.count())) else nBits
     bucketedMembers(corpus, idCol, vecCol, lshBucketCols(dim, bits, nTables))
       .select(col("id"), col("tbl"), col("bucket"))
   }
@@ -273,9 +275,11 @@ object SimilaritySearch {
       literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
       refineIters: Int = 0,
       maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
+    // cheap argument validation BEFORE ivfMembers runs the corpus count
+    // and quantizer training jobs
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     val base = ivfMembers(corpus, idCol, vecCol, dim, nCentroids, nProbe,
       literalMaxTerms, refineIters)
-    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     val grouped = base
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"), col("is_member"))).as("ms"))
@@ -316,7 +320,8 @@ object SimilaritySearch {
       dim: Int, nCentroids: Int, nProbe: Int,
       literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
       refineIters: Int = 0): DataFrame = {
-    val nCents = if (nCentroids == 0) nCentroidsFor(corpus.count()) else nCentroids
+    val nCents =
+      if (nCentroids == 0) nCentroidsFor(math.max(1L, corpus.count())) else nCentroids
     require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     require(refineIters >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)

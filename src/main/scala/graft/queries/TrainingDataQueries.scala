@@ -723,8 +723,13 @@ object TrainingDataQueries {
     val emb = Tables.embeddings(s, dir)
     val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3)
       .select(col("vec_id"), col("neighbor_id"))
+    // corpus-scaled bits, clamped to the oracle's plane-string width on
+    // BOTH sides (the substr can't extend past LshT8MaxBits, so the
+    // Spark side must saturate identically for >~260k-vector corpora)
+    val bits = math.min(LshT8MaxBits,
+      SimilaritySearch.nBitsFor(math.max(1L, emb.count())))
     val approx = SimilaritySearch.lshNeighbors(
-      emb, "vec_id", "embedding", dim = 64, nBits = 0, k = 3, nTables = LshT8Tables)
+      emb, "vec_id", "embedding", dim = 64, nBits = bits, k = 3, nTables = LshT8Tables)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
     recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
@@ -742,7 +747,7 @@ object TrainingDataQueries {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), nb AS (
-       |  SELECT GREATEST(1, LEAST(30, CAST(ceil(
+       |  SELECT GREATEST(1, LEAST($LshT8MaxBits, CAST(ceil(
        |    ln(GREATEST(CAST(count(*) AS DOUBLE) / 256.0, 1.0)) / ln(2.0)) AS INT))) AS nbits
        |  FROM e
        |), bf AS (

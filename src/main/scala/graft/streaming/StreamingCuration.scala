@@ -16,10 +16,11 @@ import graft.operators.{Curation, Sampling}
   *        DataFrame), so the two postures cannot drift;
   *   3–4. dedup — `StreamingDedup.minhashDupStream` over the QUALIFIED
   *        stream (dedup state is never spent on documents the quality
-  *        gate already rejected, matching the batch stage order). Exact
-  *        duplicates are subsumed: an identical text has an identical
-  *        signature, est-Jaccard 1.0, and is flagged in its first
-  *        colliding band;
+  *        gate already rejected, matching the batch stage order),
+  *        running on lower(trim(text)) with short-doc fingerprinting so
+  *        the batch exact-dedup stage is subsumed in full: verbatim
+  *        copies and case/whitespace variants share a signature (est
+  *        1.0), and sub-shingle documents carry a fingerprint band;
   *   5.   split assignment + the left_anti drop — batch-side over the
   *        two sinks (`curatedFromSinks`): candidates minus noticed ids,
   *        then the key-stable `Sampling.splitByKey`. The split is a
@@ -55,17 +56,27 @@ object StreamingCuration {
       docs.select(col(idCol), col(textCol), col(timeCol)), idCol, textCol, cfg)
 
   /** Drop notices among the stage 1–2 survivors: one row per flagged
-    * (doc, band) naming an earlier in-horizon arrival it near-duplicates
-    * (see StreamingDedup for the state/watermark contract). */
+    * (doc, band) naming an earlier in-horizon arrival it duplicates
+    * (see StreamingDedup for the state/watermark contract).
+    *
+    * Dedup runs over `lower(trim(text))` with short-doc fingerprinting
+    * ON, so the EXACT-duplicate semantics match the batch pipeline's
+    * fingerprint stage in full: verbatim copies, case/whitespace
+    * variants, and sub-shingle (< nGram tokens) copies are all flagged.
+    * Near-dup estimates are consequently over normalized text where the
+    * batch stage shingles raw text — identical on case-consistent
+    * corpora. */
   def dropNotices(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, timeCol: String = "timestamp",
       horizonMinutes: Int = 10,
       cfg: Curation.Config = Curation.Config(),
       fast: Boolean = false): DataFrame =
     StreamingDedup.minhashDupStream(spark,
-      qualifiedStream(docs, idCol, textCol, timeCol, cfg),
-      idCol, textCol, timeCol, horizonMinutes,
-      n = cfg.nGram, threshold = cfg.jaccardThreshold, fast = fast)
+      qualifiedStream(docs, idCol, textCol, timeCol, cfg)
+        .withColumn("__dedup_text", lower(trim(col(textCol)))),
+      idCol, "__dedup_text", timeCol, horizonMinutes,
+      n = cfg.nGram, threshold = cfg.jaccardThreshold, fast = fast,
+      fingerprintShortDocs = true)
 
   /** The left_anti finalization over the two sinks: curated =
     * candidates minus noticed doc ids, with the key-stable split —

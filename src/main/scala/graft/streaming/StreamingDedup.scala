@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -44,14 +44,25 @@ object StreamingDedup {
 
   /** Duplicate notices for `docs` (a STREAMING DataFrame carrying
     * `idCol`, `textCol` and an event-time `timeCol`). `horizonMinutes`
-    * is both the watermark and the dedup memory. */
+    * is both the watermark and the dedup memory.
+    *
+    * `fingerprintShortDocs`: documents with fewer than `n` tokens have
+    * no shingles and are silently excluded by default (the batch
+    * anchor, minhashPairs, excludes them the same way). With the flag
+    * on they instead carry a constant signature derived from
+    * md5(lower(trim(text))) and occupy a single fingerprint band — so
+    * EXACT copies of short documents are flagged at est 1.0 while
+    * distinct short documents share no bucket. This is the streaming
+    * twin of a batch exact-dedup stage for the sub-shingle regime
+    * (used by StreamingCuration). */
   def minhashDupStream(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       timeCol: String = "timestamp", horizonMinutes: Int = 10,
       n: Int = Dedup.DefaultShingleN, k: Int = Dedup.DefaultMinhashK,
       bands: Int = Dedup.DefaultMinhashBands,
       threshold: Double = Dedup.DefaultMinhashThreshold,
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false,
+      fingerprintShortDocs: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     require(horizonMinutes >= 1)
     import spark.implicits._
@@ -63,22 +74,42 @@ object StreamingDedup {
     // identical signature + band-key projection to Dedup.minhashPairs —
     // zero shuffles, codegen'd; the band index is folded into the key so
     // one stateful operator covers all bands
+    val isLong = size(col("toks")) >= n
+    // 60-bit fingerprint (15 md5 hex chars) repeated k times: identical
+    // short docs agree on every component (est 1.0); the single "F" band
+    // keeps their state footprint at one bucket row per doc
+    val fpSig = array_repeat(
+      conv(substring(md5(lower(trim(col("__text")))), 1, 15), 16, 10).cast("long"), k)
+    val sigExpr =
+      if (!fingerprintShortDocs)
+        call_function("graft_minhash",
+          shinglesFromTokens(col("toks"), n), lit(k), lit(fast))
+      else when(isLong,
+        call_function("graft_minhash",
+          shinglesFromTokens(col("toks"), n), lit(k), lit(fast)))
+        .otherwise(fpSig)
+    val bandIdx =
+      if (!fingerprintShortDocs) sequence(lit(0), lit(bands - 1))
+      else when(isLong, sequence(lit(0), lit(bands - 1))).otherwise(sequence(lit(0), lit(0)))
+    val prefix = (i: Column) =>
+      if (!fingerprintShortDocs) i.cast("string")
+      else when(isLong, i.cast("string")).otherwise(lit("F"))
     val banded = docs
       .withColumn("event_time", to_timestamp(col(timeCol)))
       .withWatermark("event_time", s"$horizonMinutes minutes")
       .select(col(idCol).cast("long").as("doc_id"), col("event_time"),
-        tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("event_time"),
+        col(textCol).as("__text"), tokens(col(textCol)).as("toks"))
+      .filter(if (fingerprintShortDocs) lit(true) else isLong)
+      .select(col("doc_id"), col("event_time"), col("toks"), col("__text"),
         // `fast` swaps md5 for xxhash64 exactly like the batch operator
         // (the production mode when no cross-engine anchor is needed)
-        call_function("graft_minhash",
-          shinglesFromTokens(col("toks"), n), lit(k), lit(fast)).as("sig"))
-      .select(col("doc_id"), col("event_time"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), i =>
-          concat(i.cast("string"), lit(":"),
+        sigExpr.as("sig"))
+      .select(col("doc_id"), col("event_time"), col("sig"), col("toks"), col("__text"),
+        explode(transform(bandIdx, i =>
+          concat(prefix(i), lit(":"),
             array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_"))))
           .as("bkey"))
+      .select(col("bkey"), col("doc_id"), col("event_time"), col("sig"))
       .as[BandRow]
 
     def est(a: Seq[Long], b: Seq[Long]): Double =

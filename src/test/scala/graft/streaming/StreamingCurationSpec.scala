@@ -51,6 +51,17 @@ class StreamingCurationSpec extends SparkSpecBase {
         rows += ((junk, Seq.fill(24)("the").mkString(" "), ts(junk)))
       }
       rows.result()
+    } ++ {
+      // the exact-dedup edge regimes the batch fingerprint stage covers:
+      // sub-shingle (< nGram tokens) docs — a kept base, a verbatim copy
+      // (must drop), a distinct short doc (must keep) — and a CASE
+      // variant of group 0's base (filler words uppercased: passes the
+      // language filter, lower(trim) collapses to the base fingerprint,
+      // raw tokens share nothing)
+      val caseVariant = "the of " + (0 until 22).map(w => s"W0_$w").mkString(" ")
+      Seq("of cat", "of cat", "of dog", caseVariant).map { text =>
+        val i = next(); (i, text, ts(i))
+      }
     }
   }
 
