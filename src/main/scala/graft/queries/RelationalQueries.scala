@@ -417,6 +417,86 @@ object RelationalQueries {
       |  SELECT o_custkey AS id FROM orders)
       |ORDER BY tag, id""".stripMargin
 
+  /** q27 — explicit GROUPING SETS with grouping() disambiguation,
+    * completing the grouping-lattice family next to q15's ROLLUP and
+    * q24's CUBE: per-status totals, per-priority totals, and the grand
+    * total in one pass. `gid` is composed from per-column grouping()
+    * bits (identical semantics in both engines, unlike the engine-
+    * specific grouping_id aggregates) — it distinguishes a genuine NULL
+    * key from a super-aggregate row, which COALESCE alone cannot.
+    * Planned as one Expand + partial hash aggregate like rollup/cube:
+    * map-side combinable, one exchange, no lattice re-scan. */
+  val q27GroupingSets: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        asDouble(sum(dec2(col("o_totalprice")))).as("sum_total"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_total"))
+      .orderBy("gid", "status", "priority")
+
+  val q27Oracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
+  /** q28 — the ranking/distribution window family (ntile, percent_rank,
+    * cume_dist, lead, nth_value, first/last over an unbounded frame),
+    * broadening B15/B17 beyond q09's row_number argmax and q20's
+    * running frames. All eight functions share ONE partitioning and
+    * ordering, so the plan is a single sort-shuffle feeding stacked
+    * Window operators — no per-function exchange. The ordering
+    * (o_totalprice, o_orderkey) is total within each partition, so the
+    * rank-derived doubles ((rank-1)/(n-1), cumulative fraction) are the
+    * same IEEE values in both engines. */
+  val q28WindowSuite: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_orderpriority").as("priority"),
+        ntile(4).over(w).as("ntile4"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lead(col("o_orderkey"), 2).over(w).as("lead2"),
+        nth_value(col("o_orderkey"), 3).over(wf).as("nth3"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"))
+      .orderBy("o_orderkey")
+  }
+
+  val q28Oracle: String =
+    """SELECT o_orderkey,
+      |  o_orderpriority AS priority,
+      |  NTILE(4) OVER w AS ntile4,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  LEAD(o_orderkey, 2) OVER w AS lead2,
+      |  NTH_VALUE(o_orderkey, 3) OVER wf AS nth3,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+      |  LAST_VALUE(o_orderkey) OVER wf AS last_key
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q15 — ROLLUP grouping sets (B22 — absent from the reference,
     * provided for engine completeness): revenue at (region, nation),
     * per-region subtotal, and grand total. */
@@ -798,7 +878,9 @@ object RelationalQueries {
     "q23_percentiles" -> q23Percentiles,
     "q24_cube" -> q24Cube,
     "q25_pivot" -> q25Pivot,
-    "q26_set_ops" -> q26SetOps)
+    "q26_set_ops" -> q26SetOps,
+    "q27_grouping_sets" -> q27GroupingSets,
+    "q28_window_suite" -> q28WindowSuite)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
@@ -807,6 +889,8 @@ object RelationalQueries {
     "q24_cube" -> q24Oracle,
     "q25_pivot" -> q25Oracle,
     "q26_set_ops" -> q26Oracle,
+    "q27_grouping_sets" -> q27Oracle,
+    "q28_window_suite" -> q28Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,

@@ -184,6 +184,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q27/q28: grouping sets stay one Expand pass; the window suite shares one sort-shuffle") {
+    val p27 = plan("q27_grouping_sets")
+    // explicit grouping sets plan exactly like rollup/cube: Expand +
+    // map-side partial aggregation, one hash exchange, no lattice rescan
+    assert(p27.contains("Expand"), p27)
+    assert(p27.contains("partial_count") || p27.contains("partial_sum"), p27)
+    val ex27 = "Exchange hashpartitioning".r.findAllIn(p27).length
+    assert(ex27 === 1, s"$ex27 hash exchanges:\n$p27")
+    val p28 = plan("q28_window_suite")
+    // all eight window functions share (partitionBy, orderBy) — ONE
+    // hash exchange and one sort feed the stacked Window operators; a
+    // per-function re-shuffle would be a scale regression
+    val ex28 = "Exchange hashpartitioning".r.findAllIn(p28).length
+    assert(ex28 === 1, s"$ex28 hash exchanges:\n$p28")
+    assert(p28.contains("Window"), p28)
+    assert(!p28.contains("Join"), p28)
+  }
+
   test("large-k kmeans: the native assignment path is STILL a pure projection") {
     // the reference-object path must preserve every plan property the
     // literal path is locked to above: no join, no window, no exchange —
