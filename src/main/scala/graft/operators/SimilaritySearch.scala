@@ -207,8 +207,11 @@ object SimilaritySearch {
   }
 
   /** Table-indexed hyperplane bucket expressions over the vector column
-    * `v` — table t's planes draw from a disjoint splitmix64 range. */
-  private def lshBucketCols(dim: Int, nBits: Int, nTables: Int): Seq[Column] =
+    * `v` — table t's planes draw from a disjoint splitmix64 range.
+    * Package-visible: StreamingDedup.embeddingDupStream keys its state
+    * store on the SAME bucket expressions, so the streaming and batch
+    * candidate sets cannot drift. */
+  private[graft] def lshBucketCols(dim: Int, nBits: Int, nTables: Int): Seq[Column] =
     (0 until nTables).map { t =>
       val planes = hyperplanes(nBits, dim, seed = 0x5CA1AB1EL + t * 0x1000000000000L)
       if (nTables == 1) hyperplaneBits(col("v"), planes)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, SimilaritySearch}
 
 /** Streaming MinHash near-duplicate detection — the streaming twin of
   * `Dedup.minhashPairs` for continuous ingestion (the batch operator's
@@ -148,6 +148,119 @@ object StreamingDedup {
               members = (e.doc_id, t, e.sig) :: members
             }
             state.update(BucketState(members))
+            val newest = members.iterator.map(_._2).max
+            state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  case class VecRow(
+      bkey: String, doc_id: Long, event_time: java.sql.Timestamp,
+      v: Seq[Double], nrm: Double)
+  case class VecBucketState(
+      members: List[(Long, Long, Seq[Double], Double)]) // (doc, arrivalMs, vec, norm)
+
+  /** Streaming embedding-cosine near-duplicate detection — the
+    * arrival-time twin of `dd_embedding` (SimilaritySearch.lshNeighbors
+    * + a cosine cut), the way `minhashDupStream` twins
+    * `Dedup.minhashPairs`: a vector is flagged iff its exact cosine
+    * ≥ `threshold` against ANY earlier in-horizon arrival it shares a
+    * hyperplane LSH bucket with (any of the `nTables` tables). Earlier
+    * members register whether or not they were themselves flagged
+    * (duplicate-CLUSTER greedy, matching the batch pipeline).
+    *
+    * Scale design, mirroring the batch operator point for point:
+    *   - the bucket keys are the SAME `lshBucketCols` plane-literal
+    *     expressions the batch path groups on — a codegen'd zero-shuffle
+    *     projection; the only stateful shuffle keys on the bucket;
+    *   - norms are computed once per vector at projection time, not per
+    *     candidate comparison;
+    *   - state per bucket is the in-horizon member list, pruned by event
+    *     time each visit and reclaimed whole by EventTimeTimeout — AND
+    *     additionally capped at `maxBucketState` most-recent members,
+    *     the streaming form of the batch hot-bucket occupancy guard: a
+    *     dense semantic cluster landing in one bucket bounds state and
+    *     per-arrival scan work at O(cap) instead of O(cluster). A doc
+    *     matching only evicted members goes unflagged — the same
+    *     candidate-pool trade the batch guard makes, and in the regime
+    *     that triggers it (near-identical cluster) the most-recent
+    *     members ARE matches, so cluster semantics survive.
+    *
+    * `nBits` is explicit (a stream cannot count its corpus; size it with
+    * `SimilaritySearch.nBitsFor` from the expected in-horizon volume).
+    * `dim` is the embedding dimensionality. One notice per (doc, table),
+    * first matching member only — notice-presence is the drop signal. */
+  def embeddingDupStream(
+      spark: SparkSession, docs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int,
+      timeCol: String = "timestamp", horizonMinutes: Int = 10,
+      nTables: Int = 1, threshold: Double = 0.9,
+      maxBucketState: Int = SimilaritySearch.DefaultMaxBucketOccupancy): DataFrame = {
+    require(nBits >= 1 && nBits <= 30, "nBits must be in [1, 30]")
+    require(nTables >= 1, "nTables must be >= 1")
+    require(horizonMinutes >= 1)
+    require(maxBucketState >= 2, "maxBucketState must be >= 2")
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    graft.GraftExtensions.register(spark)
+    val horizonMs = horizonMinutes * 60 * 1000L
+
+    val bucketCols = SimilaritySearch.lshBucketCols(dim, nBits, nTables)
+    val banded = docs
+      .withColumn("event_time", to_timestamp(col(timeCol)))
+      .withWatermark("event_time", s"$horizonMinutes minutes")
+      .select(col(idCol).cast("long").as("doc_id"), col("event_time"),
+        VectorFunctions.asDoubles(col(vecCol)).as("v"))
+      .select(col("doc_id"), col("event_time"), col("v"),
+        VectorFunctions.norm(col("v")).as("nrm"),
+        // table t's key is prefixed inside lshBucketCols when nTables>1;
+        // the scalar cast keeps nTables=1 keys string-typed too
+        explode(array(bucketCols.map(_.cast("string")): _*)).as("bkey"))
+      .select(col("bkey"), col("doc_id"), col("event_time"), col("v"), col("nrm"))
+      .as[VecRow]
+
+    // exact cosine, same left-to-right accumulation as the batch
+    // VectorFunctions.dot, so boundary values cannot drift between the
+    // two postures; zero-norm vectors never match (batch: NaN cosine
+    // fails every >= cut)
+    def cos(a: Seq[Double], na: Double, b: Seq[Double], nb: Double): Double =
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else {
+        var s = 0.0
+        var i = 0
+        val m = math.min(a.length, b.length)
+        while (i < m) { s += a(i) * b(i); i += 1 }
+        s / (na * nb)
+      }
+
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[VecBucketState, DupNotice](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[VecRow], state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // state list is maintained newest-first (arrivals prepend in
+            // ascending order), so the occupancy cap keeps the most
+            // recent `maxBucketState` members deterministically
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_._2 >= wm - horizonMs)
+            val out = List.newBuilder[DupNotice]
+            rows.toSeq.sortBy(e => (e.event_time.getTime, e.doc_id)).foreach { e =>
+              val t = e.event_time.getTime
+              members.iterator
+                .find { case (d, at, v, nrm) =>
+                  d != e.doc_id && at <= t && t - at <= horizonMs &&
+                    cos(v, nrm, e.v, e.nrm) >= threshold }
+                .foreach { case (d, _, _, _) =>
+                  out += DupNotice(e.doc_id, e.event_time, d) }
+              members = ((e.doc_id, t, e.v, e.nrm) :: members).take(maxBucketState)
+            }
+            state.update(VecBucketState(members))
             val newest = members.iterator.map(_._2).max
             state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
             out.result().iterator
