@@ -440,4 +440,43 @@ object Dedup {
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
   }
+
+  /** Per-duplicate-cluster representative selection — the "keep the
+    * BEST copy" finalization a curation pipeline actually wants
+    * (min-id or first-seen representatives silently discard the
+    * best-written member of each duplicate group): connected components
+    * over `pairs`, each component keeping its maximum-quality member
+    * (ties to the smaller id), unclustered documents keeping themselves.
+    *
+    * One kept row per cluster: (doc_id, cluster_size, quality_score).
+    *
+    * Scale shape: quality is the single-pass TextAnalysis projection;
+    * the component labels ride `duplicateClusters` (edge-list min-label
+    * propagation — never quadratic); the argmax is a map-side-combinable
+    * `max` over a 2-field struct, NOT a window — a pathological
+    * million-member duplicate cluster costs O(1) aggregation state per
+    * task, not an O(cluster) sort partition. */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as("cdoc"), col("cluster_id"))
+    val scored = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("quality_score"))
+    scored
+      .join(clusters, col("doc_id") === col("cdoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+        col("quality_score"))
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        // lexicographic struct max = (max quality, then max -id = min id)
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select(
+        (-col("best.nid")).as("doc_id"),
+        col("cluster_size"),
+        col("best.q").as("quality_score"))
+  }
 }

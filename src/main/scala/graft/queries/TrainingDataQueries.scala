@@ -118,6 +118,50 @@ object TrainingDataQueries {
        |FROM reach GROUP BY doc
        |ORDER BY doc_id""".stripMargin
 
+  /** dd_keep_best — per-duplicate-cluster representative selection by
+    * QUALITY (Dedup.keepBestPerCluster): the curation finalization that
+    * keeps each duplicate group's best-written member instead of its
+    * minimum id. Components over the exact-Jaccard pair graph (same
+    * recursive-CTE truth as dd_clusters — quadratic oracle, skip at
+    * sf0.1), quality = the gated ta_quality closed form, argmax ties to
+    * the smaller id. */
+  val ddKeepBest: Q = (s, dir) =>
+    Dedup.keepBestPerCluster(
+      Tables.documents(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  val ddKeepBestOracle: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM prs),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst),
+       |clusters AS (
+       |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
+       |     + LEAST(len(string_split(text,' ')) / 100.0, 1.0)
+       |     - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' '))) AS quality_score
+       |  FROM documents),
+       |withc AS (
+       |  SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cid, s.quality_score
+       |  FROM scored s LEFT JOIN clusters c ON s.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, cid, quality_score,
+       |    row_number() OVER (PARTITION BY cid
+       |                       ORDER BY quality_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cid) AS cluster_size
+       |  FROM withc)
+       |SELECT doc_id, cluster_size, quality_score
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** ta_token_bpe — model-token accounting: whitespace words vs BPE-ish
     * pre-tokens (TextAnalysis.BpePattern — lookahead-free so Java and
     * RE2 regex semantics coincide) and their ratio. */
@@ -1770,6 +1814,7 @@ object TrainingDataQueries {
     "dd_embedding" -> ddEmbedding,
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
+    "dd_keep_best" -> ddKeepBest,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -1819,6 +1864,7 @@ object TrainingDataQueries {
     "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
+    "dd_keep_best" -> ddKeepBestOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
