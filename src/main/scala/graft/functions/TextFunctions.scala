@@ -32,6 +32,18 @@ object TextFunctions {
     when(size(tok) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
+  /** POSITIONAL n-gram shingles: like `shinglesFromTokens` but keeping
+    * every occurrence in order (no distinct), so `posexplode` over the
+    * result yields (0-based token offset, shingle) — the index rows the
+    * shared-span detector (`Dedup.sharedSpans`) needs. Same
+    * short-document guard as above. */
+  def positionalShingles(tok: Column, n: Int): Column = {
+    val sh = transform(
+      sequence(lit(0), size(tok) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
+    when(size(tok) >= n, sh).otherwise(array().cast("array<string>"))
+  }
+
   /** Base hash for signature schemes. Default: the first 15 hex chars of
     * md5 as a 60-bit non-negative long, mod P. Chosen over xxhash64 for
     * CROSS-ENGINE VERIFIABILITY — DuckDB computes the identical value as

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -61,6 +62,13 @@ object Dedup {
     * transient), which is the accepted worst case for keeping the
     * sf0.1 gates exact. */
   val DefaultMaxBucket = 2048
+
+  /** Span-dedup posture: index 8-token positional shingles and report
+    * shared runs of at least 12 tokens. 8 is long enough that chance
+    * collisions are negligible yet short enough that any 12-token
+    * duplicated span contains ≥5 matching shingles on one diagonal. */
+  val DefaultSpanK = 8
+  val DefaultMinSpanTokens = 12
 
   /** Exact dedup groups by content fingerprint (md5 of the raw text).
     * One hash-aggregate; map-side partial aggregation keeps the shuffle
@@ -478,5 +486,78 @@ object Dedup {
         (-col("best.nid")).as("doc_id"),
         col("cluster_size"),
         col("best.q").as("quality_score"))
+  }
+
+  /** Shared-SPAN detection — the "duplicated substring" dedup family
+    * (contiguous copied passages across otherwise-distinct documents:
+    * boilerplate headers, quoted paragraphs, licence blocks), which
+    * document-level Jaccard/MinHash misses whenever the copied span is a
+    * small fraction of both documents.
+    *
+    * Method: positional k-token shingle inverted index → equi-join on
+    * the shingle string → matches at constant diagonal (posA − posB)
+    * with consecutive positions are one shared run; gaps-and-islands
+    * (pos − row_number per diagonal) merges them into maximal spans of
+    * length run + k − 1. Output: one row per document pair with at least
+    * one shared span ≥ `minSpanTokens` — (doc_a, doc_b, n_spans,
+    * max_span, start_a, start_b), the start columns locating the longest
+    * span (ties: earliest in a, then earliest in b).
+    *
+    * Scale shape (100 TB): candidate generation is the same inverted-
+    * index equi-join as `ngramJaccardPairs` — never O(n²) in documents —
+    * with the same relative doc-freq skew guard ON by default (a
+    * boilerplate shingle present in >10% of docs is dropped BEFORE the
+    * join; a span whose interior crosses only dropped shingles splits or
+    * disappears, i.e. the guard under-reports, never invents). The
+    * gaps-and-islands window partitions by (pair, diagonal) — bounded by
+    * the shorter document's length, never corpus-sized — and the final
+    * per-pair argmax is a map-side-combinable struct `max`, not a second
+    * window. */
+  def sharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+    val posting = maxDocFreqFraction match {
+      case None => sh
+      case Some(f) =>
+        // Positional shingles repeat within a document, so the doc-freq
+        // here must be count(DISTINCT doc) — unlike the Jaccard index,
+        // whose per-doc-distinct posting lists make plain count() equal.
+        val limitDf = df.select(greatest(lit(MinDocFreqFloor.toDouble),
+          count(lit(1)).cast("double") * f).as("df_limit"))
+        val keep = sh.groupBy("s").agg(countDistinct("doc").as("df"))
+          .crossJoin(broadcast(limitDf))
+          .filter(col("df") <= col("df_limit")).select("s")
+        sh.join(keep, "s")
+    }
+    val a = posting.as("a")
+    val b = posting.as("b")
+    val matches = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val spans = matches
+      .withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(
+        min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpanTokens)
+    spans
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        // lexicographic struct max = (longest, then earliest a, earliest b)
+        max(struct(col("span_len").as("l"),
+          (-col("start_a")).as("na"), (-col("start_b")).as("nb"))).as("best"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_spans"),
+        col("best.l").as("max_span"),
+        (-col("best.na")).as("start_a"), (-col("best.nb")).as("start_b"))
   }
 }

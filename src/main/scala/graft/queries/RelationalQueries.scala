@@ -497,6 +497,75 @@ object RelationalQueries {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q29 — CORRELATED scalar aggregate subquery (extending B16 beyond
+    * q12's uncorrelated form): orders costing more than 2× their own
+    * customer's average order price. The Spark side is the decorrelated
+    * plan Catalyst itself produces for such subqueries — per-customer
+    * aggregate joined back and filtered — written with the join explicit
+    * so the shape is locked: ONE exchange for the aggregate, the join
+    * co-partitioned on the same key, never a per-row re-scan of orders.
+    * Cross-engine exactness: the predicate is the integer-exact
+    * rearrangement `price·n > 2·sum` over DECIMAL(18,2) (avoiding the
+    * engine-specific rounding of an AVG), and the reported average is
+    * the IEEE double `sum/n` computed identically on both sides. */
+  val q29CorrelatedSubquery: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec2(col("o_totalprice")).as("price"))
+    val perCust = o.groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("s"))
+    o.join(perCust, col("o_custkey") === col("ck"))
+      .filter(col("price") * col("n") > col("s") * 2)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        asDouble(col("price")).as("price"),
+        (asDouble(col("s")) / col("n")).as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val q29Oracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |    AS cust_avg
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      |        * (SELECT COUNT(*) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |      > 2 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q30 — INTERSECT ALL / EXCEPT ALL (multiset semantics, completing
+    * B21 next to q26's DISTINCT forms): the multiset of customer keys
+    * with finished ('F') orders intersected with / minus the multiset
+    * with open ('O') orders — a customer with three F and one O order
+    * contributes min(3,1)=1 row to the intersection and 3−1=2 rows to
+    * the difference. Spark plans both as a counted hash aggregate +
+    * generate (replicate_rows), NOT a join — one exchange per input,
+    * output proportional to the multiset counts, nothing quadratic. */
+  val q30SetOpsAll: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("id"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("id"))
+    f.intersectAll(open).select(lit("both").as("tag"), col("id"))
+      .union(f.exceptAll(open).select(lit("f_only").as("tag"), col("id")))
+      .orderBy("tag", "id")
+  }
+
+  val q30Oracle: String =
+    """SELECT 'both' AS tag, id FROM (
+      |  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'f_only' AS tag, id FROM (
+      |  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY tag, id""".stripMargin
+
   /** q15 — ROLLUP grouping sets (B22 — absent from the reference,
     * provided for engine completeness): revenue at (region, nation),
     * per-region subtotal, and grand total. */
@@ -880,7 +949,9 @@ object RelationalQueries {
     "q25_pivot" -> q25Pivot,
     "q26_set_ops" -> q26SetOps,
     "q27_grouping_sets" -> q27GroupingSets,
-    "q28_window_suite" -> q28WindowSuite)
+    "q28_window_suite" -> q28WindowSuite,
+    "q29_correlated_subquery" -> q29CorrelatedSubquery,
+    "q30_set_ops_all" -> q30SetOpsAll)
 
   val oracles: Map[String, String] = Map(
     "q21_asof_join" -> q21Oracle,
@@ -891,6 +962,8 @@ object RelationalQueries {
     "q26_set_ops" -> q26Oracle,
     "q27_grouping_sets" -> q27Oracle,
     "q28_window_suite" -> q28Oracle,
+    "q29_correlated_subquery" -> q29Oracle,
+    "q30_set_ops_all" -> q30Oracle,
     "q15_rollup" -> q15Oracle,
     "q18_semi_anti" -> q18Oracle,
     "q19_json_extract" -> q19Oracle,

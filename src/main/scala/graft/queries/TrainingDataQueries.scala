@@ -162,6 +162,60 @@ object TrainingDataQueries {
        |FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** dd_spans — shared-SPAN detection (Dedup.sharedSpans): maximal
+    * contiguous duplicated token runs across document pairs via a
+    * positional shingle inverted index + gaps-and-islands on the match
+    * diagonal — the "copied passage" dedup family that document-level
+    * Jaccard misses. Oracle: the identical closed form in DuckDB
+    * (positional unnest, same relative doc-freq prune, same
+    * row_number island fold, same lexicographic-struct argmax). */
+  val ddSpans: Q = (s, dir) =>
+    Dedup.sharedSpans(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val ddSpansOracle: String = {
+    val k = Dedup.DefaultSpanK
+    val minSpan = Dedup.DefaultMinSpanTokens
+    val shingle = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(t) - ${k - 1}),
+       |           i -> {'pos': i, 's': $shingle})) AS u
+       |  FROM toks WHERE len(t) >= $k),
+       |shp AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM sh0),
+       |lim AS (
+       |  SELECT greatest(${Dedup.MinDocFreqFloor}.0,
+       |                  ${Dedup.DefaultMaxDocFreqFraction} * count(*)) AS df_limit
+       |  FROM documents),
+       |keep AS (
+       |  SELECT s FROM (
+       |    SELECT s, count(DISTINCT doc_id) AS df FROM shp GROUP BY s), lim
+       |  WHERE df <= df_limit),
+       |shk AS (SELECT shp.* FROM shp JOIN keep USING (s)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island
+       |  HAVING count(*) + ${k - 1} >= $minSpan),
+       |agg AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_spans,
+       |    max(struct_pack(l := span_len, na := -start_a, nb := -start_b)) AS best
+       |  FROM spans GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_spans, best.l AS max_span,
+       |       -best.na AS start_a, -best.nb AS start_b
+       |FROM agg ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** ta_token_bpe — model-token accounting: whitespace words vs BPE-ish
     * pre-tokens (TextAnalysis.BpePattern — lookahead-free so Java and
     * RE2 regex semantics coincide) and their ratio. */
@@ -1815,6 +1869,7 @@ object TrainingDataQueries {
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
     "dd_keep_best" -> ddKeepBest,
+    "dd_spans" -> ddSpans,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -1865,6 +1920,7 @@ object TrainingDataQueries {
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,
+    "dd_spans" -> ddSpansOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

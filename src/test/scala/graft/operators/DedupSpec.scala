@@ -200,4 +200,81 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((pruned -- unpruned).isEmpty)
   }
+
+  // --- sharedSpans: span-level (duplicated substring) dedup -----------
+
+  /** Documents over disjoint per-doc vocabularies except for planted
+    * spans, so every shingle match comes from a plant. */
+  private def spanDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private def words(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  test("sharedSpans finds a planted span with exact length and positions") {
+    // doc 1: 10 unique + span(15) + 5 unique; doc 2: 3 unique + span + 7 unique
+    val span = words("s", 15)
+    val d1 = (words("a", 10) ++ span ++ words("z", 5)).mkString(" ")
+    val d2 = (words("b", 3) ++ span ++ words("y", 7)).mkString(" ")
+    val out = Dedup.sharedSpans(spanDocs(1L -> d1, 2L -> d2), "doc_id", "text",
+      maxDocFreqFraction = None).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("n_spans") === 1L)
+    assert(r.getAs[Long]("max_span") === 15L)
+    assert(r.getAs[Int]("start_a") === 10 && r.getAs[Int]("start_b") === 3)
+  }
+
+  test("sharedSpans reports multiple spans and picks the longest as max_span") {
+    val spanA = words("p", 20)
+    val spanB = words("q", 13)
+    val d1 = (spanA ++ words("a", 4) ++ spanB).mkString(" ")
+    val d2 = (spanB ++ words("b", 6) ++ spanA).mkString(" ")
+    val r = Dedup.sharedSpans(spanDocs(1L -> d1, 2L -> d2), "doc_id", "text",
+      maxDocFreqFraction = None).collect().head
+    assert(r.getAs[Long]("n_spans") === 2L)
+    assert(r.getAs[Long]("max_span") === 20L)
+    assert(r.getAs[Int]("start_a") === 0 && r.getAs[Int]("start_b") === 19)
+  }
+
+  test("sharedSpans ignores spans below minSpanTokens and docs shorter than k") {
+    val span = words("s", 11) // below the 12-token floor
+    val d1 = (words("a", 8) ++ span).mkString(" ")
+    val d2 = (span ++ words("b", 8)).mkString(" ")
+    val docs = spanDocs(1L -> d1, 2L -> d2, 3L -> "tiny doc", 4L -> "")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      maxDocFreqFraction = None).collect().isEmpty)
+  }
+
+  test("sharedSpans doc-freq guard drops boilerplate spans but floors at MinDocFreqFloor") {
+    // one 20-token span planted in 7 of 10 docs: df=7 > max(5, 0.1*10)
+    val span = words("s", 20)
+    val boiler = (1 to 7).map(i =>
+      i.toLong -> (words(s"u$i", 5) ++ span).mkString(" "))
+    val others = (8 to 10).map(i => i.toLong -> words(s"v$i", 25).mkString(" "))
+    val docs = spanDocs(boiler ++ others: _*)
+    val guarded = Dedup.sharedSpans(docs, "doc_id", "text").collect()
+    assert(guarded.isEmpty, "boilerplate span must be pruned by the relative guard")
+    val unguarded = Dedup.sharedSpans(docs, "doc_id", "text",
+      maxDocFreqFraction = None).collect()
+    assert(unguarded.length === 21, "7 boilerplate docs pair all-with-all unguarded")
+    // floor: the same span in only 5 docs stays (df=5 <= floor 5)
+    val small = spanDocs(boiler.take(5) ++ others: _*)
+    assert(Dedup.sharedSpans(small, "doc_id", "text").collect().length === 10)
+  }
+
+  test("sharedSpans handles a shingle repeated WITHIN a document (two diagonals, one row)") {
+    // doc 1 contains the span twice; doc 2 once → two islands on two
+    // diagonals, merged per-pair: n_spans=2, both full-length
+    val span = words("s", 12)
+    val d1 = (span ++ words("a", 3) ++ span).mkString(" ")
+    val d2 = (words("b", 2) ++ span).mkString(" ")
+    val r = Dedup.sharedSpans(spanDocs(1L -> d1, 2L -> d2), "doc_id", "text",
+      maxDocFreqFraction = None).collect().head
+    assert(r.getAs[Long]("n_spans") === 2L)
+    assert(r.getAs[Long]("max_span") === 12L)
+    assert(r.getAs[Int]("start_a") === 0 && r.getAs[Int]("start_b") === 2)
+  }
 }

@@ -227,4 +227,52 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q29: correlated subquery decorrelates to ONE aggregate exchange, no per-row re-scan") {
+    val p = plan("q29_correlated_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-customer aggregate is the only hash exchange; the filter
+    // rides the join as a residual predicate, never a row-at-a-time
+    // re-execution of the subquery
+    assert(p.contains("partial_sum"), p)
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex === 1, s"$ex hash exchanges:\n$p")
+  }
+
+  test("q30: INTERSECT/EXCEPT ALL plan as counted aggregates + replicate_rows, not joins") {
+    val p = plan("q30_set_ops_all")
+    // multiset semantics = per-key occurrence counts replicated back out;
+    // a join-based plan would lose counts or go quadratic on hot keys
+    assert("replicaterows".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("dd_spans: inverted-index join, diagonal-bounded window, map-side span argmax") {
+    val p = plan("dd_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loops are the 1-row df-limit broadcasts the skew
+    // guard cross-joins in (one per side of the self-join, same shape as
+    // the Jaccard guard) — the candidate join itself must stay an
+    // equi-join on the shingle
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("SortMergeJoin [s#") || p.contains("ShuffledHashJoin [s#"), p)
+    // the gaps-and-islands window partitions by (pair, diag) — bounded
+    // by document length, never corpus-sized
+    assert(p.contains("windowspecdefinition(doc_a"), p)
+    assert(p.contains("diag"), p)
+    // per-pair longest-span argmax is a partial (map-side combinable)
+    // struct max, not a second window
+    assert(p.contains("partial_max(struct(l"), p)
+  }
+
+  test("dd_keep_best: per-cluster argmax is an aggregate, never a window sort") {
+    val p = plan("dd_keep_best")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // a window-rank argmax would sort each duplicate cluster in one
+    // partition — a million-member cluster must instead cost O(1)
+    // aggregation state per task
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_max(struct(q"), p)
+  }
 }
