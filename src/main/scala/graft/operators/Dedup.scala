@@ -538,10 +538,19 @@ object Dedup {
     val matches = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .select(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    spanFold(matches, k, minSpanTokens)
+  }
+
+  /** Shared span-fold: (doc_a, doc_b, pa, pb) shingle matches → one row
+    * per pair with ≥1 maximal span of at least `minSpanTokens` tokens.
+    * Window partition = (pair, diagonal) — bounded by document length;
+    * the per-pair longest-span pick is a map-side-combinable struct max,
+    * not a second window. */
+  private def spanFold(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
     val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     val spans = matches
+      .withColumn("diag", col("pa") - col("pb"))
       .withColumn("island", col("pa") - row_number().over(byDiag))
       .groupBy("doc_a", "doc_b", "diag", "island")
       .agg(
@@ -559,5 +568,48 @@ object Dedup {
         col("doc_a"), col("doc_b"), col("n_spans"),
         col("best.l").as("max_span"),
         (-col("best.na")).as("start_a"), (-col("best.nb")).as("start_b"))
+  }
+
+  /** SPAN-level cross-corpus decontamination: maximal eval passages
+    * (≥ `minSpanTokens` contiguous tokens) quoted verbatim inside
+    * training documents — the finer-grained sibling of
+    * `contaminationPairs`, catching a short eval answer embedded in a
+    * long training document whose whole-document containment stays
+    * below any reasonable threshold. Output one row per contaminated
+    * (train, eval) pair: longest quoted span and its position in each.
+    *
+    * Same inverted-index shape as `contaminationPairs` (nothing is
+    * all-pairs) with its guard convention: the doc-freq prune is
+    * computed over the EVAL corpus (drop shingles in >10% of eval docs
+    * — boilerplate, not leakage), floored at `MinDocFreqFloor`;
+    * prune-only, so spans can only shrink or vanish, never appear. */
+  def contaminationSpans(
+      train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    def posting(df: DataFrame) = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+    val t = posting(train)
+    val e0 = posting(evalCorpus)
+    val e = maxDocFreqFraction match {
+      case None => e0
+      case Some(f) =>
+        val limitDf = evalCorpus.select(greatest(lit(MinDocFreqFloor.toDouble),
+          count(lit(1)).cast("double") * f).as("df_limit"))
+        val keep = e0.groupBy("s").agg(countDistinct("doc").as("df"))
+          .crossJoin(broadcast(limitDf))
+          .filter(col("df") <= col("df_limit")).select("s")
+        e0.join(keep, "s")
+    }
+    val matches = t.as("t").join(e.as("e"), col("t.s") === col("e.s"))
+      .select(
+        col("t.doc").as("doc_a"), col("e.doc").as("doc_b"),
+        col("t.pos").as("pa"), col("e.pos").as("pb"))
+    spanFold(matches, k, minSpanTokens)
+      .select(
+        col("doc_a").as("train_id"), col("doc_b").as("eval_id"),
+        col("n_spans"), col("max_span"),
+        col("start_a").as("start_train"), col("start_b").as("start_eval"))
   }
 }

@@ -216,6 +216,68 @@ object TrainingDataQueries {
        |FROM agg ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** dd_span_decontaminate — SPAN-level decontamination
+    * (Dedup.contaminationSpans): maximal eval passages (≥12 contiguous
+    * tokens) quoted inside training documents, same doc_id%20 split as
+    * dd_decontaminate — catches a short eval answer embedded in a long
+    * training doc whose whole-document containment stays under the
+    * dd_decontaminate threshold. Oracle mirrors the operator exactly:
+    * eval-side doc-freq prune, diagonal islands, lexicographic-struct
+    * longest-span argmax. */
+  val ddSpanDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationSpans(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text")
+      .orderBy("train_id", "eval_id")
+  }
+
+  val ddSpanDecontaminateOracle: String = {
+    val k = Dedup.DefaultSpanK
+    val minSpan = Dedup.DefaultMinSpanTokens
+    val floor = Dedup.MinDocFreqFloor
+    val frac = Dedup.DefaultMaxDocFreqFraction
+    val shingle = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(t) - ${k - 1}),
+       |           i -> {'pos': i, 's': $shingle})) AS u
+       |  FROM toks WHERE len(t) >= $k),
+       |shp AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM sh0),
+       |tr AS (SELECT doc_id AS train_id, pos, s FROM shp WHERE doc_id % 20 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, pos, s FROM shp WHERE doc_id % 20 = 0),
+       |lim AS (SELECT greatest($floor.0, $frac * count(*)) AS df_limit
+       |        FROM documents WHERE doc_id % 20 = 0),
+       |keep AS (
+       |  SELECT s FROM (
+       |    SELECT s, count(DISTINCT eval_id) AS df FROM ev GROUP BY s), lim
+       |  WHERE df <= df_limit),
+       |evk AS (SELECT ev.* FROM ev JOIN keep USING (s)),
+       |m AS (
+       |  SELECT t.train_id, e.eval_id, t.pos AS pa, e.pos AS pb,
+       |         t.pos - e.pos AS diag
+       |  FROM tr t JOIN evk e ON t.s = e.s),
+       |isl AS (
+       |  SELECT train_id, eval_id, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY train_id, eval_id, diag ORDER BY pa) AS island
+       |  FROM m),
+       |spans AS (
+       |  SELECT train_id, eval_id, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_len
+       |  FROM isl GROUP BY train_id, eval_id, diag, island
+       |  HAVING count(*) + ${k - 1} >= $minSpan),
+       |agg AS (
+       |  SELECT train_id, eval_id, count(*) AS n_spans,
+       |    max(struct_pack(l := span_len, na := -start_a, nb := -start_b)) AS best
+       |  FROM spans GROUP BY train_id, eval_id)
+       |SELECT train_id, eval_id, n_spans, best.l AS max_span,
+       |       -best.na AS start_train, -best.nb AS start_eval
+       |FROM agg ORDER BY train_id, eval_id""".stripMargin
+  }
+
   /** ta_token_bpe — model-token accounting: whitespace words vs BPE-ish
     * pre-tokens (TextAnalysis.BpePattern — lookahead-free so Java and
     * RE2 regex semantics coincide) and their ratio. */
@@ -1870,6 +1932,7 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClusters,
     "dd_keep_best" -> ddKeepBest,
     "dd_spans" -> ddSpans,
+    "dd_span_decontaminate" -> ddSpanDecontaminate,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -1921,6 +1984,7 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,
     "dd_spans" -> ddSpansOracle,
+    "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

@@ -265,6 +265,29 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.sharedSpans(small, "doc_id", "text").collect().length === 10)
   }
 
+  test("contaminationSpans finds an eval passage quoted inside a long training doc") {
+    // 14-token eval answer quoted inside a 60-token training doc:
+    // whole-doc containment is low but the span is an exact leak
+    val answer = words("s", 14)
+    val train = spanDocs(
+      1L -> (words("a", 30) ++ answer ++ words("z", 16)).mkString(" "),
+      2L -> words("c", 40).mkString(" "))
+    val eval_ = spanDocs(
+      100L -> (words("q", 20) ++ answer).mkString(" "))
+    val out = Dedup.contaminationSpans(train, eval_, "doc_id", "text").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("train_id") === 1L && r.getAs[Long]("eval_id") === 100L)
+    assert(r.getAs[Long]("max_span") === 14L)
+    assert(r.getAs[Int]("start_train") === 30 && r.getAs[Int]("start_eval") === 20)
+    // the whole-document containment pass misses this pair at its 0.5
+    // threshold (12 of 32 eval 3-grams ≈ 0.375) — the span pass is the
+    // one that catches a short quoted answer in a longer eval doc
+    val coarse = Dedup.contaminationPairs(train, eval_, "doc_id", "text",
+      threshold = 0.5, maxDocFreqFraction = None).collect()
+    assert(coarse.isEmpty, "doc-level containment stays under threshold by design")
+  }
+
   test("sharedSpans handles a shingle repeated WITHIN a document (two diagonals, one row)") {
     // doc 1 contains the span twice; doc 2 once → two islands on two
     // diagonals, merged per-pair: n_spans=2, both full-length
