@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) for embedding-scale nearest-neighbor
+  * search — the memory-bounded ANN path: a dim-D float vector becomes
+  * `m` small codes (one per D/m-dim subspace, each the id of the
+  * nearest codebook centroid), so a 100 TB float corpus compresses
+  * ~sizeof(float)·D / m bytes per vector (64-dim float → 8 codes is
+  * 32×) and candidate scoring never touches the original vectors.
+  *
+  * Scale design (the reason PQ exists at 10⁹–10¹² vectors):
+  *   - TRAINING is per-subspace k-means, but all `m` codebooks train in
+  *     the SAME distributed pass per Lloyd round: one corpus scan
+  *     computes every subspace's assignment (m independent plan-literal
+  *     argmaxes over vector slices), and the mean update is one
+  *     map-side-combinable groupBy(subspace, cluster, component) whose
+  *     shuffle volume is m·k·(D/m) = k·D rows — independent of corpus
+  *     size, exactly like `Clustering.kmeansCentroids`.
+  *   - ENCODING is a pure projection (codebooks are plan literals) —
+  *     zero shuffles, codegen'd, runs at scan speed.
+  *   - SEARCH is asymmetric distance computation (ADC): score(q, x) ≈
+  *     q · x̂ where x̂ concatenates the chosen centroids. Computed here
+  *     as ONE sequential dot product over the reconstruction, which
+  *     (a) makes the whole operator a map-side projection + TakeOrdered
+  *     — no shuffle except the k·partitions top-k rows — and (b) is
+  *     bit-identical to DuckDB's `list_dot_product(q, flatten(...))`,
+  *     making PQ oracle-gateable like the IVF/LSH families.
+  *
+  * Determinism mirrors `Clustering`: seeds = the k lowest-id vectors
+  * (sliced per subspace), argmax ranked by (v·c − ½|c|²) descending
+  * with ties to the smaller centroid id, component means rounded to
+  * `roundDp` decimals each round.
+  */
+object ProductQuantization {
+
+  /** One codebook per subspace: `(centroidId, centroid)` sorted by id,
+    * where centroid ids are the seed vectors' ids (shared across
+    * subspaces — the k lowest corpus ids). */
+  def trainCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, roundDp: Int = 6)
+      : IndexedSeq[Seq[(Long, Array[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(k >= 1 && iters >= 0 && roundDp >= 0)
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val sub = dim / m
+    val e = corpus
+      .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
+
+    val seeds = e.orderBy("id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(seeds.nonEmpty, "empty corpus: no vectors to seed codebooks")
+    var books: IndexedSeq[Seq[(Long, Array[Double])]] =
+      (0 until m).map(mi => seeds.map { case (cid, v) =>
+        (cid, v.slice(mi * sub, (mi + 1) * sub))
+      })
+
+    for (_ <- 1 to iters) {
+      // ONE distributed pass updates every subspace's codebook: project
+      // all m assignments, stack (subspace, cluster, subvector), then a
+      // single map-side-combinable component-mean aggregate.
+      val assigned = e.select(
+        col("v") +: (0 until m).map(mi =>
+          argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cid")
+            .as(s"c_$mi")): _*)
+      val stacked = assigned
+        .select(explode(array((0 until m).map(mi => struct(
+          lit(mi).as("sub_m"), col(s"c_$mi").as("cluster"),
+          subVec(col("v"), mi, sub).as("sv"))): _*)).as("t"))
+        .select(col("t.sub_m"), col("t.cluster"), posexplode(col("t.sv")).as(Seq("pos", "x")))
+      val means = stacked
+        .groupBy("sub_m", "cluster", "pos")
+        .agg(roundFixed(avg(col("x")), roundDp).as("mn"))
+        .groupBy("sub_m", "cluster")
+        .agg(reassembleByPos(col("pos"), col("mn")).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      books = books.zipWithIndex.map { case (book, mi) =>
+        book.map { case (cid, old) => (cid, means.getOrElse((mi, cid), old)) }
+      }
+    }
+    books
+  }
+
+  private def subVec(v: Column, mi: Int, sub: Int): Column =
+    slice(v, mi * sub + 1, sub)
+
+  /** The best codebook cell for a subvector: plan-literal cells ranked
+    * by (−(v·c − ½|c|²), cid) ascending — L2-nearest with ties to the
+    * smaller centroid id; the winning struct carries the centroid
+    * vector (for ADC reconstruction) and its dense index (for compact
+    * code storage). */
+  private def argminCell(book: Seq[(Long, Array[Double])], sv: Column): Column = {
+    val cells = array_sort(array(book.zipWithIndex.map { case ((cid, c), idx) =>
+      struct(
+        (-(dot(sv, array(c.toSeq.map(lit): _*)) - lit(Clustering.halfNormSq(c))))
+          .as("negs"),
+        lit(cid).as("cid"),
+        lit(idx).as("idx"),
+        typedLit(c.toSeq).as("cvec"))
+    }: _*))
+    element_at(cells, 1)
+  }
+
+  /** PQ codes per vector: `(vec_id, codes)` where `codes[mi]` is the
+    * DENSE index (0 … k−1) of the chosen centroid in subspace `mi`'s
+    * id-sorted codebook. Pure projection — zero shuffles — and the
+    * compressed representation a 100 TB index stores instead of the
+    * vectors: at k ≤ 256 the m ints cast to m BYTES (64-dim float →
+    * 8 bytes, 32×). */
+  def encode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: IndexedSeq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val m = codebooks.size
+    val sub = dim / m
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("vec_id"),
+        array((0 until m).map(mi =>
+          argminCell(codebooks(mi), subVec(col("v"), mi, sub)).getField("idx")): _*)
+          .as("codes"))
+  }
+
+  /** Top-k nearest neighbors via the standard two-stage PQ search:
+    * asymmetric distance (ADC) selects a `rerank`-sized candidate pool,
+    * exact cosine re-ranks it. ADC score(q, x) = q·x̂ where x̂
+    * concatenates the chosen centroids — ONE sequential dot product
+    * over the reconstruction, so stage 1 is a map-side projection +
+    * TakeOrdered (no shuffle beyond rerank·partitions rows, original
+    * vectors ride along only into the 𝑂(rerank)-row tail); stage 2
+    * touches `rerank` rows, making exactness free. `query` is a 1-row
+    * DataFrame with column `qvec`, like `bruteForceTopK`.
+    *
+    * Quality: on the WORST case for any quantizer — i.i.d. random unit
+    * vectors, no cluster structure — m=8 × k=16 over 64 dims with
+    * rerank=100 measures recall@10 = 0.9 against brute force
+    * (ProductQuantizationSpec); structured corpora only do better. */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, query: DataFrame,
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 1,
+      roundDp: Int = 6, rerank: Int = 100, topK: Int = 10): DataFrame = {
+    require(rerank >= topK, s"rerank pool $rerank must cover topK $topK")
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, k, iters, roundDp)
+    val sub = dim / m
+    val xhat = concat((0 until m).map(mi =>
+      argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cvec")): _*)
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
+      .select(col("vec_id"), col("v"), col("q"), dot(col("q"), xhat).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+}

@@ -1497,6 +1497,92 @@ object TrainingDataQueries {
        |SELECT vec_id, cluster_id FROM asg
        |ORDER BY vec_id""".stripMargin
 
+  /** ss_ann_pq — product-quantized ANN (ProductQuantization.pqTopK):
+    * 8 subspaces × 16 centroids over the 64-dim embeddings (vec 0 is
+    * the query, like ss_topk_cosine), ADC candidate pool of 100 exact-
+    * re-ranked to the top 10. The oracle unrolls per-subspace k-means
+    * exactly like the cl_kmeans oracle does (same seed rule, argmax
+    * ranking and rounded means, over vector SLICES), reconstructs x̂ =
+    * flatten(chosen centroids ordered by subspace) so the ADC score is
+    * the same sequential `list_dot_product` the Spark side computes,
+    * then applies the identical exact-cosine re-rank. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 1
+  private val PqRerank = 100
+  private val PqTopK = 10
+
+  val ssAnnPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.ProductQuantization.pqTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+      dim = EmbDim, m = PqM, k = PqK, iters = PqIters,
+      roundDp = KmRound, rerank = PqRerank, topK = PqTopK)
+  }
+
+  val ssAnnPqOracle: String = {
+    val sub = EmbDim / PqM
+    val round = "1000000.0" // 10^KmRound
+    def subCtes(mi: Int): String = {
+      val lo = mi * sub + 1
+      val hi = (mi + 1) * sub
+      val iterCtes = (1 to PqIters).map { i =>
+        s"""s${i}_$mi AS (
+           |  SELECT e.vec_id, e.v, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_dot_product(e.v, c.v) - 0.5 * list_dot_product(c.v, c.v) DESC,
+           |      c.cid ASC) AS rn
+           |  FROM em_$mi e CROSS JOIN c${i - 1}_$mi c),
+           |a${i}_$mi AS (SELECT vec_id, v, cid AS cluster FROM s${i}_$mi WHERE rn = 1),
+           |m${i}_$mi AS (
+           |  SELECT cluster, i.idx,
+           |    floor(avg(v[i.idx + 1]) * $round + 0.5) / $round AS mn
+           |  FROM a${i}_$mi, range($sub) i(idx) GROUP BY 1, 2),
+           |g${i}_$mi AS (SELECT cluster AS cid, list(mn ORDER BY idx) AS v FROM m${i}_$mi GROUP BY 1),
+           |c${i}_$mi AS (
+           |  SELECT c${i - 1}_$mi.cid, COALESCE(g${i}_$mi.v, c${i - 1}_$mi.v) AS v
+           |  FROM c${i - 1}_$mi LEFT JOIN g${i}_$mi USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""em_$mi AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c0_$mi AS (SELECT vec_id AS cid, v FROM em_$mi ORDER BY vec_id LIMIT $PqK),
+         |$iterCtes,
+         |enc_$mi AS (
+         |  SELECT vec_id, cid AS code, cv FROM (
+         |    SELECT e.vec_id, c.cid, c.v AS cv,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.v) - 0.5 * list_dot_product(c.v, c.v) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM em_$mi e CROSS JOIN c${PqIters}_$mi c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val all = (0 until PqM).map(subCtes).mkString(",\n")
+    val unions = (0 until PqM)
+      .map(mi => s"SELECT $mi AS sub_m, vec_id, code, cv FROM enc_$mi")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |$all,
+       |cf AS (
+       |$unions),
+       |xh AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY sub_m)) AS xhat
+       |  FROM cf GROUP BY vec_id),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT xh.vec_id
+       |  FROM xh, q
+       |  ORDER BY list_dot_product(q.v, xh.xhat) DESC, vec_id ASC
+       |  LIMIT $PqRerank)
+       |SELECT e.vec_id,
+       |  list_dot_product(e.v, q.v) /
+       |  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+       |FROM e JOIN pool USING (vec_id), q
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $PqTopK""".stripMargin
+  }
+
   /** ds_semantic_cap — SemDeDup-style semantic diversity pass: cluster
     * embeddings (cl_kmeans), keep at most `SemCapN` members per cluster
     * (key-stable), join back to the documents. Proves the operators
@@ -1933,6 +2019,7 @@ object TrainingDataQueries {
     "dd_keep_best" -> ddKeepBest,
     "dd_spans" -> ddSpans,
     "dd_span_decontaminate" -> ddSpanDecontaminate,
+    "ss_ann_pq" -> ssAnnPq,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -1985,6 +2072,7 @@ object TrainingDataQueries {
     "dd_keep_best" -> ddKeepBestOracle,
     "dd_spans" -> ddSpansOracle,
     "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
+    "ss_ann_pq" -> ssAnnPqOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
