@@ -34,6 +34,8 @@ object Bench {
     "q20_window_running", "q21_asof_join", "q22_range_join", "q23_percentiles",
     "q24_cube", "q25_pivot", "q26_set_ops",
     "q27_grouping_sets", "q28_window_suite",
+    "q29_correlated_subquery", "q30_set_ops_all",
+    "dd_spans", "dd_span_decontaminate", "ss_ann_pq",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
