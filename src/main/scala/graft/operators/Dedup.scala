@@ -516,16 +516,24 @@ object Dedup {
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame =
+    spanFold(selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      k, minSpanTokens)
+
+  /** Positional shingle posting list (doc, pos, s) with the relative
+    * doc-freq skew guard. Positional shingles repeat within a document,
+    * so the doc-freq here must be count(DISTINCT doc) — unlike the
+    * Jaccard index, whose per-doc-distinct posting lists make plain
+    * count() equal. */
+  private def positionalPosting(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDocFreqFraction: Option[Double]): DataFrame = {
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
-    val posting = maxDocFreqFraction match {
+    maxDocFreqFraction match {
       case None => sh
       case Some(f) =>
-        // Positional shingles repeat within a document, so the doc-freq
-        // here must be count(DISTINCT doc) — unlike the Jaccard index,
-        // whose per-doc-distinct posting lists make plain count() equal.
         val limitDf = df.select(greatest(lit(MinDocFreqFloor.toDouble),
           count(lit(1)).cast("double") * f).as("df_limit"))
         val keep = sh.groupBy("s").agg(countDistinct("doc").as("df"))
@@ -533,23 +541,28 @@ object Dedup {
           .filter(col("df") <= col("df_limit")).select("s")
         sh.join(keep, "s")
     }
+  }
+
+  /** Corpus self-join shingle matches (doc_a < doc_b). */
+  private def selfSpanMatches(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDocFreqFraction: Option[Double]): DataFrame = {
+    val posting = positionalPosting(df, idCol, textCol, k, maxDocFreqFraction)
     val a = posting.as("a")
     val b = posting.as("b")
-    val matches = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .select(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    spanFold(matches, k, minSpanTokens)
   }
 
-  /** Shared span-fold: (doc_a, doc_b, pa, pb) shingle matches → one row
-    * per pair with ≥1 maximal span of at least `minSpanTokens` tokens.
-    * Window partition = (pair, diagonal) — bounded by document length;
-    * the per-pair longest-span pick is a map-side-combinable struct max,
-    * not a second window. */
-  private def spanFold(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
+  /** Maximal shared spans from (doc_a, doc_b, pa, pb) shingle matches:
+    * one row per island of consecutive matches on a diagonal, length
+    * ≥ `minSpanTokens`. Window partition = (pair, diagonal) — bounded
+    * by document length. */
+  private def spanIslands(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
     val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    val spans = matches
+    matches
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("island", col("pa") - row_number().over(byDiag))
       .groupBy("doc_a", "doc_b", "diag", "island")
@@ -557,6 +570,13 @@ object Dedup {
         min("pa").as("start_a"), min("pb").as("start_b"),
         (count(lit(1)) + (k - 1)).as("span_len"))
       .filter(col("span_len") >= minSpanTokens)
+  }
+
+  /** Shared span-fold: matches → one row per pair with ≥1 maximal span;
+    * the per-pair longest-span pick is a map-side-combinable struct max,
+    * not a second window. */
+  private def spanFold(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
+    val spans = spanIslands(matches, k, minSpanTokens)
     spans
       .groupBy("doc_a", "doc_b")
       .agg(
@@ -587,21 +607,8 @@ object Dedup {
       train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
       maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
-    def posting(df: DataFrame) = df
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
-    val t = posting(train)
-    val e0 = posting(evalCorpus)
-    val e = maxDocFreqFraction match {
-      case None => e0
-      case Some(f) =>
-        val limitDf = evalCorpus.select(greatest(lit(MinDocFreqFloor.toDouble),
-          count(lit(1)).cast("double") * f).as("df_limit"))
-        val keep = e0.groupBy("s").agg(countDistinct("doc").as("df"))
-          .crossJoin(broadcast(limitDf))
-          .filter(col("df") <= col("df_limit")).select("s")
-        e0.join(keep, "s")
-    }
+    val t = positionalPosting(train, idCol, textCol, k, None)
+    val e = positionalPosting(evalCorpus, idCol, textCol, k, maxDocFreqFraction)
     val matches = t.as("t").join(e.as("e"), col("t.s") === col("e.s"))
       .select(
         col("t.doc").as("doc_a"), col("e.doc").as("doc_b"),
@@ -611,5 +618,60 @@ object Dedup {
         col("doc_a").as("train_id"), col("doc_b").as("eval_id"),
         col("n_spans"), col("max_span"),
         col("start_a").as("start_train"), col("start_b").as("start_eval"))
+  }
+
+  /** Per-document DUPLICATED-TOKEN FRACTION — the curation signal
+    * "what fraction of this document lies inside a span shared with
+    * some other document" (boilerplate/copied-passage rate; documents
+    * above a threshold get dropped or span-trimmed in the standard
+    * substring-dedup recipe). Every shared span ≥ `minSpanTokens`
+    * contributes its interval to BOTH endpoint documents; overlapping
+    * intervals merge (sweep: an interval opens a new covered region iff
+    * it starts past the running max end) so double-counting is
+    * impossible. Output one row per document: (doc_id, n_tokens,
+    * dup_tokens, dup_fraction), zero for untouched documents.
+    *
+    * Scale shape: the sweep windows partition per DOCUMENT and hold one
+    * interval per (partner, diagonal) span — bounded by the doc's
+    * duplication degree, which the doc-freq guard bounds in turn; both
+    * aggregations are map-side combinable. */
+  def duplicatedTokenFraction(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    val islands = spanIslands(
+      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      k, minSpanTokens)
+    // DISTINCT is load-bearing, not an optimization: duplicate (s0,e0)
+    // rows tie in the sweep's ordering, and the flag window and the
+    // running-sum window may order ties differently — a duplicated
+    // interval could then land in two regions and be counted twice.
+    // After distinct, (s0,e0) is unique per doc and the order is total.
+    val intervals = islands
+      .select(col("doc_a").as("doc"), col("start_a").as("s0"),
+        (col("start_a") + col("span_len")).as("e0"))
+      .unionByName(islands.select(col("doc_b").as("doc"), col("start_b").as("s0"),
+        (col("start_b") + col("span_len")).as("e0")))
+      .distinct()
+    val byStart = Window.partitionBy("doc").orderBy("s0", "e0")
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val runTot = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dup = intervals
+      .withColumn("new_region",
+        when(col("s0") > coalesce(max(col("e0")).over(prevMax), lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("region", sum(col("new_region")).over(runTot))
+      .groupBy("doc", "region")
+      .agg((max("e0") - min("s0")).as("covered"))
+      .groupBy("doc")
+      .agg(sum("covered").as("dup_tokens"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(dup, col("doc_id") === col("doc"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_fraction"))
   }
 }

@@ -173,11 +173,15 @@ object TrainingDataQueries {
     Dedup.sharedSpans(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
-  val ddSpansOracle: String = {
+  /** Shared DuckDB CTEs producing the maximal shared-span set (same
+    * positional shingles, doc-freq prune, diagonal islands and length
+    * floor as Dedup.sharedSpans) — used by dd_spans and
+    * ta_dup_fraction. */
+  private def spanPipelineCtes: String = {
     val k = Dedup.DefaultSpanK
     val minSpan = Dedup.DefaultMinSpanTokens
     val shingle = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |sh0 AS (
        |  SELECT doc_id,
@@ -206,7 +210,11 @@ object TrainingDataQueries {
        |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
        |         count(*) + ${k - 1} AS span_len
        |  FROM isl GROUP BY doc_a, doc_b, diag, island
-       |  HAVING count(*) + ${k - 1} >= $minSpan),
+       |  HAVING count(*) + ${k - 1} >= $minSpan)""".stripMargin
+  }
+
+  val ddSpansOracle: String =
+    s"""WITH $spanPipelineCtes,
        |agg AS (
        |  SELECT doc_a, doc_b, count(*) AS n_spans,
        |    max(struct_pack(l := span_len, na := -start_a, nb := -start_b)) AS best
@@ -214,7 +222,42 @@ object TrainingDataQueries {
        |SELECT doc_a, doc_b, n_spans, best.l AS max_span,
        |       -best.na AS start_a, -best.nb AS start_b
        |FROM agg ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** ta_dup_fraction — per-document duplicated-token fraction
+    * (Dedup.duplicatedTokenFraction): the substring-dedup curation
+    * signal "what fraction of this document lies inside a span shared
+    * with another document". Every shared span contributes its interval
+    * to both endpoint docs; DISTINCT intervals merge under a sweep
+    * (new region iff start exceeds the running max end) so coverage is
+    * never double-counted. */
+  val taDupFraction: Q = (s, dir) =>
+    Dedup.duplicatedTokenFraction(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val taDupFractionOracle: String =
+    s"""WITH $spanPipelineCtes,
+       |iv AS (
+       |  SELECT DISTINCT doc, s0, e0 FROM (
+       |    SELECT doc_a AS doc, start_a AS s0, start_a + span_len AS e0 FROM spans
+       |    UNION ALL
+       |    SELECT doc_b, start_b, start_b + span_len FROM spans)),
+       |mk AS (
+       |  SELECT doc, s0, e0,
+       |    CASE WHEN s0 > COALESCE(max(e0) OVER (PARTITION BY doc ORDER BY s0, e0
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -9223372036854775808) THEN 1 ELSE 0 END AS nr
+       |  FROM iv),
+       |mi AS (
+       |  SELECT doc, s0, e0, sum(nr) OVER (PARTITION BY doc ORDER BY s0, e0
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region FROM mk),
+       |cov AS (SELECT doc, region, max(e0) - min(s0) AS covered FROM mi GROUP BY 1, 2),
+       |dup AS (SELECT doc, sum(covered) AS dup_tokens FROM cov GROUP BY 1)
+       |SELECT d.doc_id, len(string_split(d.text,' ')) AS n_tokens,
+       |  COALESCE(dup.dup_tokens, 0) AS dup_tokens,
+       |  CAST(COALESCE(dup.dup_tokens, 0) AS DOUBLE)
+       |    / len(string_split(d.text,' ')) AS dup_fraction
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc
+       |ORDER BY doc_id""".stripMargin
 
   /** dd_span_decontaminate — SPAN-level decontamination
     * (Dedup.contaminationSpans): maximal eval passages (≥12 contiguous
@@ -2020,6 +2063,7 @@ object TrainingDataQueries {
     "dd_spans" -> ddSpans,
     "dd_span_decontaminate" -> ddSpanDecontaminate,
     "ss_ann_pq" -> ssAnnPq,
+    "ta_dup_fraction" -> taDupFraction,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -2073,6 +2117,7 @@ object TrainingDataQueries {
     "dd_spans" -> ddSpansOracle,
     "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
     "ss_ann_pq" -> ssAnnPqOracle,
+    "ta_dup_fraction" -> taDupFractionOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

@@ -288,6 +288,43 @@ class DedupSpec extends SparkSpecBase {
     assert(coarse.isEmpty, "doc-level containment stays under threshold by design")
   }
 
+  test("duplicatedTokenFraction merges overlapping intervals and never double-counts") {
+    // doc 1 shares [0,16) with doc 2 and [8,24) with doc 3 → merged
+    // coverage [0,24) = 24 of its 30 tokens; identical intervals from
+    // multiple partners must also collapse (docs 2,3 vs 1)
+    val a = words("a", 16); val b = words("b", 16)
+    val d1 = (a ++ b.take(8) ++ words("z", 6)).mkString(" ") // a0..a15 b0..b7 z0..z5
+    val d2 = (a ++ words("y", 10)).mkString(" ")             // shares a[0,16)
+    val d3 = (a.drop(8) ++ b.take(8) ++ words("x", 10)).mkString(" ") // shares d1[8,24)
+    val docs = spanDocs(1L -> d1, 2L -> d2, 3L -> d3)
+    val out = Dedup.duplicatedTokenFraction(docs, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 30L)
+    assert(out(1L)._2 === 24L, s"doc 1 merged coverage: ${out(1L)}")
+    assert(math.abs(out(1L)._3 - 24.0 / 30.0) < 1e-12)
+    assert(out(2L)._2 === 16L && out(3L)._2 === 16L)
+    // all fractions bounded by 1 — the double-count regression guard
+    out.values.foreach { case (n, d, f) => assert(d <= n && f <= 1.0) }
+  }
+
+  test("duplicatedTokenFraction reports zero for untouched docs and handles short docs") {
+    val span = words("s", 14)
+    val docs = spanDocs(
+      1L -> (span ++ words("a", 6)).mkString(" "),
+      2L -> (words("b", 3) ++ span).mkString(" "),
+      3L -> words("c", 25).mkString(" "),
+      4L -> "tiny")
+    val out = Dedup.duplicatedTokenFraction(docs, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((20L, 14L)))
+    assert(out(2L) === ((17L, 14L)))
+    assert(out(3L) === ((25L, 0L)))
+    assert(out(4L) === ((1L, 0L)))
+  }
+
   test("sharedSpans handles a shingle repeated WITHIN a document (two diagonals, one row)") {
     // doc 1 contains the span twice; doc 2 once → two islands on two
     // diagonals, merged per-pair: n_spans=2, both full-length
