@@ -337,6 +337,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("score").as("est_jaccard"))
   }
 
+  /** INCREMENTAL MinHash dedup: near-duplicate pairs between a NEW
+    * batch (`delta`) and an EXISTING corpus — the shape a 100 TB
+    * pipeline actually runs on every ingest, where re-banding the whole
+    * corpus daily is the difference between O(|delta|) and O(|corpus|)
+    * signature work (the corpus side here is its banded index, which a
+    * production deployment persists once and reads back; both sides'
+    * band rows are plain columns, so the stored index IS this
+    * DataFrame). Within-delta duplicates are `minhashPairs(delta)`,
+    * composable on top.
+    *
+    * Shape: two zero-shuffle banded projections, ONE equi-join on
+    * (band, bkey), then a per-pair collapse (a pair colliding in
+    * several bands must surface once) via a map-side-combinable max —
+    * the estimate is signature-determined, so identical on every
+    * colliding band. Join skew on a hot bucket spills and AQE-splits
+    * like any equi-join — there is no in-row pair expansion on this
+    * path. */
+  def minhashPairsIncremental(
+      delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands,
+      threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
+      fast: Boolean = false): DataFrame = {
+    val bd = minhashBanded(delta, idCol, textCol, n, k, bands, native, fast)
+      .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
+        col("band"), col("bkey"))
+    val bc = minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast)
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
+        col("band"), col("bkey"))
+    bd.join(bc, Seq("band", "bkey"))
+      .groupBy("delta_id", "corpus_id")
+      .agg(max(estJaccard(col("sig_d"), col("sig_c"))).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** MinHash LSH candidates re-ranked by *exact* n-gram Jaccard — the
     * standard production dedup pipeline: LSH bounds the candidate set
     * (recall), the exact join-back gives precision. `candThreshold` is

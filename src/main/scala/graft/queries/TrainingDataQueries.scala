@@ -474,6 +474,40 @@ object TrainingDataQueries {
        |WHERE est_jaccard >= ${Dedup.DefaultMinhashThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd_minhash_incremental — new-batch-vs-corpus MinHash dedup
+    * (Dedup.minhashPairsIncremental): docs with id%5 = 0 are the
+    * incoming delta, the rest the standing corpus; pairs are
+    * delta×corpus band collisions only (within-corpus and within-delta
+    * pairs never form), scored by the same signature estimate. The
+    * oracle rides the shared signature prefix with a split candidate
+    * join. */
+  val ddMinhashIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.minhashPairsIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  val ddMinhashIncrementalOracle: String = {
+    val k = Dedup.DefaultMinhashK
+    s"""$minhashOraclePrefix,
+       |candx AS (
+       |  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+       |SELECT delta_id, corpus_id,
+       |  CAST(len(list_filter(range($k), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / $k AS est_jaccard
+       |FROM candx
+       |JOIN sig sa ON sa.doc_id = candx.delta_id
+       |JOIN sig sb ON sb.doc_id = candx.corpus_id
+       |WHERE CAST(len(list_filter(range($k), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / $k
+       |      >= ${Dedup.DefaultMinhashThreshold}
+       |ORDER BY delta_id, corpus_id""".stripMargin
+  }
+
   /** dd_recall_minhash — MinHash dedup QUALITY under the cross-engine
     * gate: pair-level recall of the banded MinHash pipeline against the
     * exact n-gram Jaccard pair graph at the 0.8 near-duplicate bar (the
@@ -2064,6 +2098,7 @@ object TrainingDataQueries {
     "dd_span_decontaminate" -> ddSpanDecontaminate,
     "ss_ann_pq" -> ssAnnPq,
     "ta_dup_fraction" -> taDupFraction,
+    "dd_minhash_incremental" -> ddMinhashIncremental,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -2118,6 +2153,7 @@ object TrainingDataQueries {
     "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
     "ss_ann_pq" -> ssAnnPqOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
+    "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

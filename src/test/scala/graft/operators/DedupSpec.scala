@@ -288,6 +288,25 @@ class DedupSpec extends SparkSpecBase {
     assert(coarse.isEmpty, "doc-level containment stays under threshold by design")
   }
 
+  test("minhashPairsIncremental equals the cross-split subset of full-corpus minhash pairs") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = Dedup.minhashPairsIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full-corpus pairs are (min,max)-ordered; incremental is
+    // (delta, corpus) — normalize before comparing
+    val incNorm = inc.map { case (d, c, j) => (math.min(d, c), math.max(d, c), j) }
+    val fullCross = full.filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+    assert(incNorm === fullCross,
+      s"incremental must find exactly the cross-split pairs (${incNorm.size} vs ${fullCross.size})")
+    assert(inc.nonEmpty, "fixture plants cross-split near-duplicates")
+  }
+
   test("duplicatedTokenFraction merges overlapping intervals and never double-counts") {
     // doc 1 shares [0,16) with doc 2 and [8,24) with doc 3 → merged
     // coverage [0,24) = 24 of its 30 tokens; identical intervals from
