@@ -187,6 +187,28 @@ object TextAnalysis {
         regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
         lit(LongNumberPattern), lit("<NUM>")).as("redacted"))
 
+  /** Canonical text for normalize-before-dedup: lower-case, every
+    * non-[a-z0-9 ] character to a space, space runs collapsed, ends
+    * trimmed — so "Customer#01 -- NEW" and "customer 01 new" share one
+    * exact-dedup fingerprint. ASCII character classes only, which both
+    * Java and RE2-family regex engines read identically (the
+    * cross-engine constraint the redact patterns follow too). */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), lit("[^a-z0-9 ]"), lit(" ")),
+      lit(" +"), lit(" ")))
+
+  /** Per-row canonicalization + the md5 fingerprint `exactGroups` would
+    * dedup on, + a changed flag. Pure projection, scan-speed. */
+  def canonicalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = canonicalText(col(textCol))
+    df.select(
+      col(idCol),
+      canon.as("canon"),
+      md5(canon).as("fingerprint"),
+      (canon =!= col(textCol)).as("changed"))
+  }
+
   /** Model-token accounting: whitespace words vs BPE-ish pre-tokens and
     * their ratio — the standard first-order estimate of LLM token cost
     * per document. Single projection, scan-speed. */

@@ -742,6 +742,35 @@ object TrainingDataQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** tx_canonicalize — normalize-before-dedup canonical text
+    * (TextAnalysis.canonicalize) over customer names+segments, where
+    * case, punctuation AND space runs all genuinely occur
+    * ("Customer#000000001 -- FURNITURE" → "customer 000000001
+    * furniture"): lower → punct-to-space → collapse → trim, plus the
+    * md5 fingerprint exact dedup would group on and a changed flag. */
+  val txCanonicalize: Q = (s, dir) =>
+    TextAnalysis.canonicalize(
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit(" -- "), col("c_mktsegment")).as("text")),
+      "c_custkey", "text")
+      .orderBy("c_custkey")
+
+  val txCanonicalizeOracle: String =
+    """SELECT c_custkey,
+      |  trim(regexp_replace(regexp_replace(
+      |    lower(c_name || ' -- ' || c_mktsegment),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon,
+      |  md5(trim(regexp_replace(regexp_replace(
+      |    lower(c_name || ' -- ' || c_mktsegment),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |  trim(regexp_replace(regexp_replace(
+      |    lower(c_name || ' -- ' || c_mktsegment),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+      |    <> (c_name || ' -- ' || c_mktsegment) AS changed
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** tp_pack — deterministic contiguous-fill sequence packing
     * (operators.Packing): shard by id hash, per-shard running token
     * offset, pack = floor(offset / budget). Cross-engine identical by
@@ -2099,6 +2128,7 @@ object TrainingDataQueries {
     "ss_ann_pq" -> ssAnnPq,
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
+    "tx_canonicalize" -> txCanonicalize,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -2154,6 +2184,7 @@ object TrainingDataQueries {
     "ss_ann_pq" -> ssAnnPqOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
+    "tx_canonicalize" -> txCanonicalizeOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

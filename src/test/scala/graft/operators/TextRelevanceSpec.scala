@@ -15,6 +15,23 @@ class TextRelevanceSpec extends SparkSpecBase {
     (3L, "fish fish fish bird"))
     .toDF("doc_id", "text")
 
+  test("canonicalize: lower + punct-to-space + collapse + trim, fingerprints merge variants") {
+    val variants = Seq(
+      (1L, "Hello,  World!! 42"),
+      (2L, "hello world 42"),
+      (3L, "  HELLO--WORLD 42  "),
+      (4L, "different text")).toDF("doc_id", "text")
+    val out = TextAnalysis.canonicalize(variants, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 === "hello world 42")
+    assert(out(2L)._1 === "hello world 42")
+    assert(out(3L)._1 === "hello world 42")
+    assert(out(1L)._2 === out(2L)._2 && out(2L)._2 === out(3L)._2,
+      "all three variants must share one dedup fingerprint")
+    assert(out(4L)._2 !== out(1L)._2)
+    assert(out(1L)._3 && !out(2L)._3 && out(3L)._3)
+  }
+
   test("tfidfTopTerms: tf/df exact, rare terms outrank common ones") {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topM = 2)
       .collect()
