@@ -36,6 +36,7 @@ object Bench {
     "q27_grouping_sets", "q28_window_suite",
     "q29_correlated_subquery", "q30_set_ops_all",
     "dd_spans", "dd_span_decontaminate", "ss_ann_pq",
+    "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",

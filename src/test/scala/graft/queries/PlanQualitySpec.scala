@@ -266,6 +266,33 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_max(struct(l"), p)
   }
 
+  test("dd_minhash_incremental: one banded equi-join, no in-row pair expansion") {
+    val p = plan("dd_minhash_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // delta×corpus candidates come from ONE (band,bkey) equi-join over
+    // the two banded projections — not the groupBy+collect_list in-row
+    // enumeration the self-dedup path uses
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("bkey"), p)
+    // per-pair collapse is a partial (map-side) max of the estimate
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("ss_ann_pq: ADC stage is projection + TakeOrdered, no shuffle, no window") {
+    val p = plan("ss_ann_pq")
+    // codebooks are plan literals: search = corpus scan → reconstruction
+    // dot → rerank-pool TakeOrdered → exact re-rank of O(rerank) rows;
+    // a hash exchange or window here would mean the index had stopped
+    // being map-side
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row query-vector broadcast (the
+    // bruteForceTopK convention)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
+
   test("dd_keep_best: per-cluster argmax is an aggregate, never a window sort") {
     val p = plan("dd_keep_best")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
