@@ -274,4 +274,84 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
       .flatMap(_.map(_._1)).toSet
     assert(vecs.exists { case (i, _) => dupCids.contains(gotNearest(i)) })
   }
+
+  /** Naive maximal-common-run reference for the span family: every
+    * (i, j) where a run starts (previous tokens differ or at an edge),
+    * extended directly — obviously correct, O(len²) per pair. */
+  private def naiveRuns(a: Array[String], b: Array[String], minLen: Int): Seq[(Int, Int, Int)] =
+    for {
+      i <- a.indices
+      j <- b.indices
+      if a(i) == b(j) && (i == 0 || j == 0 || a(i - 1) != b(j - 1))
+      len = Iterator.from(0).takeWhile(d =>
+        i + d < a.length && j + d < b.length && a(i + d) == b(j + d)).size
+      if len >= minLen
+    } yield (i, j, len)
+
+  private def randomSpanCorpus(seed: Long): Seq[(Long, Array[String])] = {
+    val rnd = new scala.util.Random(seed)
+    // tiny vocabulary → accidental repeats, rich diagonal structure
+    val vocab = Array("u", "v", "w", "x", "y")
+    val base = (0 until 12).map { i =>
+      i.toLong -> Array.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+    }
+    // splice real copied passages between random doc pairs
+    base.map { case (id, toks) =>
+      if (id % 3 == 2 && toks.length > 4) {
+        val (srcId, src) = base((id.toInt + rnd.nextInt(11) + 1) % 12)
+        if (srcId != id && src.length >= 14) {
+          val start = rnd.nextInt(src.length - 13)
+          val span = src.slice(start, start + 14 + rnd.nextInt(6).min(src.length - start - 14).max(0))
+          val at = rnd.nextInt(toks.length)
+          id -> (toks.take(at) ++ span ++ toks.drop(at))
+        } else id -> toks
+      } else id -> toks
+    }
+  }
+
+  test("sharedSpans equals the naive maximal-common-run fold on random spliced corpora") {
+    for (seed <- Seq(0x5AA5L, 0xBEEFL)) {
+      val corpus = randomSpanCorpus(seed)
+      val df = corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.sharedSpans(df, "doc_id", "text", maxDocFreqFraction = None)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))).toMap
+      val naive = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus; if ia < ib
+        runs = naiveRuns(ta, tb, Dedup.DefaultMinSpanTokens)
+        if runs.nonEmpty
+      } yield {
+        val best = runs.maxBy { case (i, j, len) => (len, -i, -j) }
+        (ia, ib) -> (runs.size.toLong, best._3.toLong, best._1, best._2)
+      }).toMap
+      assert(got === naive, s"seed $seed: ${got.size} vs ${naive.size} pairs")
+      assert(naive.nonEmpty, s"seed $seed must plant at least one span")
+    }
+  }
+
+  test("duplicatedTokenFraction equals naive interval-union coverage on random spliced corpora") {
+    val corpus = randomSpanCorpus(0xD0C5L)
+    val df = corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.duplicatedTokenFraction(df, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val intervals = collection.mutable.Map.empty[Long, List[(Int, Int)]].withDefaultValue(Nil)
+    for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus; if ia < ib
+      (i, j, len) <- naiveRuns(ta, tb, Dedup.DefaultMinSpanTokens)
+    } {
+      intervals(ia) ::= (i, i + len)
+      intervals(ib) ::= (j, j + len)
+    }
+    def cover(iv: List[(Int, Int)]): Long = {
+      val pts = iv.flatMap { case (s, e) => s until e }.toSet
+      pts.size.toLong
+    }
+    corpus.foreach { case (id, toks) =>
+      val n = math.max(1, toks.length) // split("") yields one empty token
+      assert(got(id)._1 === n.toLong, s"doc $id n_tokens")
+      assert(got(id)._2 === cover(intervals(id)), s"doc $id coverage")
+    }
+  }
 }
