@@ -161,4 +161,36 @@ object ProductQuantization {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
   }
+
+  /** Search over a PRE-ENCODED corpus — the production flow where the
+    * byte codes are the persisted index and the float vectors stay
+    * cold: stage 1 reconstructs x̂ from the stored codes by plan-literal
+    * codebook lookup (scan touches m ints per row, never the vectors),
+    * stage 2 fetches vectors for the `rerank` pool rows only (broadcast
+    * pool semi-scan here; a point-lookup store in production).
+    * Bit-identical to `pqTopK` given the same codebooks
+    * (ProductQuantizationSpec). */
+  def pqTopKFromCodes(
+      encoded: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, codebooks: IndexedSeq[Seq[(Long, Array[Double])]],
+      rerank: Int = 100, topK: Int = 10): DataFrame = {
+    require(rerank >= topK, s"rerank pool $rerank must cover topK $topK")
+    graft.GraftExtensions.register(encoded.sparkSession)
+    val m = codebooks.size
+    val xhat = concat((0 until m).map(mi =>
+      element_at(
+        typedLit(codebooks(mi).map(_._2.toSeq)),
+        element_at(col("codes"), mi + 1) + 1)): _*)
+    val pool = encoded
+      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
+      .select(col("vec_id"), col("q"), dot(col("q"), xhat).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(rerank)
+    pool
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+        asDoubles(col(vecCol)).as("v")), "vec_id")
+      .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+  }
 }

@@ -68,6 +68,22 @@ class ProductQuantizationSpec extends SparkSpecBase {
       s"PQ recall@10 $recall — i.i.d. unit vectors are the quantizer's worst case")
   }
 
+  test("pqTopKFromCodes over the stored index equals the from-vectors search row-for-row") {
+    val query = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val books = ProductQuantization.trainCodebooks(
+      corpus, "vec_id", "embedding", dim = dim, m = 8, k = 16, iters = 1)
+    val enc = ProductQuantization.encode(corpus, "vec_id", "embedding", books, dim)
+    val fromCodes = ProductQuantization.pqTopKFromCodes(
+      enc, corpus, "vec_id", "embedding", query, books)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromVectors = ProductQuantization.pqTopK(
+      corpus, "vec_id", "embedding", query, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromCodes === fromVectors,
+      "stored-code search must reproduce the from-vectors pipeline exactly")
+  }
+
   test("invalid configurations are rejected") {
     intercept[IllegalArgumentException] {
       ProductQuantization.trainCodebooks(
