@@ -193,4 +193,46 @@ object ProductQuantization {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
   }
+
+  /** IVF-PQ: the standard two-level 10⁹-vector index — a coarse
+    * quantizer routes the query to `nProbe` of `nCells` cells and ADC
+    * scores only those cells' members, so per-query work is
+    * (nProbe/nCells)·corpus at PQ-compressed width, followed by the
+    * exact re-rank of the usual pool. Cell assignment is the SAME
+    * plan-literal L2 argmax the coarse k-means trained with (ties to
+    * the smaller centroid id), so with nProbe = nCells the filter keeps
+    * every vector and the result is bit-identical to `pqTopK`
+    * (asserted in ProductQuantizationSpec) — probing only ever narrows.
+    * Probe selection for the 1-row query happens on the driver against
+    * the same k·dim centroid matrix the training already collected. */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, query: DataFrame,
+      dim: Int, nCells: Int = 16, nProbe: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, k: Int = 16, iters: Int = 1,
+      roundDp: Int = 6, rerank: Int = 100, topK: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe $nProbe must be in [1, $nCells]")
+    val cents = Clustering.kmeansCentroids(
+      corpus, idCol, vecCol, k = nCells, iters = coarseIters, roundDp = roundDp)
+    val qv = query.select(asDoubles(col("qvec")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val probed = cents.map { case (cid, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += qv(i) * c(i); i += 1 }
+      (-(s - Clustering.halfNormSq(c)), cid)
+    }.sorted.take(nProbe).map(_._2)
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, k, iters, roundDp)
+    val sub = dim / m
+    val xhat = concat((0 until m).map(mi =>
+      argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cvec")): _*)
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .filter(argminCell(cents, col("v")).getField("cid").isin(probed: _*))
+      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
+      .select(col("vec_id"), col("v"), col("q"), dot(col("q"), xhat).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+  }
 }

@@ -84,6 +84,24 @@ class ProductQuantizationSpec extends SparkSpecBase {
       "stored-code search must reproduce the from-vectors pipeline exactly")
   }
 
+  test("ivfPqTopK with full probe equals pqTopK; partial probe keeps >=0.7 of its top-10") {
+    val query = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val pq = ProductQuantization.pqTopK(
+      corpus, "vec_id", "embedding", query, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullProbe = ProductQuantization.ivfPqTopK(
+      corpus, "vec_id", "embedding", query, dim = dim, nCells = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fullProbe === pq, "nProbe = nCells must be bit-identical to the flat PQ search")
+    val partial = ProductQuantization.ivfPqTopK(
+      corpus, "vec_id", "embedding", query, dim = dim, nCells = 16, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (partial & pq.map(_._1).toSet).size.toDouble / pq.size
+    assert(overlap >= 0.7,
+      s"half-probe IVF-PQ kept $overlap of the flat PQ top-10 — i.i.d. worst case")
+  }
+
   test("invalid configurations are rejected") {
     intercept[IllegalArgumentException] {
       ProductQuantization.trainCodebooks(
