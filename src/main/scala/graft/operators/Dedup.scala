@@ -670,6 +670,24 @@ object Dedup {
     * interval per (partner, diagonal) span — bounded by the doc's
     * duplication degree, which the doc-freq guard bounds in turn; both
     * aggregations are map-side combinable. */
+  /** Interval union per doc: DISTINCT (doc, s0, e0) rows → disjoint
+    * merged regions, via the running-max sweep (a row opens a new
+    * region iff it starts past the max end seen so far). Input MUST be
+    * distinct — duplicate rows tie in the sweep ordering and the flag
+    * and running-sum windows may order ties differently. */
+  private def mergedRegions(intervals: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("doc").orderBy("s0", "e0")
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val runTot = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .withColumn("new_region",
+        when(col("s0") > coalesce(max(col("e0")).over(prevMax), lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("region", sum(col("new_region")).over(runTot))
+      .groupBy("doc", "region")
+      .agg(min("s0").as("s0"), max("e0").as("e0"))
+  }
+
   def duplicatedTokenFraction(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
@@ -688,18 +706,9 @@ object Dedup {
       .unionByName(islands.select(col("doc_b").as("doc"), col("start_b").as("s0"),
         (col("start_b") + col("span_len")).as("e0")))
       .distinct()
-    val byStart = Window.partitionBy("doc").orderBy("s0", "e0")
-    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
-    val runTot = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dup = intervals
-      .withColumn("new_region",
-        when(col("s0") > coalesce(max(col("e0")).over(prevMax), lit(Long.MinValue)), 1L)
-          .otherwise(0L))
-      .withColumn("region", sum(col("new_region")).over(runTot))
-      .groupBy("doc", "region")
-      .agg((max("e0") - min("s0")).as("covered"))
+    val dup = mergedRegions(intervals)
       .groupBy("doc")
-      .agg(sum("covered").as("dup_tokens"))
+      .agg(sum(col("e0") - col("s0")).as("dup_tokens"))
     df.select(col(idCol).cast("long").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(dup, col("doc_id") === col("doc"), "left")
@@ -708,5 +717,56 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_fraction"))
+  }
+
+  /** Span TRIMMING — the remediation half of substring dedup (dropping
+    * whole documents over a dup-fraction threshold wastes their unique
+    * text; the standard alternative removes just the copied passages):
+    * for every shared span the pair's min-id document is the canonical
+    * copy and the max-id side's occurrence is removed. Removal
+    * intervals merge per document (same sweep as
+    * `duplicatedTokenFraction`) and the trimmed text keeps exactly the
+    * uncovered token positions. Output one row per document:
+    * (doc_id, trimmed, removed_tokens) — untouched documents pass
+    * through byte-identical.
+    *
+    * Scale shape: everything up to the merged regions is the span
+    * pipeline (inverted index, never all-pairs); the per-doc interval
+    * list is bounded by the doc's duplication degree, and the
+    * reconstruction is a pure projection over (tokens × intervals)
+    * higher-order functions — no shuffle beyond the span machinery's
+    * own. A doc that is only ever the pair's min-id keeps everything,
+    * so a duplicate CHAIN a<b<c resolves to exactly one surviving
+    * copy. */
+  def trimSharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    val islands = spanIslands(
+      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      k, minSpanTokens)
+    val removals = islands
+      .select(col("doc_b").as("doc"), col("start_b").as("s0"),
+        (col("start_b") + col("span_len")).as("e0"))
+      .distinct()
+    val ivs = mergedRegions(removals)
+      .groupBy("doc")
+      .agg(
+        collect_list(struct(col("s0"), col("e0"))).as("ivs"),
+        sum(col("e0") - col("s0")).as("removed"))
+    val toks = tokens(col("text"))
+    val kept = array_join(
+      transform(
+        filter(
+          transform(toks, (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+          s => !exists(col("ivs"), iv =>
+            s.getField("i") >= iv.getField("s0") && s.getField("i") < iv.getField("e0"))),
+        s => s.getField("t")), " ")
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(ivs, col("doc_id") === col("doc"), "left")
+      .select(
+        col("doc_id"),
+        when(col("ivs").isNull, col("text")).otherwise(kept).as("trimmed"),
+        coalesce(col("removed"), lit(0L)).as("removed_tokens"))
   }
 }

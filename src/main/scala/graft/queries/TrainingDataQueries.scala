@@ -259,6 +259,49 @@ object TrainingDataQueries {
        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc
        |ORDER BY doc_id""".stripMargin
 
+  /** tp_trim_spans — span TRIMMING, the remediation half of substring
+    * dedup (Dedup.trimSharedSpans): each shared span's min-id document
+    * is canonical; the max-id side's occurrence is cut, removal
+    * intervals merged per doc, text rebuilt from the uncovered token
+    * positions. Oracle: same pipeline closed-form with nested-lambda
+    * list surgery in DuckDB. */
+  val tpTrimSpans: Q = (s, dir) =>
+    Dedup.trimSharedSpans(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val tpTrimSpansOracle: String =
+    s"""WITH $spanPipelineCtes,
+       |rem AS (
+       |  SELECT DISTINCT doc_b AS doc, start_b AS s0, start_b + span_len AS e0
+       |  FROM spans),
+       |mk AS (
+       |  SELECT doc, s0, e0,
+       |    CASE WHEN s0 > COALESCE(max(e0) OVER (PARTITION BY doc ORDER BY s0, e0
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -9223372036854775808) THEN 1 ELSE 0 END AS nr
+       |  FROM rem),
+       |mi AS (
+       |  SELECT doc, s0, e0, sum(nr) OVER (PARTITION BY doc ORDER BY s0, e0
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region FROM mk),
+       |mg AS (SELECT doc, region, min(s0) AS s0, max(e0) AS e0 FROM mi GROUP BY 1, 2),
+       |ivl AS (
+       |  SELECT doc, list(struct_pack(s0 := s0, e0 := e0)) AS l,
+       |         sum(e0 - s0) AS removed
+       |  FROM mg GROUP BY doc)
+       |SELECT d.doc_id,
+       |  CASE WHEN ivl.l IS NULL THEN d.text ELSE
+       |    -- array_to_string of an EMPTY list is NULL in DuckDB (a fully
+       |    -- trimmed doc); Spark's array_join gives '' — coalesce to match
+       |    COALESCE(array_to_string(
+       |      list_transform(
+       |        list_filter(range(len(string_split(d.text,' '))), i ->
+       |          len(list_filter(ivl.l, iv -> i >= iv.s0 AND i < iv.e0)) = 0),
+       |        i -> string_split(d.text,' ')[i+1]), ' '), '')
+       |  END AS trimmed,
+       |  COALESCE(ivl.removed, 0) AS removed_tokens
+       |FROM documents d LEFT JOIN ivl ON d.doc_id = ivl.doc
+       |ORDER BY d.doc_id""".stripMargin
+
   /** dd_span_decontaminate — SPAN-level decontamination
     * (Dedup.contaminationSpans): maximal eval passages (≥12 contiguous
     * tokens) quoted inside training documents, same doc_id%20 split as
@@ -2129,6 +2172,7 @@ object TrainingDataQueries {
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
     "tx_canonicalize" -> txCanonicalize,
+    "tp_trim_spans" -> tpTrimSpans,
     "ta_token_bpe" -> taTokenBpe,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -2185,6 +2229,7 @@ object TrainingDataQueries {
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
     "tx_canonicalize" -> txCanonicalizeOracle,
+    "tp_trim_spans" -> tpTrimSpansOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,

@@ -344,6 +344,43 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) === ((1L, 0L)))
   }
 
+  test("trimSharedSpans removes the copy, keeps the canonical, resolves chains to one survivor") {
+    // chain 1 < 2 < 3 all sharing one 14-token span: only doc 1 keeps it
+    val span = words("s", 14)
+    val docs = spanDocs(
+      1L -> (words("a", 5) ++ span).mkString(" "),
+      2L -> (span ++ words("b", 5)).mkString(" "),
+      3L -> (words("c", 2) ++ span ++ words("d", 3)).mkString(" "),
+      4L -> words("e", 20).mkString(" "))
+    val out = Dedup.trimSharedSpans(docs, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (((words("a", 5) ++ span).mkString(" "), 0L)),
+      "canonical copy untouched")
+    assert(out(2L) === ((words("b", 5).mkString(" "), 14L)))
+    assert(out(3L) === (((words("c", 2) ++ words("d", 3)).mkString(" "), 14L)))
+    assert(out(4L) === ((words("e", 20).mkString(" "), 0L)), "untouched doc byte-identical")
+  }
+
+  test("trimSharedSpans merges overlapping removal intervals before cutting") {
+    // doc 3 shares [0,16) with doc 1 and [8,24) with doc 2 → one merged
+    // cut [0,24), not 32 tokens of double-removal
+    val a = words("p", 16); val b = words("q", 16)
+    val docs = spanDocs(
+      1L -> (a ++ words("u", 9)).mkString(" "),
+      2L -> (a.drop(8) ++ b.take(8) ++ words("v", 9)).mkString(" "),
+      3L -> (a ++ b.take(8) ++ words("w", 6)).mkString(" "))
+    val out = Dedup.trimSharedSpans(docs, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(3L)._2 === 24L, s"merged removal: ${out(3L)}")
+    assert(out(3L)._1 === words("w", 6).mkString(" "))
+    // docs 1 and 2 are each the min-id side of their spanning pairs
+    // ((1,3) and (2,3)); their 8-token overlap (1,2) is below the floor
+    assert(out(1L)._2 === 0L)
+    assert(out(2L)._2 === 0L)
+  }
+
   test("sharedSpans handles a shingle repeated WITHIN a document (two diagonals, one row)") {
     // doc 1 contains the span twice; doc 2 once → two islands on two
     // diagonals, merged per-pair: n_spans=2, both full-length
