@@ -37,6 +37,7 @@ object Bench {
     "q29_correlated_subquery", "q30_set_ops_all",
     "dd_spans", "dd_span_decontaminate", "ss_ann_pq",
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
+    "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
@@ -133,10 +134,32 @@ object Bench {
       docs, "doc_id", "text", threshold = 0.8,
       maxDocFreq = None, maxDocFreqFraction = None)
     val mhPairs = Dedup.minhashPairs(docs, "doc_id", "text", fast = true)
+    // PQ recall@10 averaged over 16 deterministically-sampled queries
+    // (a single query is ±0.3 noisy across random corpora): codebooks
+    // train ONCE, each query searches the stored codes, truth is exact
+    // top-10 excluding the query itself
+    import org.apache.spark.sql.functions.{col => c}
+    import graft.operators.ProductQuantization
+    val books = ProductQuantization.trainCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1)
+    val enc = ProductQuantization.encode(emb, "vec_id", "embedding", books, 64).cache()
+    val qids = (0L until n by math.max(1L, n / 16)).take(16)
+    val pqRecalls = qids.map { qid =>
+      val query = emb.filter(c("vec_id") === qid).select(c("embedding").as("qvec"))
+      val got = ProductQuantization.pqTopKFromCodes(
+        enc, emb, "vec_id", "embedding", query, books, rerank = 100, topK = 11)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      val tru = SimilaritySearch.bruteForceTopK(
+        emb.filter(c("vec_id") =!= qid), "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      (got & tru).size.toDouble / math.max(1, tru.size)
+    }
+    enc.unpersist()
     val out = Seq(
       "ss_ann_lsh_t1" -> Recall.recallAtK(lsh(1), truth),
       "ss_ann_lsh_t8" -> Recall.recallAtK(lsh(8), truth),
       "ss_ann_ivf_p8" -> Recall.recallAtK(ivf, truth),
+      "ss_ann_pq"     -> pqRecalls.sum / math.max(1, pqRecalls.size),
       "dd_minhash"    -> Recall.pairRecall(mhPairs, exactPairs))
     truth.unpersist()
     out
