@@ -147,7 +147,8 @@ object Bench {
     val pqRecalls = qids.map { qid =>
       val query = emb.filter(c("vec_id") === qid).select(c("embedding").as("qvec"))
       val got = ProductQuantization.pqTopKFromCodes(
-        enc, emb, "vec_id", "embedding", query, books, rerank = 100, topK = 11)
+        enc, emb, "vec_id", "embedding", query, books,
+        rerank = ProductQuantization.rerankFor(n), topK = 11)
         .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
       val tru = SimilaritySearch.bruteForceTopK(
         emb.filter(c("vec_id") =!= qid), "vec_id", "embedding", query, 10)

@@ -37,6 +37,21 @@ import graft.functions.VectorFunctions._
   */
 object ProductQuantization {
 
+  /** Re-rank pool size as a function of corpus size — PQ's version of
+    * the `nBitsFor`/`nCentroidsFor` knob: with the m=8 × k=16 codebooks
+    * the ADC ordering reliably concentrates the true neighbors into the
+    * top ~20% of the corpus (recall@10 ≈ 0.8 at that fraction on the
+    * i.i.d. worst case, scale-stable because the FRACTION is what the
+    * quantization error bounds), so the pool grows with the corpus and
+    * never drops below the flat-fixture floor. Richer codebooks (k=256,
+    * the native-expression regime) shrink the fraction — the knob to
+    * turn before 10⁹ vectors, where 20% is no longer a pruning. */
+  def rerankFor(corpusSize: Long, fraction: Double = 0.2): Int = {
+    require(corpusSize > 0 && fraction > 0 && fraction <= 1)
+    math.max(100L, math.ceil(corpusSize * fraction).toLong)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** One codebook per subspace: `(centroidId, centroid)` sorted by id,
     * where centroid ids are the seed vectors' ids (shared across
     * subspaces — the k lowest corpus ids). */
@@ -213,8 +228,9 @@ object ProductQuantization {
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe $nProbe must be in [1, $nCells]")
     val cents = Clustering.kmeansCentroids(
       corpus, idCol, vecCol, k = nCells, iters = coarseIters, roundDp = roundDp)
-    val qv = query.select(asDoubles(col("qvec")).as("q"))
-      .head().getSeq[Double](0).toArray
+    val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
+    require(qRows.nonEmpty, "ivfPqTopK needs a 1-row query DataFrame with column qvec")
+    val qv = qRows.head.getSeq[Double](0).toArray
     val probed = cents.map { case (cid, c) =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += qv(i) * c(i); i += 1 }
