@@ -307,8 +307,9 @@ object RelationalQueries {
     s.sql(
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS unique_users,
-        |  ROUND(100.0 * COUNT(DISTINCT user_id) /
-        |        (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+        |  CAST(ROUND(100.0 * COUNT(DISTINCT user_id) /
+        |        (SELECT COUNT(DISTINCT user_id) FROM events), 1)
+        |    AS DOUBLE) AS user_pct
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
@@ -317,8 +318,11 @@ object RelationalQueries {
   val q12Oracle: String =
     """SELECT event_type,
       |  COUNT(DISTINCT user_id) AS unique_users,
-      |  ROUND(100.0 * COUNT(DISTINCT user_id) /
-      |        (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+      |  -- CAST: Spark types ROUND(decimal) as DECIMAL, DuckDB as DOUBLE;
+      |  -- align both to DOUBLE so the type-sensitive driver hash agrees
+      |  CAST(ROUND(100.0 * COUNT(DISTINCT user_id) /
+      |        (SELECT COUNT(DISTINCT user_id) FROM events), 1)
+      |    AS DOUBLE) AS user_pct
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

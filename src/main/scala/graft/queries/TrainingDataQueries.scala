@@ -251,9 +251,11 @@ object TrainingDataQueries {
        |  SELECT doc, s0, e0, sum(nr) OVER (PARTITION BY doc ORDER BY s0, e0
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region FROM mk),
        |cov AS (SELECT doc, region, max(e0) - min(s0) AS covered FROM mi GROUP BY 1, 2),
-       |dup AS (SELECT doc, sum(covered) AS dup_tokens FROM cov GROUP BY 1)
+       |-- CAST: DuckDB types sum(BIGINT) as HUGEINT; the driver's hash is
+       |-- type-sensitive, Spark emits BIGINT — keep both sides BIGINT.
+       |dup AS (SELECT doc, CAST(sum(covered) AS BIGINT) AS dup_tokens FROM cov GROUP BY 1)
        |SELECT d.doc_id, len(string_split(d.text,' ')) AS n_tokens,
-       |  COALESCE(dup.dup_tokens, 0) AS dup_tokens,
+       |  CAST(COALESCE(dup.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        |  CAST(COALESCE(dup.dup_tokens, 0) AS DOUBLE)
        |    / len(string_split(d.text,' ')) AS dup_fraction
        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc
@@ -286,7 +288,9 @@ object TrainingDataQueries {
        |mg AS (SELECT doc, region, min(s0) AS s0, max(e0) AS e0 FROM mi GROUP BY 1, 2),
        |ivl AS (
        |  SELECT doc, list(struct_pack(s0 := s0, e0 := e0)) AS l,
-       |         sum(e0 - s0) AS removed
+       |         -- CAST: sum(BIGINT) is HUGEINT in DuckDB; driver hash is
+       |         -- type-sensitive vs Spark's BIGINT
+       |         CAST(sum(e0 - s0) AS BIGINT) AS removed
        |  FROM mg GROUP BY doc)
        |SELECT d.doc_id,
        |  CASE WHEN ivl.l IS NULL THEN d.text ELSE
@@ -298,7 +302,7 @@ object TrainingDataQueries {
        |          len(list_filter(ivl.l, iv -> i >= iv.s0 AND i < iv.e0)) = 0),
        |        i -> string_split(d.text,' ')[i+1]), ' '), '')
        |  END AS trimmed,
-       |  COALESCE(ivl.removed, 0) AS removed_tokens
+       |  CAST(COALESCE(ivl.removed, 0) AS BIGINT) AS removed_tokens
        |FROM documents d LEFT JOIN ivl ON d.doc_id = ivl.doc
        |ORDER BY d.doc_id""".stripMargin
 

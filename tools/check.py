@@ -26,6 +26,39 @@ skip = set(filter(None, (sys.argv[3] if len(sys.argv) > 3 else "").split(",")))
 n_pass = n_fail = 0
 
 
+def tclass(col):
+    """Raw type class BEFORE normalization. The driver's hash is
+    type-/serialization-sensitive (round 6: DuckDB HUGEINT sum vs Spark
+    BIGINT hashed differently while values were cell-equal), so a class
+    mismatch here must FAIL even when normalized values compare equal."""
+    d = str(col.dtype)
+    if d.startswith("int") or d.startswith("uint"):
+        return "int"
+    if d.startswith("float"):
+        return "float"
+    if d.startswith("datetime64"):
+        return "datetime[tz]" if getattr(col.dtype, "tz", None) is not None else "datetime"
+    if d == "bool" or d == "boolean":
+        return "bool"
+    if col.dtype == object:
+        nn = col.dropna()
+        if not len(nn):
+            return "null"
+        tn = type(nn.iloc[0]).__name__
+        if tn == "Decimal":
+            return "decimal"
+        if tn in ("date", "datetime", "Timestamp"):
+            return "datetime"
+        if tn in ("str",):
+            return "str"
+        if tn in ("bytes", "bytearray"):
+            return "bytes"
+        if tn in ("list", "ndarray", "tuple"):
+            return "array"
+        return tn
+    return d
+
+
 def norm(col):
     s = col
     if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (pd.Timestamp,)):
@@ -78,6 +111,10 @@ for name in sorted(oracle):
         continue
     bad = []
     for c in sdf.columns:
+        ta, tb = tclass(sdf[c]), tclass(odf[c])
+        if ta != tb and "null" not in (ta, tb):
+            bad.append(f"{c} (DTYPE spark={ta}/{sdf[c].dtype} oracle={tb}/{odf[c].dtype})")
+            continue
         a, b = norm(sdf[c]).reset_index(drop=True), norm(odf[c]).reset_index(drop=True)
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype("float64"); b = b.astype("float64")
