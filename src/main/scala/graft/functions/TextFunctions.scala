@@ -59,6 +59,20 @@ object TextFunctions {
     if (fast) pmod(xxhash64(s), lit(P))
     else pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
 
+  /** 60-bit shingle JOIN key — `baseHash` without the mod-P fold, for
+    * equi-joins on shingles (the span-dedup family): a k-token shingle
+    * string is 40–80 B and was being exchanged twice over every shingle
+    * position; the 8 B key carries the join instead. 60 bits keeps the
+    * collision probability negligible at corpus scale (~10⁹ distinct
+    * shingles → p ≈ 4·10⁻⁴ of ONE colliding pair, and a collision can
+    * only add a spurious length-k island, below `minSpanTokens`).
+    * Oracle-expressible: `('0x' || substr(md5(s),1,15))::BIGINT` in
+    * DuckDB is bit-identical. `fast = true` swaps in xxhash64 (full
+    * 64-bit) for production corpora without a cross-engine gate. */
+  def shingleKey(s: Column, fast: Boolean = false): Column =
+    if (fast) xxhash64(s)
+    else conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature: `k` independent min-hashes over `shingleArr`.
     * Component i is min over shingles of universal-hash_i(baseHash(shingle)).
     *

@@ -551,41 +551,50 @@ object Dedup {
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame =
-    spanFold(selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame =
+    spanFold(selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
 
-  /** Positional shingle posting list (doc, pos, s) with the relative
-    * doc-freq skew guard. Positional shingles repeat within a document,
-    * so the doc-freq here must be count(DISTINCT doc) — unlike the
-    * Jaccard index, whose per-doc-distinct posting lists make plain
-    * count() equal. */
-  private def positionalPosting(
+  /** Positional shingle posting list (doc, pos, h) with the relative
+    * doc-freq skew guard. The shingle string itself is hashed to the
+    * 60-bit `TextFunctions.shingleKey` IN THIS PROJECTION and never
+    * leaves the map side: the k-token string (40–80 B) was the join key
+    * exchanged twice per shingle position, and the 8 B key carries the
+    * same equi-join (collisions negligible and mirrored bit-for-bit by
+    * the DuckDB oracle's md5 expression; `fast` = xxhash64 for
+    * production). Positional shingles repeat within a document, so the
+    * doc-freq here must be count(DISTINCT doc) — unlike the Jaccard
+    * index, whose per-doc-distinct posting lists make plain count()
+    * equal. */
+  private[graft] def positionalPosting(
       df: DataFrame, idCol: String, textCol: String, k: Int,
-      maxDocFreqFraction: Option[Double]): DataFrame = {
+      maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+      .select(col("doc"), col("pos"), shingleKey(col("s"), fast).as("h"))
     maxDocFreqFraction match {
       case None => sh
       case Some(f) =>
         val limitDf = df.select(greatest(lit(MinDocFreqFloor.toDouble),
           count(lit(1)).cast("double") * f).as("df_limit"))
-        val keep = sh.groupBy("s").agg(countDistinct("doc").as("df"))
+        val keep = sh.groupBy("h").agg(countDistinct("doc").as("df"))
           .crossJoin(broadcast(limitDf))
-          .filter(col("df") <= col("df_limit")).select("s")
-        sh.join(keep, "s")
+          .filter(col("df") <= col("df_limit")).select("h")
+        sh.join(keep, "h")
     }
   }
 
-  /** Corpus self-join shingle matches (doc_a < doc_b). */
+  /** Corpus self-join shingle matches (doc_a < doc_b), on the hashed
+    * shingle key. */
   private def selfSpanMatches(
       df: DataFrame, idCol: String, textCol: String, k: Int,
-      maxDocFreqFraction: Option[Double]): DataFrame = {
-    val posting = positionalPosting(df, idCol, textCol, k, maxDocFreqFraction)
+      maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {
+    val posting = positionalPosting(df, idCol, textCol, k, maxDocFreqFraction, fast)
     val a = posting.as("a")
     val b = posting.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+    a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .select(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
@@ -641,10 +650,16 @@ object Dedup {
   def contaminationSpans(
       train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
-    val t = positionalPosting(train, idCol, textCol, k, None)
-    val e = positionalPosting(evalCorpus, idCol, textCol, k, maxDocFreqFraction)
-    val matches = t.as("t").join(e.as("e"), col("t.s") === col("e.s"))
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame = {
+    val t = positionalPosting(train, idCol, textCol, k, None, fast)
+    val e = positionalPosting(evalCorpus, idCol, textCol, k, maxDocFreqFraction, fast)
+    // t.doc =!= e.doc: an id collision across the two corpora would
+    // otherwise report a full-length diagonal-0 self-span as
+    // contamination (ids are disjoint in the gated split, but the
+    // operator shouldn't rely on that).
+    val matches = t.as("t").join(e.as("e"),
+        col("t.h") === col("e.h") && col("t.doc") =!= col("e.doc"))
       .select(
         col("t.doc").as("doc_a"), col("e.doc").as("doc_b"),
         col("t.pos").as("pa"), col("e.pos").as("pb"))
@@ -691,9 +706,10 @@ object Dedup {
   def duplicatedTokenFraction(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame = {
     val islands = spanIslands(
-      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
     // DISTINCT is load-bearing, not an optimization: duplicate (s0,e0)
     // rows tie in the sweep's ordering, and the flag window and the
@@ -741,9 +757,10 @@ object Dedup {
   def trimSharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame = {
     val islands = spanIslands(
-      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction),
+      selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
     val removals = islands
       .select(col("doc_b").as("doc"), col("start_b").as("s0"),

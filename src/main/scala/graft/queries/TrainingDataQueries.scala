@@ -188,20 +188,24 @@ object TrainingDataQueries {
        |    unnest(list_transform(range(len(t) - ${k - 1}),
        |           i -> {'pos': i, 's': $shingle})) AS u
        |  FROM toks WHERE len(t) >= $k),
-       |shp AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM sh0),
+       |-- 60-bit md5 shingle key: bit-identical to Spark's
+       |-- TextFunctions.shingleKey (conv(substr(md5(s),1,15),16,10)) —
+       |-- the join and doc-freq guard run on the 8 B key, not the string
+       |shp AS (SELECT doc_id, u.pos AS pos,
+       |               ('0x' || substr(md5(u.s),1,15))::BIGINT AS h FROM sh0),
        |lim AS (
        |  SELECT greatest(${Dedup.MinDocFreqFloor}.0,
        |                  ${Dedup.DefaultMaxDocFreqFraction} * count(*)) AS df_limit
        |  FROM documents),
        |keep AS (
-       |  SELECT s FROM (
-       |    SELECT s, count(DISTINCT doc_id) AS df FROM shp GROUP BY s), lim
+       |  SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS df FROM shp GROUP BY h), lim
        |  WHERE df <= df_limit),
-       |shk AS (SELECT shp.* FROM shp JOIN keep USING (s)),
+       |shk AS (SELECT shp.* FROM shp JOIN keep USING (h)),
        |m AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
-       |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id),
        |isl AS (
        |  SELECT doc_a, doc_b, diag, pa, pb,
        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
@@ -336,20 +340,23 @@ object TrainingDataQueries {
        |    unnest(list_transform(range(len(t) - ${k - 1}),
        |           i -> {'pos': i, 's': $shingle})) AS u
        |  FROM toks WHERE len(t) >= $k),
-       |shp AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM sh0),
-       |tr AS (SELECT doc_id AS train_id, pos, s FROM shp WHERE doc_id % 20 <> 0),
-       |ev AS (SELECT doc_id AS eval_id, pos, s FROM shp WHERE doc_id % 20 = 0),
+       |-- 60-bit md5 shingle key — same join-key idiom as the
+       |-- self-join span pipeline (TextFunctions.shingleKey)
+       |shp AS (SELECT doc_id, u.pos AS pos,
+       |               ('0x' || substr(md5(u.s),1,15))::BIGINT AS h FROM sh0),
+       |tr AS (SELECT doc_id AS train_id, pos, h FROM shp WHERE doc_id % 20 <> 0),
+       |ev AS (SELECT doc_id AS eval_id, pos, h FROM shp WHERE doc_id % 20 = 0),
        |lim AS (SELECT greatest($floor.0, $frac * count(*)) AS df_limit
        |        FROM documents WHERE doc_id % 20 = 0),
        |keep AS (
-       |  SELECT s FROM (
-       |    SELECT s, count(DISTINCT eval_id) AS df FROM ev GROUP BY s), lim
+       |  SELECT h FROM (
+       |    SELECT h, count(DISTINCT eval_id) AS df FROM ev GROUP BY h), lim
        |  WHERE df <= df_limit),
-       |evk AS (SELECT ev.* FROM ev JOIN keep USING (s)),
+       |evk AS (SELECT ev.* FROM ev JOIN keep USING (h)),
        |m AS (
        |  SELECT t.train_id, e.eval_id, t.pos AS pa, e.pos AS pb,
        |         t.pos - e.pos AS diag
-       |  FROM tr t JOIN evk e ON t.s = e.s),
+       |  FROM tr t JOIN evk e ON t.h = e.h AND t.train_id <> e.eval_id),
        |isl AS (
        |  SELECT train_id, eval_id, diag, pa, pb,
        |    pa - row_number() OVER (PARTITION BY train_id, eval_id, diag ORDER BY pa) AS island
