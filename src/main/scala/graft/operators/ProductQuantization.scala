@@ -37,19 +37,27 @@ import graft.functions.VectorFunctions._
   */
 object ProductQuantization {
 
+  /** Absolute ceiling on the re-rank pool. A pool that is a FRACTION of
+    * the corpus stops being a pruning at some scale: 20% of 10⁹ vectors
+    * is 2·10⁸ rows funneled into the final top-k selection — the exact
+    * one-task blowup the hot-bucket guards elsewhere exist to prevent.
+    * Past this ceiling the quality knob is a richer codebook (larger k,
+    * more subspaces), not a larger pool — the standard PQ trade at
+    * billion-vector scale. */
+  val MaxRerankPool: Int = 100000
+
   /** Re-rank pool size as a function of corpus size — PQ's version of
     * the `nBitsFor`/`nCentroidsFor` knob: with the m=8 × k=16 codebooks
     * the ADC ordering reliably concentrates the true neighbors into the
     * top ~20% of the corpus (recall@10 ≈ 0.8 at that fraction on the
     * i.i.d. worst case, scale-stable because the FRACTION is what the
-    * quantization error bounds), so the pool grows with the corpus and
-    * never drops below the flat-fixture floor. Richer codebooks (k=256,
-    * the native-expression regime) shrink the fraction — the knob to
-    * turn before 10⁹ vectors, where 20% is no longer a pruning. */
-  def rerankFor(corpusSize: Long, fraction: Double = 0.2): Int = {
-    require(corpusSize > 0 && fraction > 0 && fraction <= 1)
-    math.max(100L, math.ceil(corpusSize * fraction).toLong)
-      .min(Int.MaxValue.toLong).toInt
+    * quantization error bounds), so the pool grows with the corpus,
+    * never drops below the flat-fixture floor — and never exceeds
+    * [[MaxRerankPool]]: beyond it, grow the codebooks instead. */
+  def rerankFor(corpusSize: Long, fraction: Double = 0.2,
+      maxPool: Int = MaxRerankPool): Int = {
+    require(corpusSize > 0 && fraction > 0 && fraction <= 1 && maxPool >= 100)
+    math.max(100L, math.min(maxPool.toLong, math.ceil(corpusSize * fraction).toLong)).toInt
   }
 
   /** One codebook per subspace: `(centroidId, centroid)` sorted by id,
@@ -106,6 +114,67 @@ object ProductQuantization {
   private def subVec(v: Column, mi: Int, sub: Int): Column =
     slice(v, mi * sub + 1, sub)
 
+  /** Largest pool for which a single TakeOrdered gather is the right
+    * plan: per-partition bounded heaps inside whole-stage codegen, one
+    * merge of ≤ partitions·rerank slim rows. Above it, [[adcPool]]
+    * switches to the two-level partition-heap reduction so no single
+    * point ever merges more than [[PoolFanIn]]·rerank rows. */
+  private[operators] val SingleGatherMax = 4096
+  private[operators] val PoolFanIn = 32
+
+  /** Bounded per-partition top-k heap: keeps the `k` largest rows under
+    * (score DESC, vec_id ASC). Rows below the current weakest are
+    * rejected in O(1); accepted rows cost O(log k). */
+  private def heapTop(it: Iterator[(Long, Double)], k: Int): Iterator[(Long, Double)] = {
+    // PriorityQueue pops its MAX; order by (-score, vec_id) so the max
+    // is the weakest entry (smallest score, largest id on ties)
+    val ord: Ordering[(Long, Double)] = Ordering.by { case (vid, s) => (-s, vid) }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
+    it.foreach { x =>
+      if (pq.size < k) pq.enqueue(x)
+      else if (x._2 > pq.head._2 || (x._2 == pq.head._2 && x._1 < pq.head._1)) {
+        pq.dequeue(); pq.enqueue(x)
+      }
+    }
+    pq.iterator
+  }
+
+  /** The rerank-pool selection — exact top-`rerank` of `scored` (any
+    * schema containing `vec_id` long + `score` double) under
+    * (score DESC, vec_id ASC), with a plan that adapts to the pool size:
+    *
+    *   - rerank ≤ [[SingleGatherMax]] (every oracle gate): the plain
+    *     TakeOrderedAndProject — per-partition bounded heaps, codegen'd,
+    *     one slim merge. Identical to the historical plan, so the
+    *     ss_ann_pq gate and plan-lock are untouched.
+    *   - rerank > [[SingleGatherMax]] (the 100 TB posture, where
+    *     [[rerankFor]] can return up to [[MaxRerankPool]]): two-level
+    *     partition-heap reduction over (vec_id, score) pairs only —
+    *     each scan partition reduces to ≤rerank 16-byte pairs, a
+    *     round-robin exchange fans them into [[PoolFanIn]] merge tasks,
+    *     each re-heaps, and the final TakeOrdered sees ≤ FanIn·rerank
+    *     rows. The pool ids then re-join `scored` (broadcast — the pool
+    *     is ≤[[MaxRerankPool]] rows) to restore the payload columns, so
+    *     wide columns (vectors) never ride through the selection.
+    *
+    * Both paths return the same rows (top-k of per-partition top-ks is
+    * the global top-k under a total order), asserted in
+    * ProductQuantizationSpec. */
+  private[operators] def adcPool(scored: DataFrame, rerank: Int): DataFrame =
+    if (rerank <= SingleGatherMax) {
+      scored.orderBy(col("score").desc, col("vec_id").asc).limit(rerank)
+    } else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      val ids = scored.select(col("vec_id").cast("long"), col("score")).as[(Long, Double)]
+        .mapPartitions(heapTop(_, rerank))
+        .repartition(PoolFanIn)
+        .mapPartitions(heapTop(_, rerank))
+        .toDF("vec_id", "score")
+        .orderBy(col("score").desc, col("vec_id").asc).limit(rerank)
+      scored.drop("score").join(broadcast(ids), "vec_id")
+    }
+
   /** The best codebook cell for a subvector: plan-literal cells ranked
     * by (−(v·c − ½|c|²), cid) ascending — L2-nearest with ties to the
     * smaller centroid id; the winning struct carries the centroid
@@ -147,11 +216,13 @@ object ProductQuantization {
     * asymmetric distance (ADC) selects a `rerank`-sized candidate pool,
     * exact cosine re-ranks it. ADC score(q, x) = q·x̂ where x̂
     * concatenates the chosen centroids — ONE sequential dot product
-    * over the reconstruction, so stage 1 is a map-side projection +
-    * TakeOrdered (no shuffle beyond rerank·partitions rows, original
-    * vectors ride along only into the 𝑂(rerank)-row tail); stage 2
-    * touches `rerank` rows, making exactness free. `query` is a 1-row
-    * DataFrame with column `qvec`, like `bruteForceTopK`.
+    * over the reconstruction, so stage 1 is a map-side projection into
+    * [[adcPool]] (per-partition bounded heaps; above [[SingleGatherMax]]
+    * a two-level reduction caps every merge point at
+    * [[PoolFanIn]]·rerank slim rows, and [[rerankFor]] caps the pool
+    * itself at [[MaxRerankPool]]); stage 2 touches `rerank` rows,
+    * making exactness free. `query` is a 1-row DataFrame with column
+    * `qvec`, like `bruteForceTopK`.
     *
     * Quality: on the WORST case for any quantizer — i.i.d. random unit
     * vectors, no cluster structure — m=8 × k=16 over 64 dims with
@@ -166,12 +237,11 @@ object ProductQuantization {
     val sub = dim / m
     val xhat = concat((0 until m).map(mi =>
       argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cvec")): _*)
-    corpus
+    val scored = corpus
       .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
       .select(col("vec_id"), col("v"), col("q"), dot(col("q"), xhat).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(rerank)
+    adcPool(scored, rerank)
       .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
@@ -196,12 +266,10 @@ object ProductQuantization {
       element_at(
         typedLit(codebooks(mi).map(_._2.toSeq)),
         element_at(col("codes"), mi + 1) + 1)): _*)
-    val pool = encoded
+    val scored = encoded
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
       .select(col("vec_id"), col("q"), dot(col("q"), xhat).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(rerank)
-    pool
+    adcPool(scored, rerank)
       .join(corpus.select(col(idCol).cast("long").as("vec_id"),
         asDoubles(col(vecCol)).as("v")), "vec_id")
       .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
@@ -240,13 +308,12 @@ object ProductQuantization {
     val sub = dim / m
     val xhat = concat((0 until m).map(mi =>
       argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cvec")): _*)
-    corpus
+    val scored = corpus
       .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
       .filter(argminCell(cents, col("v")).getField("cid").isin(probed: _*))
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
       .select(col("vec_id"), col("v"), col("q"), dot(col("q"), xhat).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(rerank)
+    adcPool(scored, rerank)
       .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)

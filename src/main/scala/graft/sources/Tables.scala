@@ -9,13 +9,11 @@ import org.apache.spark.sql.functions._
   * Design notes for scale:
   *   - Everything is a plain parquet scan → Catalyst gets full predicate
   *     pushdown + column pruning; callers must NOT cache or collect here.
-  *   - `events.ts` is written as INT64 TIMESTAMP(NANOS) which Spark's
-  *     vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as
-  *     a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-  *     ns → µs with integer division *inside the scan projection*, so the
-  *     conversion stays in whole-stage codegen and costs one long div per
-  *     row. Sub-microsecond precision is dropped, matching Spark's native
-  *     TimestampType resolution.
+  *   - `events.ts` has shipped in two layouts across testdata
+  *     regenerations (INT64 TIMESTAMP(NANOS) and native timestamp[us]);
+  *     [[events]] branches on the footer schema so both load as
+  *     TimestampType with the conversion, when needed, inside the scan
+  *     projection (whole-stage codegen, one long div per row).
   */
 object Tables {
 
@@ -31,22 +29,39 @@ object Tables {
       case other    => spark.read.parquet(path(dir, other))
     }
 
-  /** events with `ts` as a proper TimestampType (µs).
+  /** events with `ts` as a proper TimestampType (µs), adapting to however
+    * the generator wrote the column. Two layouts have been observed across
+    * testdata regenerations:
+    *
+    *   - parquet `timestamp[us]` (or `[ms]/[s]`): Spark reads a native
+    *     Timestamp(NTZ) column — pass it through untouched (just normalize
+    *     NTZ → TimestampType via cast so downstream interval arithmetic and
+    *     the DuckDB oracle agree on the type).
+    *   - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects this
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is set, in which
+    *     case the column surfaces as a raw long. We convert ns → µs with
+    *     integer division *inside the scan projection* so it stays in
+    *     whole-stage codegen (one long div per row).
     *
     * The nanosAsLong flag is set once per session and deliberately NOT
     * restored: Spark consults it again at every EXECUTION of an
     * events-derived plan (parquet footer → Catalyst conversion happens
     * per scan, not just at read-schema time), so a save/restore around
     * this read would make a later action on the returned DataFrame throw
-    * PARQUET_TYPE_ILLEGAL. Scoped alternative for sessions that must not
-    * carry the flag: run events queries in `spark.newSession()`. The
-    * flag's only effect on unrelated reads is that other ns-timestamp
-    * parquet also loads (as long) instead of erroring. */
+    * PARQUET_TYPE_ILLEGAL. The flag's only effect on non-nanos reads —
+    * including the timestamp[us] layout — is nil. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(key).forall(_ != "true")) spark.conf.set(key, "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case _ => // TimestampNTZType or other timestamp flavor → normalize
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

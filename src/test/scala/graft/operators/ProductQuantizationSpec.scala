@@ -102,6 +102,39 @@ class ProductQuantizationSpec extends SparkSpecBase {
       s"half-probe IVF-PQ kept $overlap of the flat PQ top-10 — i.i.d. worst case")
   }
 
+  test("rerankFor scales with the corpus but never exceeds MaxRerankPool") {
+    assert(ProductQuantization.rerankFor(10) === 100) // flat-fixture floor
+    assert(ProductQuantization.rerankFor(10000) === 2000) // 20% regime
+    // a 10^10-vector corpus must NOT get a 2*10^9-row pool: the absolute
+    // ceiling is the guard against the one-task rerank blowup
+    assert(ProductQuantization.rerankFor(10000000000L) ===
+      ProductQuantization.MaxRerankPool)
+    assert(ProductQuantization.rerankFor(10000000000L, maxPool = 50000) === 50000)
+    intercept[IllegalArgumentException] {
+      ProductQuantization.rerankFor(1000, maxPool = 10) // below the floor
+    }
+  }
+
+  test("adcPool's two-level reduction selects exactly the single-gather rows") {
+    // force the distributed path (rerank > SingleGatherMax) on a corpus
+    // large enough that the per-partition heaps actually evict, and
+    // check it returns byte-for-byte the rows the plain TakeOrdered
+    // would, with non-key payload columns restored by the join-back
+    val n = 20000
+    val rerank = ProductQuantization.SingleGatherMax + 1
+    val scored = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      (pmod(col("id") * 2654435761L, lit(99991L)).cast("double") / 7.0).as("score"),
+      concat(lit("p"), col("id")).as("tag"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1), r.getString(2))
+    val got = ProductQuantization.adcPool(scored, rerank)
+      .select("vec_id", "score", "tag").collect().map(key).sortBy(x => (x._1, x._2))
+    val want = scored.orderBy(col("score").desc, col("vec_id").asc).limit(rerank)
+      .select("vec_id", "score", "tag").collect().map(key).sortBy(x => (x._1, x._2))
+    assert(got.length === rerank)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("invalid configurations are rejected") {
     intercept[IllegalArgumentException] {
       ProductQuantization.trainCodebooks(

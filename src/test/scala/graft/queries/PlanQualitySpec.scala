@@ -254,9 +254,9 @@ class PlanQualitySpec extends SparkSpecBase {
     // the only nested-loops are the 1-row df-limit broadcasts the skew
     // guard cross-joins in (one per side of the self-join, same shape as
     // the Jaccard guard) — the candidate join itself must stay an
-    // equi-join on the shingle
+    // equi-join on the 60-bit md5 shingle key (never the 40-80 B string)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
-    assert(p.contains("SortMergeJoin [s#") || p.contains("ShuffledHashJoin [s#"), p)
+    assert(p.contains("SortMergeJoin [h#") || p.contains("ShuffledHashJoin [h#"), p)
     // the gaps-and-islands window partitions by (pair, diag) — bounded
     // by document length, never corpus-sized
     assert(p.contains("windowspecdefinition(doc_a"), p)
