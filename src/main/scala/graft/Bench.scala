@@ -143,13 +143,29 @@ object Bench {
     val books = ProductQuantization.trainCodebooks(
       emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 1)
     val enc = ProductQuantization.encode(emb, "vec_id", "embedding", books, 64).cache()
-    val qids = (0L until n by math.max(1L, n / 16)).take(16)
+    // query ids are sampled from the ACTUAL id column (ids need not be
+    // contiguous or 0-based): every ~n/16-th id by value, falling back
+    // to the 16 lowest ids if the stride misses (sparse id space)
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val step = math.max(1L, n / 16)
+    val strided = emb.select(c("vec_id").cast("long").as("vid"))
+      .filter(pmod(c("vid"), lit(step)) === 0)
+      .orderBy("vid").limit(16).collect().map(_.getLong(0)).toSeq
+    val qids =
+      if (strided.size >= 4) strided
+      else emb.select(c("vec_id").cast("long").as("vid"))
+        .orderBy("vid").limit(16).collect().map(_.getLong(0)).toSeq
     val pqRecalls = qids.map { qid =>
       val query = emb.filter(c("vec_id") === qid).select(c("embedding").as("qvec"))
+      // the query vector is excluded from the SEARCH corpus (codes and
+      // re-rank side both), so got is a true top-10 — the previous
+      // top-11-then-drop-self variant silently discarded a genuine 11th
+      // hit whenever the query was not its own nearest code
       val got = ProductQuantization.pqTopKFromCodes(
-        enc, emb, "vec_id", "embedding", query, books,
-        rerank = ProductQuantization.rerankFor(n), topK = 11)
-        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        enc.filter(c("vec_id") =!= qid), emb.filter(c("vec_id") =!= qid),
+        "vec_id", "embedding", query, books,
+        rerank = ProductQuantization.rerankFor(n), topK = 10)
+        .collect().map(_.getLong(0)).toSet
       val tru = SimilaritySearch.bruteForceTopK(
         emb.filter(c("vec_id") =!= qid), "vec_id", "embedding", query, 10)
         .collect().map(_.getLong(0)).toSet
@@ -182,11 +198,21 @@ object Bench {
       SparkEntry.queries.getOrElse(name, benchOnly(name))(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    // Per-query failure REASONS land in the JSON artifact: a -1.0 says a
+    // query failed, the exception class+message says why — the artifact
+    // must be self-diagnosing (round-7 post-mortem: 11 bare -1.0s cost a
+    // session of root-causing that one recorded message would have
+    // answered). A later successful rep clears the entry; warm-up
+    // failures count until a rep succeeds.
+    val failures = scala.collection.mutable.Map.empty[String, String]
+    def reasonOf(e: Throwable): String =
+      s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}"
     val names = headline.filter(n =>
       SparkEntry.queries.contains(n) || benchOnly.contains(n))
     names.foreach { n =>
       try exec(n, sfDir)
       catch { case e: Throwable =>
+        failures(n) = reasonOf(e)
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
@@ -194,8 +220,12 @@ object Bench {
     // fast crash must not masquerade as a fast success in the JSON line.
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        exec(name, sfDir)
+        failures.remove(name)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failures(name) = reasonOf(e)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1.0
       }
@@ -240,7 +270,19 @@ object Bench {
         System.err.println(s"[bench] recall measurement failed: ${e.getMessage}")
         "{}"
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"recall":$recall,"sf":"$sfDir"}"""
+    // minimal JSON string escaping for the failure messages (quotes,
+    // backslashes, control chars — exception text is arbitrary)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val fails = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"failures":$fails,"recall":$recall,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is what the driver tail-captures, and at ~4KB it
     // has been truncated mid-JSON before (round 5 lost q01–q16); the

@@ -31,7 +31,17 @@ object Curation {
       languages: Seq[String] = Seq("en"),
       nGram: Int = Dedup.DefaultShingleN,
       jaccardThreshold: Double = Dedup.DefaultMinhashThreshold,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      // substring-dedup stage (4b): trim shared spans among the
+      // surviving documents (Dedup.trimSharedSpans — each span's min-id
+      // doc keeps its copy, the other side's occurrence is cut). Runs
+      // AFTER document-level dedup — whole-document duplicates are
+      // dropped, never trimmed to shells — and BEFORE the id-keyed
+      // split (unaffected by text surgery). When on, the output gains
+      // the rebuilt text and its removed-token count.
+      trimSpans: Boolean = false,
+      spanK: Int = Dedup.DefaultSpanK,
+      minSpanTokens: Int = Dedup.DefaultMinSpanTokens)
 
   /** Stages 1–2 fused into one stateless projection + filter over one
     * scan: every input column survives, plus `quality_score` and
@@ -61,7 +71,8 @@ object Curation {
   }
 
   /** Returns the curated corpus: (id, predicted_lang, quality_score,
-    * split) — one row per surviving document. */
+    * split) — one row per surviving document; with `cfg.trimSpans` on,
+    * also (textCol, removed_tokens) carrying the span-trimmed text. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val base = qualityLangFilter(
@@ -79,7 +90,27 @@ object Curation {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     val unique = exact.join(dropped, Seq(idCol), "left_anti")
-    Sampling.splitByKey(unique, idCol, cfg.splits)
+    val out = Sampling.splitByKey(unique, idCol, cfg.splits)
       .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
+    withSpanTrim(out, unique, idCol, textCol, cfg)
   }
+
+  /** Stage 4b — substring dedup over the surviving corpus: shared spans
+    * ≥ `cfg.minSpanTokens` are cut from the max-id side
+    * (Dedup.trimSharedSpans), and the curated rows gain the rebuilt
+    * text + removed-token count. No-op (and no extra columns) when
+    * `cfg.trimSpans` is off. Shared by the batch pipeline and the
+    * streaming twin's finalization so the two postures cannot drift. */
+  private[graft] def withSpanTrim(out: DataFrame, survivors: DataFrame,
+      idCol: String, textCol: String, cfg: Config): DataFrame =
+    if (!cfg.trimSpans) out
+    else out
+      .join(
+        Dedup.trimSharedSpans(survivors, idCol, textCol,
+            cfg.spanK, cfg.minSpanTokens)
+          .select(col("doc_id").as(idCol), col("trimmed").as(textCol),
+            col("removed_tokens")),
+        Seq(idCol))
+      .select(col(idCol), col("predicted_lang"), col("quality_score"),
+        col("split"), col(textCol), col("removed_tokens"))
 }

@@ -353,7 +353,9 @@ object Dedup {
     * the estimate is signature-determined, so identical on every
     * colliding band. Join skew on a hot bucket spills and AQE-splits
     * like any equi-join — there is no in-row pair expansion on this
-    * path. */
+    * path. Re-ingesting a doc already in the corpus must NOT report the
+    * doc as its own duplicate, so identical-id pairs are filtered at
+    * the join (cheapest point: before the per-pair collapse). */
   def minhashPairsIncremental(
       delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
@@ -367,6 +369,7 @@ object Dedup {
       .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
         col("band"), col("bkey"))
     bd.join(bc, Seq("band", "bkey"))
+      .filter(col("delta_id") =!= col("corpus_id"))
       .groupBy("delta_id", "corpus_id")
       .agg(max(estJaccard(col("sig_d"), col("sig_c"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -555,6 +558,44 @@ object Dedup {
       fast: Boolean = false): DataFrame =
     spanFold(selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
+
+  /** INCREMENTAL shared-span detection: maximal duplicated token runs
+    * between a NEW batch (`delta`) and an EXISTING corpus — the span
+    * twin of [[minhashPairsIncremental]], closing the "span family is
+    * full-corpus only" gap: per ingest the new batch pays O(|delta|)
+    * shingle work against the corpus's persistable positional posting
+    * index (which IS the corpus-side [[positionalPosting]] DataFrame:
+    * plain (doc, pos, h) columns, storable and re-readable as parquet —
+    * nothing here recomputes corpus text).
+    *
+    * Guard convention mirrors [[contaminationSpans]]: the relative
+    * doc-freq prune is computed over the CORPUS side (the persisted
+    * index stores its own doc-freqs); the delta side ships unguarded —
+    * a shingle is boilerplate by corpus evidence, not by what one new
+    * batch happens to contain. Re-ingested docs (same id on both
+    * sides) are filtered at the join like `minhashPairsIncremental`.
+    * Output: (delta_id, corpus_id, n_spans, max_span, start_delta,
+    * start_corpus); with the guard off, the normalized pairs equal the
+    * cross-split subset of the full-corpus [[sharedSpans]] run
+    * (DedupSpec). */
+  def sharedSpansIncremental(
+      delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame = {
+    val d = positionalPosting(delta, idCol, textCol, k, None, fast)
+    val c = positionalPosting(corpus, idCol, textCol, k, maxDocFreqFraction, fast)
+    val matches = d.as("d").join(c.as("c"),
+        col("d.h") === col("c.h") && col("d.doc") =!= col("c.doc"))
+      .select(
+        col("d.doc").as("doc_a"), col("c.doc").as("doc_b"),
+        col("d.pos").as("pa"), col("c.pos").as("pb"))
+    spanFold(matches, k, minSpanTokens)
+      .select(
+        col("doc_a").as("delta_id"), col("doc_b").as("corpus_id"),
+        col("n_spans"), col("max_span"),
+        col("start_a").as("start_delta"), col("start_b").as("start_corpus"))
+  }
 
   /** Positional shingle posting list (doc, pos, h) with the relative
     * doc-freq skew guard. The shingle string itself is hashed to the

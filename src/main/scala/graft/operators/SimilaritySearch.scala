@@ -67,6 +67,32 @@ object SimilaritySearch {
       math.ceil(corpusSize.toDouble / targetCellSize).toInt))
   }
 
+  /** Posture-count memo: the nBits = 0 / nCentroids = 0 defaults derive
+    * their corpus-scaled knob from ONE count job per (session, corpus
+    * plan) instead of re-running the count on every default-posture
+    * call — keyed by the analyzed plan's semantic hash, held weakly per
+    * session. The cached value is posture METADATA (a scale signal
+    * feeding a log₂ / ratio), not a correctness input: a corpus that
+    * grows mid-session keeps the session's knob, and a stale knob only
+    * shifts expected bucket occupancy, never results. */
+  private val postureCounts =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[Int, Long]]()
+
+  private[operators] def postureCount(corpus: DataFrame): Long = {
+    val inner = postureCounts.synchronized {
+      var m = postureCounts.get(corpus.sparkSession)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        postureCounts.put(corpus.sparkSession, m)
+      }
+      m
+    }
+    inner.getOrElseUpdate(
+      corpus.queryExecution.analyzed.semanticHash(),
+      math.max(1L, corpus.count()))
+  }
+
   /** Hot-bucket occupancy guard (ON by default): a bucket/cell with
     * more members than this has its CANDIDATE POOL capped to a
     * key-stable sample (see `candidatePool`) and, on the paths that
@@ -143,11 +169,11 @@ object SimilaritySearch {
     graft.GraftExtensions.register(corpus.sparkSession)
     // nBits = 0 (the default) derives the corpus-scaled posture — the
     // one a 100× scale-up needs; gated fixtures pin explicit values.
-    // The count is driver-side metadata (one count job), the same class
-    // of cost as ivfNeighbors' quantizer training. max(1, …): an empty
-    // corpus must yield an empty result (as any explicit-nBits call
-    // does), not an nBitsFor require failure.
-    val bits = if (nBits == 0) nBitsFor(math.max(1L, corpus.count())) else nBits
+    // The memoized count is driver-side metadata (one count job per
+    // session+corpus, see postureCount). max(1, …) inside postureCount:
+    // an empty corpus must yield an empty result (as any explicit-nBits
+    // call does), not an nBitsFor require failure.
+    val bits = if (nBits == 0) nBitsFor(postureCount(corpus)) else nBits
     // table t's planes draw from a disjoint splitmix64 input range
     val bucketCols = lshBucketCols(dim, bits, nTables)
     val grouped = bucketedMembers(corpus, idCol, vecCol, bucketCols)
@@ -227,7 +253,7 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 0, nTables: Int = 1): DataFrame = {
     graft.GraftExtensions.register(corpus.sparkSession)
-    val bits = if (nBits == 0) nBitsFor(math.max(1L, corpus.count())) else nBits
+    val bits = if (nBits == 0) nBitsFor(postureCount(corpus)) else nBits
     bucketedMembers(corpus, idCol, vecCol, lshBucketCols(dim, bits, nTables))
       .select(col("id"), col("tbl"), col("bucket"))
   }
@@ -324,7 +350,7 @@ object SimilaritySearch {
       literalMaxTerms: Int = Clustering.LiteralAssignMaxTerms,
       refineIters: Int = 0): DataFrame = {
     val nCents =
-      if (nCentroids == 0) nCentroidsFor(math.max(1L, corpus.count())) else nCentroids
+      if (nCentroids == 0) nCentroidsFor(postureCount(corpus)) else nCentroids
     require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     require(refineIters >= 0)
     graft.GraftExtensions.register(corpus.sparkSession)

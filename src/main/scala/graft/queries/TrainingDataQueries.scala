@@ -227,6 +227,69 @@ object TrainingDataQueries {
        |       -best.na AS start_a, -best.nb AS start_b
        |FROM agg ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd_spans_incremental — incremental shared spans
+    * (Dedup.sharedSpansIncremental): docs with id%5 = 0 play the
+    * incoming batch against the rest as standing corpus, the split
+    * convention of dd_minhash_incremental. The doc-freq guard is
+    * computed over the CORPUS side only (the persisted posting index's
+    * own stats — what an O(Δ) ingest actually has on hand); the delta
+    * side ships unguarded. The oracle rebuilds the identical split
+    * pipeline closed-form. */
+  val ddSpansIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.sharedSpansIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  val ddSpansIncrementalOracle: String = {
+    val k = Dedup.DefaultSpanK
+    val minSpan = Dedup.DefaultMinSpanTokens
+    val shingle = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(t) - ${k - 1}),
+       |           i -> {'pos': i, 's': $shingle})) AS u
+       |  FROM toks WHERE len(t) >= $k),
+       |shp AS (SELECT doc_id, u.pos AS pos,
+       |               ('0x' || substr(md5(u.s),1,15))::BIGINT AS h FROM sh0),
+       |delta AS (SELECT * FROM shp WHERE doc_id % 5 = 0),
+       |corp AS (SELECT * FROM shp WHERE doc_id % 5 <> 0),
+       |lim AS (
+       |  SELECT greatest(${Dedup.MinDocFreqFloor}.0,
+       |                  ${Dedup.DefaultMaxDocFreqFraction} * count(*)) AS df_limit
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |keep AS (
+       |  SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS df FROM corp GROUP BY h), lim
+       |  WHERE df <= df_limit),
+       |ck AS (SELECT corp.* FROM corp JOIN keep USING (h)),
+       |m AS (
+       |  SELECT d.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         d.pos AS pa, c.pos AS pb, d.pos - c.pos AS diag
+       |  FROM delta d JOIN ck c ON d.h = c.h AND d.doc_id <> c.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island
+       |  HAVING count(*) + ${k - 1} >= $minSpan),
+       |agg AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_spans,
+       |    max(struct_pack(l := span_len, na := -start_a, nb := -start_b)) AS best
+       |  FROM spans GROUP BY doc_a, doc_b)
+       |SELECT doc_a AS delta_id, doc_b AS corpus_id, n_spans, best.l AS max_span,
+       |       -best.na AS start_delta, -best.nb AS start_corpus
+       |FROM agg ORDER BY delta_id, corpus_id""".stripMargin
+  }
+
   /** ta_dup_fraction — per-document duplicated-token fraction
     * (Dedup.duplicatedTokenFraction): the substring-dedup curation
     * signal "what fraction of this document lies inside a span shared
@@ -1152,13 +1215,12 @@ object TrainingDataQueries {
       Tables.documents(s, dir), "doc_id", "text", CurateCfg)
       .orderBy("doc_id")
 
-  val tpCurateOracle: String = {
-    val P = graft.functions.TextFunctions.P
+  /** Shared curation-oracle CTE chain (stages 1–4, through `kept`:
+    * doc_id, predicted_lang, quality_score; `ex` still carries the
+    * surviving text) — used by tp_curate and tp_curate_trim. */
+  private def curateCtes: String = {
     val langs = CurateCfg.languages.map(l => s"'$l'").mkString(", ")
-    val bounds = graft.operators.Sampling.splitBounds(CurateCfg.splits)
-    val splitCases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
-      .mkString(" ")
-    s"""WITH RECURSIVE q AS (
+    s"""q AS (
        |  SELECT doc_id,
        |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
        |     + LEAST(len(string_split(text,' ')) / 100.0, 1.0)
@@ -1213,15 +1275,124 @@ object TrainingDataQueries {
        |  SELECT e.doc_id, e.predicted_lang, e.quality_score
        |  FROM ex e LEFT JOIN clus c ON c.doc = e.doc_id
        |  WHERE c.doc IS NULL OR c.lab = e.doc_id
-       |), withu AS (
-       |  SELECT doc_id, predicted_lang, quality_score,
-       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
-       |      / CAST($P AS DOUBLE) AS u
-       |  FROM kept
-       |)
+       |)""".stripMargin
+  }
+
+  /** The key-stable split tail over `kept` (withu CTE + split CASE). */
+  private def curateSplitSelect: (String, String) = {
+    val P = graft.functions.TextFunctions.P
+    val bounds = graft.operators.Sampling.splitBounds(CurateCfg.splits)
+    val splitCases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
+      .mkString(" ")
+    val withu =
+      s"""withu AS (
+         |  SELECT doc_id, predicted_lang, quality_score,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
+         |      / CAST($P AS DOUBLE) AS u
+         |  FROM kept
+         |)""".stripMargin
+    val caseExpr =
+      s"CASE $splitCases ELSE '${CurateCfg.splits.last._1}' END AS split"
+    (withu, caseExpr)
+  }
+
+  val tpCurateOracle: String = {
+    val (withu, caseExpr) = curateSplitSelect
+    s"""WITH RECURSIVE $curateCtes,
+       |$withu
        |SELECT doc_id, predicted_lang, quality_score,
-       |  CASE $splitCases ELSE '${CurateCfg.splits.last._1}' END AS split
+       |  $caseExpr
        |FROM withu
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tp_curate_trim — the curation pipeline with the substring-dedup
+    * stage ON (Curation.Config(trimSpans = true)): after the document-
+    * level dedup stages, shared spans ≥ minSpanTokens among the
+    * SURVIVORS are trimmed from the max-id side (tp_trim_spans's
+    * surgery, doc-freq guard computed over the survivor corpus), and
+    * the curated rows carry the rebuilt text + removed-token count.
+    * The oracle chains the curate CTEs into the span closed form —
+    * proving the six-stage COMPOSITION cross-engine. */
+  private val CurateTrimCfg = CurateCfg.copy(trimSpans = true)
+
+  val tpCurateTrim: Q = (s, dir) =>
+    graft.operators.Curation.curate(
+      Tables.documents(s, dir), "doc_id", "text", CurateTrimCfg)
+      .orderBy("doc_id")
+
+  val tpCurateTrimOracle: String = {
+    val (withu, caseExpr) = curateSplitSelect
+    val k = CurateTrimCfg.spanK
+    val minSpan = CurateTrimCfg.minSpanTokens
+    val shingle = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE $curateCtes,
+       |keptx AS (
+       |  SELECT kept.doc_id, ex.text FROM kept JOIN ex USING (doc_id)),
+       |stoks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM keptx),
+       |ssh0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(t) - ${k - 1}),
+       |           i -> {'pos': i, 's': $shingle})) AS u
+       |  FROM stoks WHERE len(t) >= $k),
+       |sshp AS (SELECT doc_id, u.pos AS pos,
+       |               ('0x' || substr(md5(u.s),1,15))::BIGINT AS h FROM ssh0),
+       |slim AS (
+       |  SELECT greatest(${graft.operators.Dedup.MinDocFreqFloor}.0,
+       |                  ${graft.operators.Dedup.DefaultMaxDocFreqFraction} * count(*)) AS df_limit
+       |  FROM keptx),
+       |skeep AS (
+       |  SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS df FROM sshp GROUP BY h), slim
+       |  WHERE df <= df_limit),
+       |sshk AS (SELECT sshp.* FROM sshp JOIN skeep USING (h)),
+       |sm AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |  FROM sshk a JOIN sshk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |sisl AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM sm),
+       |sspans AS (
+       |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_len
+       |  FROM sisl GROUP BY doc_a, doc_b, diag, island
+       |  HAVING count(*) + ${k - 1} >= $minSpan),
+       |srem AS (
+       |  SELECT DISTINCT doc_b AS doc, start_b AS s0, start_b + span_len AS e0
+       |  FROM sspans),
+       |smk AS (
+       |  SELECT doc, s0, e0,
+       |    CASE WHEN s0 > COALESCE(max(e0) OVER (PARTITION BY doc ORDER BY s0, e0
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -9223372036854775808) THEN 1 ELSE 0 END AS nr
+       |  FROM srem),
+       |smi AS (
+       |  SELECT doc, s0, e0, sum(nr) OVER (PARTITION BY doc ORDER BY s0, e0
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region FROM smk),
+       |smg AS (SELECT doc, region, min(s0) AS s0, max(e0) AS e0 FROM smi GROUP BY 1, 2),
+       |sivl AS (
+       |  SELECT doc, list(struct_pack(s0 := s0, e0 := e0)) AS l,
+       |         CAST(sum(e0 - s0) AS BIGINT) AS removed
+       |  FROM smg GROUP BY doc),
+       |trimd AS (
+       |  SELECT kx.doc_id,
+       |    CASE WHEN sivl.l IS NULL THEN kx.text ELSE
+       |      COALESCE(array_to_string(
+       |        list_transform(
+       |          list_filter(range(len(string_split(kx.text,' '))), i ->
+       |            len(list_filter(sivl.l, iv -> i >= iv.s0 AND i < iv.e0)) = 0),
+       |          i -> string_split(kx.text,' ')[i+1]), ' '), '')
+       |    END AS text,
+       |    CAST(COALESCE(sivl.removed, 0) AS BIGINT) AS removed_tokens
+       |  FROM keptx kx LEFT JOIN sivl ON kx.doc_id = sivl.doc),
+       |$withu
+       |SELECT withu.doc_id, predicted_lang, quality_score,
+       |  $caseExpr,
+       |  trimd.text, trimd.removed_tokens
+       |FROM withu JOIN trimd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1681,13 +1852,14 @@ object TrainingDataQueries {
       roundDp = KmRound, rerank = PqRerank, topK = PqTopK)
   }
 
-  val ssAnnPqOracle: String = {
+  /** Per-subspace codebook-training + encoding CTEs shared by the PQ
+    * oracles (ss_ann_pq, ss_ann_pq_codes, ss_ann_ivf_pq). */
+  private def pqSubCtes(mi: Int): String = {
     val sub = EmbDim / PqM
     val round = "1000000.0" // 10^KmRound
-    def subCtes(mi: Int): String = {
-      val lo = mi * sub + 1
-      val hi = (mi + 1) * sub
-      val iterCtes = (1 to PqIters).map { i =>
+    val lo = mi * sub + 1
+    val hi = (mi + 1) * sub
+    val iterCtes = (1 to PqIters).map { i =>
         s"""s${i}_$mi AS (
            |  SELECT e.vec_id, e.v, c.cid,
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1703,36 +1875,46 @@ object TrainingDataQueries {
            |c${i}_$mi AS (
            |  SELECT c${i - 1}_$mi.cid, COALESCE(g${i}_$mi.v, c${i - 1}_$mi.v) AS v
            |  FROM c${i - 1}_$mi LEFT JOIN g${i}_$mi USING (cid))""".stripMargin
-      }.mkString(",\n")
-      s"""em_$mi AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-         |c0_$mi AS (SELECT vec_id AS cid, v FROM em_$mi ORDER BY vec_id LIMIT $PqK),
-         |$iterCtes,
-         |enc_$mi AS (
-         |  SELECT vec_id, cid AS code, cv FROM (
-         |    SELECT e.vec_id, c.cid, c.v AS cv,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.v, c.v) - 0.5 * list_dot_product(c.v, c.v) DESC,
-         |        c.cid ASC) AS rn
-         |    FROM em_$mi e CROSS JOIN c${PqIters}_$mi c)
-         |  WHERE rn = 1)""".stripMargin
-    }
-    val all = (0 until PqM).map(subCtes).mkString(",\n")
+    }.mkString(",\n")
+    s"""em_$mi AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c0_$mi AS (SELECT vec_id AS cid, v FROM em_$mi ORDER BY vec_id LIMIT $PqK),
+       |$iterCtes,
+       |enc_$mi AS (
+       |  SELECT vec_id, cid AS code, cv FROM (
+       |    SELECT e.vec_id, c.cid, c.v AS cv,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.v) - 0.5 * list_dot_product(c.v, c.v) DESC,
+       |        c.cid ASC) AS rn
+       |    FROM em_$mi e CROSS JOIN c${PqIters}_$mi c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Full PQ-search oracle body around [[pqSubCtes]]. `extraCtes` (must
+    * end with ",\n" when non-empty) may add CTEs between the codebook
+    * block and the pool; `poolFrom` / `poolWhere` parameterize which
+    * rows are ADC-scored — the flat search scores every encoded vector,
+    * the IVF-PQ variant only the probed cells' members. */
+  private def pqOracleSql(
+      extraCtes: String = "", poolFrom: String = "xh, q",
+      poolWhere: String = ""): String = {
+    val all = (0 until PqM).map(pqSubCtes).mkString(",\n")
     val unions = (0 until PqM)
       .map(mi => s"SELECT $mi AS sub_m, vec_id, code, cv FROM enc_$mi")
       .mkString("\nUNION ALL\n")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
        |$all,
        |cf AS (
        |$unions),
        |xh AS (
        |  SELECT vec_id, flatten(list(cv ORDER BY sub_m)) AS xhat
        |  FROM cf GROUP BY vec_id),
-       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
-       |pool AS (
+       |${extraCtes}pool AS (
        |  SELECT xh.vec_id
-       |  FROM xh, q
+       |  FROM $poolFrom
+       |  $poolWhere
        |  ORDER BY list_dot_product(q.v, xh.xhat) DESC, vec_id ASC
        |  LIMIT $PqRerank)
        |SELECT e.vec_id,
@@ -1741,6 +1923,92 @@ object TrainingDataQueries {
        |FROM e JOIN pool USING (vec_id), q
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $PqTopK""".stripMargin
+  }
+
+  val ssAnnPqOracle: String = pqOracleSql()
+
+  /** ss_ann_pq_codes — the stored-index PQ search (ProductQuantization
+    * .pqTopKFromCodes): codebooks are trained and the corpus ENCODED to
+    * dense codes first; search reconstructs x̂ from the stored codes by
+    * plan-literal codebook lookup and never touches the original
+    * vectors until the `rerank`-row exact stage. Bit-identical to
+    * ss_ann_pq by construction, so it shares the oracle — the gate
+    * proves the persisted-index path, not a new ranking. */
+  val ssAnnPqCodes: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val books = graft.operators.ProductQuantization.trainCodebooks(
+      corpus, "vec_id", "embedding", dim = EmbDim, m = PqM, k = PqK,
+      iters = PqIters, roundDp = KmRound)
+    val enc = graft.operators.ProductQuantization.encode(
+      corpus, "vec_id", "embedding", books, EmbDim)
+    graft.operators.ProductQuantization.pqTopKFromCodes(
+      enc, corpus, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+      books, rerank = PqRerank, topK = PqTopK)
+  }
+
+  /** ss_ann_ivf_pq — the two-level billion-vector index
+    * (ProductQuantization.ivfPqTopK): a coarse quantizer routes the
+    * query to `IvfPqProbe` of `IvfPqCells` cells and only those cells'
+    * members are ADC-scored. The oracle unrolls the coarse k-means
+    * (cq* CTEs — cl_kmeans's recipe at nCells/coarseIters), selects the
+    * probed cells for the vec-0 query by the same (q·c − ½|c|², cid)
+    * ranking the Spark driver uses, and restricts the ADC pool to
+    * members of those cells. */
+  private val IvfPqCells = 16
+  private val IvfPqProbe = 4
+  private val IvfPqCoarseIters = 2
+
+  val ssAnnIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.ProductQuantization.ivfPqTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+      dim = EmbDim, nCells = IvfPqCells, nProbe = IvfPqProbe,
+      coarseIters = IvfPqCoarseIters, m = PqM, k = PqK, iters = PqIters,
+      roundDp = KmRound, rerank = PqRerank, topK = PqTopK)
+  }
+
+  val ssAnnIvfPqOracle: String = {
+    val iterCtes = (1 to IvfPqCoarseIters).map { i =>
+      s"""cqs$i AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN cq${i - 1} c),
+         |cqa$i AS (SELECT vec_id, v, cid AS cluster FROM cqs$i WHERE rn = 1),
+         |cqm$i AS (
+         |  SELECT cluster, i.idx,
+         |    floor(avg(v[i.idx + 1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM cqa$i, range($EmbDim) i(idx) GROUP BY 1, 2),
+         |cqg$i AS (SELECT cluster AS cid, list(m ORDER BY idx) AS c FROM cqm$i GROUP BY 1),
+         |cq$i AS (
+         |  SELECT cq${i - 1}.cid, COALESCE(cqg$i.c, cq${i - 1}.c) AS c
+         |  FROM cq${i - 1} LEFT JOIN cqg$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val coarse =
+      s"""cq0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT $IvfPqCells),
+         |$iterCtes,
+         |cqsf AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN cq$IvfPqCoarseIters c),
+         |cqasg AS (SELECT vec_id, cid AS cell FROM cqsf WHERE rn = 1),
+         |probed AS (
+         |  SELECT c.cid
+         |  FROM cq$IvfPqCoarseIters c, q
+         |  ORDER BY list_dot_product(q.v, c.c) - 0.5 * list_dot_product(c.c, c.c) DESC,
+         |    c.cid ASC
+         |  LIMIT $IvfPqProbe),
+         |""".stripMargin
+    pqOracleSql(
+      extraCtes = coarse,
+      poolFrom = "xh JOIN cqasg USING (vec_id), q",
+      poolWhere = "WHERE cqasg.cell IN (SELECT cid FROM probed)")
   }
 
   /** ds_semantic_cap — SemDeDup-style semantic diversity pass: cluster
@@ -2178,8 +2446,11 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClusters,
     "dd_keep_best" -> ddKeepBest,
     "dd_spans" -> ddSpans,
+    "dd_spans_incremental" -> ddSpansIncremental,
     "dd_span_decontaminate" -> ddSpanDecontaminate,
     "ss_ann_pq" -> ssAnnPq,
+    "ss_ann_pq_codes" -> ssAnnPqCodes,
+    "ss_ann_ivf_pq" -> ssAnnIvfPq,
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
     "tx_canonicalize" -> txCanonicalize,
@@ -2188,6 +2459,7 @@ object TrainingDataQueries {
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
+    "tp_curate_trim" -> tpCurateTrim,
     "op_salted_agg" -> opSaltedAgg,
     "ta_repetition" -> taRepetition,
     "tx_redact" -> txRedact,
@@ -2235,8 +2507,11 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,
     "dd_spans" -> ddSpansOracle,
+    "dd_spans_incremental" -> ddSpansIncrementalOracle,
     "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
     "ss_ann_pq" -> ssAnnPqOracle,
+    "ss_ann_pq_codes" -> ssAnnPqOracle,
+    "ss_ann_ivf_pq" -> ssAnnIvfPqOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
     "tx_canonicalize" -> txCanonicalizeOracle,
@@ -2245,6 +2520,7 @@ object TrainingDataQueries {
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,
+    "tp_curate_trim" -> tpCurateTrimOracle,
     "op_salted_agg" -> opSaltedAggOracle,
     "ta_repetition" -> taRepetitionOracle,
     "tx_redact" -> txRedactOracle,

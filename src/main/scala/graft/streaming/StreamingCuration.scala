@@ -81,15 +81,21 @@ object StreamingCuration {
   /** The left_anti finalization over the two sinks: curated =
     * candidates minus noticed doc ids, with the key-stable split —
     * exactly the batch output shape (id, predicted_lang, quality_score,
-    * split). `notices` may carry several rows per dropped doc (one per
+    * split; + span-trimmed textCol and removed_tokens when
+    * `cfg.trimSpans` is on, via the SAME `Curation.withSpanTrim` the
+    * batch pipeline runs — finalization is batch-side, so the
+    * substring-dedup stage composes with zero semantic delta).
+    * `notices` may carry several rows per dropped doc (one per
     * colliding band); only id-presence matters. */
   def curatedFromSinks(candidates: DataFrame, notices: DataFrame,
       idCol: String,
-      cfg: Curation.Config = Curation.Config()): DataFrame =
-    Sampling.splitByKey(
-      candidates.join(
-        notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
-        Seq(idCol), "left_anti"),
-      idCol, cfg.splits)
+      cfg: Curation.Config = Curation.Config(),
+      textCol: String = "text"): DataFrame = {
+    val kept = candidates.join(
+      notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
+      Seq(idCol), "left_anti")
+    val out = Sampling.splitByKey(kept, idCol, cfg.splits)
       .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
+    Curation.withSpanTrim(out, kept, idCol, textCol, cfg)
+  }
 }

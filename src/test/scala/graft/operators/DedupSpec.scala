@@ -307,6 +307,56 @@ class DedupSpec extends SparkSpecBase {
     assert(inc.nonEmpty, "fixture plants cross-split near-duplicates")
   }
 
+  test("sharedSpansIncremental: cross-batch parity with the full-corpus run, and re-ingest safety") {
+    import org.apache.spark.sql.functions.col
+    // delta ids are all below corpus ids, so the full-corpus (min,max)
+    // pair orientation coincides with (delta, corpus) and every column
+    // must match exactly; guard OFF on both sides for exact parity
+    // (guard-on differs by design: corpus-side doc-freqs only)
+    val answer = words("s", 14)
+    val delta = spanDocs(
+      1L -> (words("a", 30) ++ answer ++ words("z", 16)).mkString(" "),
+      2L -> words("c", 40).mkString(" "))
+    val corpus = spanDocs(
+      100L -> (words("q", 20) ++ answer).mkString(" "),
+      101L -> (answer ++ words("y", 25)).mkString(" "),
+      102L -> words("w", 35).mkString(" "))
+    val full = Dedup.sharedSpans(
+      delta.union(corpus), "doc_id", "text", maxDocFreqFraction = None)
+      .filter(col("doc_a") < 100 && col("doc_b") >= 100)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(_.toSeq).toSeq
+    val inc = Dedup.sharedSpansIncremental(
+      delta, corpus, "doc_id", "text", maxDocFreqFraction = None)
+      .orderBy("delta_id", "corpus_id")
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty, "fixture plants cross-batch shared spans")
+    assert(inc === full,
+      "incremental must reproduce the cross-batch subset of the full-corpus spans")
+    // re-ingest: a doc already in the corpus arrives again in the delta
+    // with the same id — it must not be reported as its own duplicate
+    val reingest = Dedup.sharedSpansIncremental(
+      corpus.filter(col("doc_id") === 100L), corpus, "doc_id", "text",
+      maxDocFreqFraction = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reingest.forall { case (d, c) => d != c },
+      s"self-pairs leaked on re-ingest: ${reingest.filter(p => p._1 == p._2).toSeq}")
+  }
+
+  test("minhashPairsIncremental never reports a re-ingested doc as its own duplicate") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    // re-ingest a slice of the already-indexed corpus verbatim: every
+    // delta doc collides with itself in every band at est 1.0, and the
+    // self-pair filter must drop exactly those identity pairs while
+    // keeping genuine cross-doc duplicates
+    val delta = docs.filter(col("doc_id") < 50)
+    val pairs = Dedup.minhashPairsIncremental(delta, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.forall { case (d, c) => d != c },
+      s"self-pairs leaked: ${pairs.filter(p => p._1 == p._2)}")
+  }
+
   test("duplicatedTokenFraction merges overlapping intervals and never double-counts") {
     // doc 1 shares [0,16) with doc 2 and [8,24) with doc 3 → merged
     // coverage [0,24) = 24 of its 30 tokens; identical intervals from

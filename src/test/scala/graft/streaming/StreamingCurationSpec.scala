@@ -112,4 +112,61 @@ class StreamingCurationSpec extends SparkSpecBase {
     assert(curated === expected,
       s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
   }
+
+  test("trim-on finalization equals Curation.curate with the span stage on") {
+    // two extra survivors sharing a 14-token passage (7 of 33 8-shingles
+    // → Jaccard ≈ 0.12, far below the 0.5 near-dup cut, so BOTH survive
+    // document-level dedup and only the span stage touches them: the
+    // max-id side loses the passage occurrence)
+    val passage = Seq("the", "of") ++ (0 until 12).map(i => s"p_$i")
+    val extra = Seq(
+      (1000L, (passage ++ (0 until 26).map(i => s"xa_$i")).mkString(" "),
+        "2024-01-01T11:00:00"),
+      (1001L, (passage ++ (0 until 26).map(i => s"xb_$i")).mkString(" "),
+        "2024-01-01T11:01:00"))
+    val batch = (corpus ++ extra).toDF("doc_id", "text", "ts")
+    val cfg = Curation.Config(trimSpans = true)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+        r.getString(4), r.getLong(5))
+    val expected = Curation.curate(batch, "doc_id", "text", cfg)
+      .collect().map(key).toSet
+    assert(expected.exists(_._6 > 0),
+      "fixture must plant a trimmable cross-survivor span")
+    assert(expected.exists(t => t._1 == 1001L && t._6 == passage.size.toLong),
+      "the max-id passage occurrence is the one trimmed")
+
+    val src = Files.createTempDirectory("graft-scur-trim-src").toString
+    batch.coalesce(1).write.mode("append").json(src)
+    def stream() = spark.readStream.schema(schema).json(src)
+    // trim-on finalization needs the text through the candidate sink
+    val candOut = Files.createTempDirectory("graft-scur-trim-cand").toString
+    val q1 = StreamingCuration.qualifiedStream(stream(), "doc_id", "text", timeCol = "ts")
+      .select("doc_id", "text", "quality_score", "predicted_lang")
+      .writeStream.format("parquet").option("path", candOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-trim-ck1").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val dropOut = Files.createTempDirectory("graft-scur-trim-drop").toString
+    val q2 = StreamingCuration.dropNotices(spark, stream(), "doc_id", "text",
+      timeCol = "ts", horizonMinutes = 600)
+      .writeStream.format("parquet").option("path", dropOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-trim-ck2").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q1.stop()
+    q2.awaitTermination(120000); q2.stop()
+
+    val candSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("quality_score", DoubleType),
+      StructField("predicted_lang", StringType)))
+    val noticeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("event_time", TimestampType),
+      StructField("matched_doc_id", LongType)))
+    val curated = StreamingCuration.curatedFromSinks(
+      spark.read.schema(candSchema).parquet(candOut),
+      spark.read.schema(noticeSchema).parquet(dropOut), "doc_id", cfg)
+      .collect().map(key).toSet
+    assert(curated === expected,
+      s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
+  }
 }
