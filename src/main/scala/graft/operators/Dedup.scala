@@ -461,6 +461,34 @@ object Dedup {
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 
+  /** INCREMENTAL SimHash dedup: near-duplicate (delta, corpus) pairs by
+    * signature Hamming distance — completing the O(Δ)-per-ingest family
+    * (exact dedup is trivially incremental; MinHash has
+    * [[minhashPairsIncremental]]; spans have
+    * [[sharedSpansIncremental]]). The corpus side is its persistable
+    * banded signature index (`simhashBanded`'s plain columns); the
+    * delta pays one signature pass and ONE (band, bkey) equi-join.
+    * Same per-pair collapse (a pair colliding in several band slices
+    * surfaces once — Hamming is signature-determined, identical on
+    * every colliding band) and the same re-ingest self-pair filter as
+    * the MinHash twin. */
+  def simhashPairsIncremental(
+      delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
+    val bd = simhashBanded(delta, idCol, textCol, bits, bands, minTokens)
+      .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
+        col("band"), col("bkey"))
+    val bc = simhashBanded(corpus, idCol, textCol, bits, bands, minTokens)
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
+        col("band"), col("bkey"))
+    bd.join(bc, Seq("band", "bkey"))
+      .filter(col("delta_id") =!= col("corpus_id"))
+      .groupBy("delta_id", "corpus_id")
+      .agg(max(hamming(col("sig_d"), col("sig_c"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash's banded index rows — the occupancy-observability surface,
     * mirroring `minhashBanded`. SimHash bands are far more collision-
     * prone than MinHash bands (an r-bit slice has ≤ 2^r distinct values

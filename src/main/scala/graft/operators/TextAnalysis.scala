@@ -298,30 +298,34 @@ object TextAnalysis {
     * components are summed in the WRITTEN term order (FP addition is not
     * associative — a groupBy-sum over exploded terms would be partition-
     * order-dependent), and the total is rounded to `roundDp` to absorb
-    * cross-libm ln ulps. One corpus scan, no shuffle except the 1-row
-    * stats aggregate.
-    */
+    * cross-libm ln ulps.
+    *
+    * Plan shape: the narrow (id, dl, tf…) frame — 8 + 8·|terms| bytes
+    * per doc, the text never survives the first projection — is
+    * materialized ONCE (localCheckpoint) and feeds both the 1-row stats
+    * aggregate and the scoring projection: without it the stats branch
+    * and the scoring branch each re-ran the tokenize + count pass over
+    * the full corpus (Spark reuses exchanges, not arbitrary projection
+    * subtrees). Term counting is size(filter(·)) per term rather than
+    * one aggregate-struct fold: |terms| passes over the token array beat
+    * the fold's per-token struct rebuild by ~1.5× measured (both are
+    * interpreted HOFs; the fold allocates a |terms|-field struct per
+    * token, the filters allocate nothing). A production deployment with
+    * executor churn would swap the localCheckpoint for checkpoint() on
+    * reliable storage, same as duplicateClusters. */
   def bm25(
       df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, roundDp: Int = 6): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
-    // all term frequencies in ONE traversal of the token array (a
-    // size(filter(...)) per term would walk it |terms| times — and the
-    // counter struct is materialized in its own projection before the
-    // per-term fields are read, the usual interpreted-HOF re-eval guard)
-    val tfStruct = aggregate(
-      col("__toks"),
-      struct(terms.indices.map(i => lit(0L).as(s"tf_$i")): _*),
-      (acc, x) => struct(terms.zipWithIndex.map { case (t, i) =>
-        (acc.getField(s"tf_$i") + when(x === t, 1L).otherwise(0L)).as(s"tf_$i")
-      }: _*))
     val withTf = base
-      .select(col(idCol), col("dl"), tfStruct.as("__tf"))
       .select(
         (col(idCol) +: col("dl") +:
-          terms.indices.map(i => col(s"__tf.tf_$i").as(s"tf_$i"))): _*)
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === t)).cast("long").as(s"tf_$i")
+          }): _*)
+      .localCheckpoint(true)
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i =>

@@ -729,6 +729,60 @@ object TrainingDataQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** dd_simhash_incremental — new-batch-vs-corpus SimHash dedup
+    * (Dedup.simhashPairsIncremental): the dd_minhash_incremental split
+    * convention (id%5 = 0 is the delta) over the banded signature
+    * index; pairs are delta×corpus band collisions only, scored by
+    * signature Hamming distance. Oracle rides the shared signature
+    * CTEs with a split candidate join. */
+  val ddSimhashIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.simhashPairsIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  val ddSimhashIncrementalOracle: String = {
+    val bands = Dedup.DefaultSimhashBands
+    val rw = Dedup.DefaultSimhashBits / bands
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1
+      |), th AS (
+      |  SELECT doc_id, list_transform(t, s ->
+      |    [('0x' || substr(md5(s), 1, 8))::BIGINT,
+      |     ('0x' || substr(md5(s), 9, 8))::BIGINT]) AS hs
+      |  FROM tok
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(64), j -> CASE WHEN
+      |      list_sum(list_transform(hs, h ->
+      |        CASE WHEN ((h[(j // 32) + 1] >> CAST(31 - (j % 32) AS INTEGER)) & 1) = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 ELSE 0 END) AS sig
+      |  FROM th
+      |), banded AS (
+      |  SELECT doc_id, sig, r.band AS band,
+      |    array_to_string(sig[(r.band*$rw+1):(r.band*$rw+$rw)], '_') AS bkey
+      |  FROM sig, range($bands) r(band)
+      |), candx AS (
+      |  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |), scored AS (
+      |  SELECT delta_id, corpus_id,
+      |    len(list_filter(range(64), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |  FROM candx
+      |  JOIN sig sa ON sa.doc_id = candx.delta_id
+      |  JOIN sig sb ON sb.doc_id = candx.corpus_id
+      |)
+      |SELECT delta_id, corpus_id, hamming FROM scored
+      |WHERE hamming <= ${Dedup.DefaultMaxHamming}
+      |ORDER BY delta_id, corpus_id""".stripMargin
+  }
+
   /** ta_token_stats — per-document token statistics. */
   val taTokenStats: Q = (s, dir) =>
     TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
@@ -2469,6 +2523,7 @@ object TrainingDataQueries {
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
+    "dd_simhash_incremental" -> ddSimhashIncremental,
     "ta_token_stats" -> taTokenStats,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
@@ -2531,6 +2586,7 @@ object TrainingDataQueries {
     "dd_minhash" -> ddMinhashOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,
+    "dd_simhash_incremental" -> ddSimhashIncrementalOracle,
     "ta_token_stats" -> taTokenStatsOracle,
     "ta_quality" -> taQualityOracle,
     "ta_langid" -> taLangidOracle,

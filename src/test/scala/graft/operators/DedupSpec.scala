@@ -343,6 +343,29 @@ class DedupSpec extends SparkSpecBase {
       s"self-pairs leaked on re-ingest: ${reingest.filter(p => p._1 == p._2).toSeq}")
   }
 
+  test("simhashPairsIncremental equals the cross-split subset of full-corpus simhash pairs") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val full = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val inc = Dedup.simhashPairsIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val incNorm = inc.map { case (d, c, h) => (math.min(d, c), math.max(d, c), h) }
+    val fullCross = full.filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+    assert(incNorm === fullCross,
+      s"incremental must find exactly the cross-split pairs (${incNorm.size} vs ${fullCross.size})")
+    assert(inc.nonEmpty, "fixture plants cross-split near-duplicates")
+    // re-ingest safety: an indexed doc arriving again is not its own dup
+    val re = Dedup.simhashPairsIncremental(
+      docs.filter(col("doc_id") < 50), docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.forall { case (d, c) => d != c },
+      s"self-pairs leaked: ${re.filter(p => p._1 == p._2).toSeq}")
+  }
+
   test("minhashPairsIncremental never reports a re-ingested doc as its own duplicate") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)

@@ -293,6 +293,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("ss_bm25: scoring reads the checkpointed narrow frame, not a second corpus scan") {
+    // the (id, dl, tf...) frame materializes once; stats and scoring
+    // both read it back — a FileScan of documents in the SCORING plan
+    // would mean the tokenize+count pass runs twice again
+    val p = plan("ss_bm25")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("documents.parquet"), s"scoring must not re-scan the corpus:\n$p")
+  }
+
   test("dd_keep_best: per-cluster argmax is an aggregate, never a window sort") {
     val p = plan("dd_keep_best")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
