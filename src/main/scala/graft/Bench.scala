@@ -202,8 +202,10 @@ object Bench {
     // query failed, the exception class+message says why — the artifact
     // must be self-diagnosing (round-7 post-mortem: 11 bare -1.0s cost a
     // session of root-causing that one recorded message would have
-    // answered). A later successful rep clears the entry; warm-up
-    // failures count until a rep succeeds.
+    // answered). The LAST failure reason per query is kept for the
+    // emit-time filter: a query whose recorded value is -1.0 (any rep
+    // failed) keeps its reason even if a later rep succeeded —
+    // an intermittent failure must not erase its own diagnosis.
     val failures = scala.collection.mutable.Map.empty[String, String]
     def reasonOf(e: Throwable): String =
       s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}"
@@ -220,11 +222,8 @@ object Bench {
     // fast crash must not masquerade as a fast success in the JSON line.
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try {
-        exec(name, sfDir)
-        failures.remove(name)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
+      try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
         failures(name) = reasonOf(e)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1.0
@@ -279,7 +278,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val fails = failures.toSeq.sortBy(_._1)
+    // only queries whose RECORDED value is a failure carry a reason: a
+    // warm-up hiccup followed by three clean reps is not a failure, but
+    // one failed rep among three (value -1.0) keeps its diagnosis
+    val failed = results.filter(_._2 < 0).map(_._1).toSet
+    val fails = failures.toSeq.filter(kv => failed(kv._1)).sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"failures":$fails,"recall":$recall,"sf":"$sfDir"}"""

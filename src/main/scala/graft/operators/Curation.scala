@@ -89,7 +89,14 @@ object Curation {
     val dropped = Dedup.duplicateClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
-    val unique = exact.join(dropped, Seq(idCol), "left_anti")
+    val unique0 = exact.join(dropped, Seq(idCol), "left_anti")
+    // with the span stage on, `unique` fans out into three consumers
+    // (split assignment, the trim's posting self-join, and the trim's
+    // text rebuild); Spark reuses exchanges, not projection subtrees,
+    // so the whole quality→dedup pipeline above would re-run per
+    // consumer — materialize the survivor set once (the
+    // duplicateClusters localCheckpoint convention)
+    val unique = if (cfg.trimSpans) unique0.localCheckpoint(true) else unique0
     val out = Sampling.splitByKey(unique, idCol, cfg.splits)
       .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
     withSpanTrim(out, unique, idCol, textCol, cfg)

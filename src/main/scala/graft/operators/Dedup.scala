@@ -355,17 +355,21 @@ object Dedup {
     * like any equi-join — there is no in-row pair expansion on this
     * path. Re-ingesting a doc already in the corpus must NOT report the
     * doc as its own duplicate, so identical-id pairs are filtered at
-    * the join (cheapest point: before the per-pair collapse). */
+    * the join (cheapest point: before the per-pair collapse). The
+    * corpus index rides through [[capBandBuckets]] — the incremental
+    * twin of the full path's candidate-pool guard. */
   def minhashPairsIncremental(
       delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
       bands: Int = DefaultMinhashBands,
       threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val bd = minhashBanded(delta, idCol, textCol, n, k, bands, native, fast)
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
         col("band"), col("bkey"))
-    val bc = minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast)
+    val bc = capBandBuckets(
+      minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast), maxBucket)
       .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
         col("band"), col("bkey"))
     bd.join(bc, Seq("band", "bkey"))
@@ -374,6 +378,33 @@ object Dedup {
       .agg(max(estJaccard(col("sig_d"), col("sig_c"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Key-stable per-(band, bkey) occupancy cap on a banded index — the
+    * incremental twins' version of the full paths' candidate-pool
+    * guard: a hot bucket's members are sampled to `cap` by
+    * (xxhash64(doc), doc) rank before the delta join, bounding the
+    * per-bucket join fan-out at |delta bucket|·cap instead of
+    * |delta bucket|·|corpus bucket|. SimHash makes this load-bearing,
+    * not hygienic: an r-bit band key has ≤2^r values (256 at the 64/8
+    * default), so EVERY corpus doc shares a band bucket with ~n/256
+    * others — unguarded, a single ingest joins against O(n) rows per
+    * delta doc. Costs one shuffle of the index per call here; a
+    * production deployment pays it ONCE at index-persist time (the
+    * capped index is what gets stored — capping is idempotent).
+    * Dormant (pass-through, bit-identical) while every bucket fits the
+    * cap, which holds for every gated fixture; in the guard-active
+    * regime the result is a key-stable subsample of the uncapped pair
+    * set, exactly like the full path under its own guard. */
+  private def capBandBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        require(cap >= 2, "maxBucket must be >= 2")
+        val w = Window.partitionBy("band", "bkey")
+          .orderBy(xxhash64(col("doc")), col("doc"))
+        banded.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= cap).drop("__r")
+    }
 
   /** MinHash LSH candidates re-ranked by *exact* n-gram Jaccard — the
     * standard production dedup pipeline: LSH bounds the candidate set
@@ -471,15 +502,19 @@ object Dedup {
     * Same per-pair collapse (a pair colliding in several band slices
     * surfaces once — Hamming is signature-determined, identical on
     * every colliding band) and the same re-ingest self-pair filter as
-    * the MinHash twin. */
+    * the MinHash twin. The corpus index rides through
+    * [[capBandBuckets]] — load-bearing here (256-value band keys, see
+    * its scaladoc), not merely consistent with the full path. */
   def simhashPairsIncremental(
       delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
-      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val bd = simhashBanded(delta, idCol, textCol, bits, bands, minTokens)
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
         col("band"), col("bkey"))
-    val bc = simhashBanded(corpus, idCol, textCol, bits, bands, minTokens)
+    val bc = capBandBuckets(
+      simhashBanded(corpus, idCol, textCol, bits, bands, minTokens), maxBucket)
       .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
         col("band"), col("bkey"))
     bd.join(bc, Seq("band", "bkey"))

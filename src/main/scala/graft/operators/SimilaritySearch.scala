@@ -70,27 +70,52 @@ object SimilaritySearch {
   /** Posture-count memo: the nBits = 0 / nCentroids = 0 defaults derive
     * their corpus-scaled knob from ONE count job per (session, corpus
     * plan) instead of re-running the count on every default-posture
-    * call — keyed by the analyzed plan's semantic hash, held weakly per
-    * session. The cached value is posture METADATA (a scale signal
-    * feeding a log₂ / ratio), not a correctness input: a corpus that
-    * grows mid-session keeps the session's knob, and a stale knob only
-    * shifts expected bucket occupancy, never results. */
+    * call — keyed by the full canonicalized analyzed plan (exact: two
+    * corpora never share a key), held weakly per session.
+    *
+    * Caveat, stated plainly: the knob is frozen at the first call's
+    * count for the session. A corpus that grows 100× mid-session under
+    * the SAME plan (same path re-read after a massive append) keeps the
+    * small-count posture — larger buckets, more pool-cap sampling, and
+    * therefore a different (lower-recall) approximate neighbor set than
+    * a fresh session would compute. Results remain valid ANN output
+    * under the operator's contract, but the posture is session-stale;
+    * long-lived services that re-ingest should pass explicit
+    * nBits/nCentroids (or a new session) after major corpus growth. */
   private val postureCounts =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[Int, Long]]()
+      scala.collection.concurrent.TrieMap[String, Long]]()
 
   private[operators] def postureCount(corpus: DataFrame): Long = {
     val inner = postureCounts.synchronized {
       var m = postureCounts.get(corpus.sparkSession)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        m = scala.collection.concurrent.TrieMap.empty[String, Long]
         postureCounts.put(corpus.sparkSession, m)
       }
       m
     }
-    inner.getOrElseUpdate(
-      corpus.queryExecution.analyzed.semanticHash(),
-      math.max(1L, corpus.count()))
+    inner.getOrElseUpdate(postureKey(corpus), math.max(1L, corpus.count()))
+  }
+
+  /** Memo key for [[postureCount]]: the canonicalized plan STRUCTURE
+    * alone is not discriminating — its toString elides file-relation
+    * locations, so the same projection over sf0.01 and sf0.1 parquet
+    * would collide — so the key prepends every leaf relation's root
+    * paths (and the plan's semantic hash, catching non-file leaves the
+    * toString also elides). */
+  private def postureKey(corpus: DataFrame): String = {
+    val plan = corpus.queryExecution.analyzed
+    val leaves = plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case leaf => leaf.toString
+    }
+    leaves.mkString(";") + "#" + plan.semanticHash() + "#" + plan.canonicalized.toString
   }
 
   /** Hot-bucket occupancy guard (ON by default): a bucket/cell with

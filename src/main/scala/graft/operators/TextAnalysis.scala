@@ -325,7 +325,11 @@ object TextAnalysis {
           terms.zipWithIndex.map { case (t, i) =>
             size(filter(col("__toks"), x => x === t)).cast("long").as(s"tf_$i")
           }): _*)
-      .localCheckpoint(true)
+      // LAZY checkpoint: materialized by the first action that executes
+      // the returned plan (the stats broadcast runs first and computes
+      // it; the scoring scan then reads it back), so merely BUILDING the
+      // DataFrame stays job-free and plan-only callers pay nothing
+      .localCheckpoint(false)
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i =>

@@ -59,8 +59,21 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType =>
         raw
-      case _ => // TimestampNTZType or other timestamp flavor → normalize
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        // TimestampNTZType: the generator's naive wall clock is the UTC
+        // rendering of the instant (the same epoch micros the INT64
+        // layout stores), so interpret it as UTC REGARDLESS of the
+        // session time zone. A bare cast interprets the wall clock in
+        // the session zone — under America/New_York every instant
+        // shifts 5h and the two physical layouts of the same data
+        // disagree; from_utc_timestamp reverses the session-zone
+        // interpretation exactly (TablesSpec proves session-
+        // independence). Known corner: wall times inside a DST
+        // transition hour of the session zone are ambiguous for the
+        // cast — absent from UTC-generated data.
+        raw.withColumn("ts", from_utc_timestamp(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          spark.conf.get("spark.sql.session.timeZone")))
     }
   }
 
