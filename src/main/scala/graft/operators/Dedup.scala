@@ -79,6 +79,27 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         min(col(idCol)).as("canonical_id"))
 
+  /** INCREMENTAL exact dedup: delta docs whose content fingerprint
+    * already exists in the corpus, with the corpus canonical they
+    * duplicate — the O(Δ)-per-ingest filter a pipeline runs before
+    * admitting a batch. The corpus side is its persistable
+    * (fingerprint, canonical_id) index — [[exactGroups]]' output, 16 B
+    * fingerprints + one id per distinct content, storable as parquet —
+    * so an ingest pays one delta fingerprint projection and one
+    * equi-join on the 32-char key. A re-ingested doc that IS its
+    * group's canonical is not its own duplicate (filtered); a
+    * re-ingested non-canonical member still reports the canonical it
+    * duplicates, which is the answer the admit filter wants. */
+  def exactDuplicatesIncremental(
+      delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idx = exactGroups(corpus, idCol, textCol)
+      .select(col("fingerprint"), col("canonical_id"))
+    delta.select(col(idCol).as("delta_id"), md5(col(textCol)).as("fingerprint"))
+      .join(idx, Seq("fingerprint"))
+      .filter(col("delta_id") =!= col("canonical_id"))
+      .select(col("delta_id"), col("canonical_id"), col("fingerprint"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard, generated through an
     * inverted shingle index (shingle → posting list) instead of a
     * cartesian product: docs sharing no shingle are never paired.

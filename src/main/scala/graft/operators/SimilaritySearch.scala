@@ -257,6 +257,53 @@ object SimilaritySearch {
     }
   }
 
+  /** INCREMENTAL embedding neighbor search: each NEW vector's top-k
+    * nearest among the EXISTING corpus — the O(Δ)-per-ingest twin of
+    * `lshNeighbors`, completing the incremental family across every
+    * dedup/search modality. The corpus side is its persistable
+    * hyperplane bucket index (`lshBuckets`-shaped columns: id, vector,
+    * norm, bucket); the delta pays one bucket projection and ONE
+    * equi-join on the bucket key. Corpus buckets are capped key-stable
+    * at `maxBucket` (the same guard/convention as the full path's
+    * candidate pool — a dense semantic cluster in one bucket must not
+    * cost |Δ_bucket|·|cluster| dot products); the per-delta top-k is
+    * bounded map-side by the typed TopKAggregator. Output:
+    * (delta_id, corpus_id, cos), ranked (cos DESC, corpus_id ASC). */
+  def lshNeighborsIncremental(
+      delta: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 0, k: Int = 3,
+      maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    graft.GraftExtensions.register(delta.sparkSession)
+    val bits = if (nBits == 0) nBitsFor(postureCount(corpus)) else nBits
+    val bCols = lshBucketCols(dim, bits, 1)
+    val d = bucketedMembers(delta, idCol, vecCol, bCols)
+      .select(col("id").as("delta_id"), col("v").as("vd"),
+        col("nrm").as("nd"), col("bucket"))
+    val cRaw = bucketedMembers(corpus, idCol, vecCol, bCols)
+      .select(col("id").as("corpus_id"), col("v").as("vc"),
+        col("nrm").as("nc"), col("bucket"))
+    val c = maxBucket match {
+      case None => cRaw
+      case Some(cap) =>
+        // key-stable per-bucket cap on the persistable index side —
+        // paid once at index-persist time in production (idempotent)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")
+          .orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+        cRaw.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= cap).drop("__r")
+    }
+    val pairs = d.join(c, Seq("bucket"))
+      .filter(col("delta_id") =!= col("corpus_id"))
+      .select(col("delta_id").cast("long").as("delta_id"),
+        (dot(col("vd"), col("vc")) / (col("nd") * col("nc"))).as("cos"),
+        col("corpus_id").cast("long").as("corpus_id"))
+    topKPerVector(pairs, k)
+      .toDF("delta_id", "corpus_id", "cos")
+  }
+
   /** Table-indexed hyperplane bucket expressions over the vector column
     * `v` — table t's planes draw from a disjoint splitmix64 range.
     * Package-visible: StreamingDedup.embeddingDupStream keys its state

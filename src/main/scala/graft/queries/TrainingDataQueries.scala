@@ -1768,6 +1768,48 @@ object TrainingDataQueries {
   val ddEmbedding: Q = ddEmbeddingAt(EmbFixtureThreshold)
   val ddEmbeddingOracle: String = ddEmbeddingOracleAt(EmbFixtureThreshold)
 
+  /** dd_embedding_incremental — each NEW vector's near-duplicates among
+    * the EXISTING corpus (SimilaritySearch.lshNeighborsIncremental):
+    * the dd_minhash_incremental split convention over the hyperplane
+    * bucket index; per-delta top-k among corpus bucket-mates only, so
+    * the pair set is the arrival-time answer, not the cross-split
+    * subset of the symmetric run. Threshold 0.35 keeps the fixture gate
+    * non-trivial (this random corpus peaks near cosine 0.51). */
+  private val EmbIncThreshold = 0.35
+
+  val ddEmbeddingIncremental: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.lshNeighborsIncremental(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      "vec_id", "embedding", dim = 64, nBits = EmbNBits, k = EmbK)
+      .filter(col("cos") >= EmbIncThreshold)
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  val ddEmbeddingIncrementalOracle: String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    val bucket = hyperplaneBitsSql("v", hyperplanes(EmbNBits, 64))
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, $bucket AS bucket FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS delta_id, c.vec_id AS corpus_id,
+       |    list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |  WHERE a.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+       |), r AS (
+       |  SELECT delta_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY delta_id ORDER BY cos DESC, corpus_id ASC) AS rn
+       |  FROM p
+       |)
+       |SELECT delta_id, corpus_id, cos FROM r
+       |WHERE rn <= $EmbK AND cos >= $EmbIncThreshold
+       |ORDER BY delta_id, corpus_id""".stripMargin
+  }
+
   /** sk_sketches — approximate aggregates (HLL++ distinct count,
     * approximate percentiles): the constant-memory alternative to exact
     * distinct/percentile at 100 TB. Sketch INTERNALS are engine-specific,
@@ -2496,6 +2538,7 @@ object TrainingDataQueries {
     "mm_features" -> mmFeatures,
     "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
+    "dd_embedding_incremental" -> ddEmbeddingIncremental,
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
     "dd_keep_best" -> ddKeepBest,
@@ -2583,6 +2626,7 @@ object TrainingDataQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_decontaminate" -> ddDecontaminateOracle,
     "dd_embedding" -> ddEmbeddingOracle,
+    "dd_embedding_incremental" -> ddEmbeddingIncrementalOracle,
     "dd_minhash" -> ddMinhashOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,

@@ -343,6 +343,23 @@ class DedupSpec extends SparkSpecBase {
       s"self-pairs leaked on re-ingest: ${reingest.filter(p => p._1 == p._2).toSeq}")
   }
 
+  test("exactDuplicatesIncremental reports the corpus canonical for verbatim re-arrivals only") {
+    val corpus = spanDocs(
+      1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 5L -> "delta epsilon")
+    val delta = spanDocs(
+      10L -> "alpha beta gamma", 11L -> "zeta eta", 1L -> "alpha beta gamma")
+    val out = Dedup.exactDuplicatesIncremental(delta, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 duplicates group {1,2} (canonical 1); 11 is new content; the
+    // re-ingested canonical itself (1) must not be its own duplicate
+    assert(out === Set((10L, 1L)))
+    // a re-ingested NON-canonical member still reports its canonical
+    val out2 = Dedup.exactDuplicatesIncremental(
+      spanDocs(2L -> "alpha beta gamma"), corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 === Set((2L, 1L)))
+  }
+
   test("simhashPairsIncremental equals the cross-split subset of full-corpus simhash pairs") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, sfDir)

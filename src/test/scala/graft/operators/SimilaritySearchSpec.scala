@@ -42,6 +42,26 @@ class SimilaritySearchSpec extends SparkSpecBase {
       s"IVF cells must scale with the corpus: $ivfSmall -> $ivfBig")
   }
 
+  test("lshNeighborsIncremental: ≤k corpus-side neighbors per delta vector, no self-pairs") {
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = SimilaritySearch.lshNeighborsIncremental(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      "vec_id", "embedding", dim = 64, nBits = 4, k = 3)
+      .collect()
+    assert(out.nonEmpty)
+    val per = out.groupBy(_.getLong(0)).values.map(_.length)
+    assert(per.forall(_ <= 3), "per-delta top-k must be bounded")
+    assert(out.forall(r => r.getLong(0) % 5 == 0 && r.getLong(1) % 5 != 0),
+      "neighbors must come from the corpus side only")
+    // re-ingest: the whole corpus arriving again never self-pairs
+    val re = SimilaritySearch.lshNeighborsIncremental(
+      emb, emb, "vec_id", "embedding", dim = 64, nBits = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.forall { case (d, c) => d != c })
+  }
+
   test("lshNeighbors keeps at most k neighbors per vector and respects bucket locality") {
     val nn = SimilaritySearch.lshNeighbors(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
