@@ -743,8 +743,10 @@ object Dedup {
 
   /** Shared span-fold: matches → one row per pair with ≥1 maximal span;
     * the per-pair longest-span pick is a map-side-combinable struct max,
-    * not a second window. */
-  private def spanFold(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
+    * not a second window. Package-visible: the streaming span twin's
+    * finalization (StreamingSpanDedup.spansFromMatches) folds its match
+    * sink with EXACTLY this operator so the two postures cannot drift. */
+  private[graft] def spanFold(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
     val spans = spanIslands(matches, k, minSpanTokens)
     spans
       .groupBy("doc_a", "doc_b")

@@ -293,6 +293,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("incremental dedup family: one equi-join against the corpus index, nothing quadratic") {
+    // spans: candidates from the 60-bit h-key join; diagonal-bounded
+    // windows; the per-pair argmax stays a map-side struct max
+    val ps = plan("dd_spans_incremental")
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ps).length <= 1, ps) // df-limit broadcast
+    // the candidate join is an EQUI-join on the 60-bit key in any
+    // physical strategy — a small delta legitimately broadcasts
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[h#".r
+      .findFirstIn(ps).isDefined, ps)
+    assert(ps.contains("partial_max(struct(l"), ps)
+    // simhash: banded (band, bkey) equi-join + map-side Hamming collapse
+    val ph = plan("dd_simhash_incremental")
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"), ph)
+    assert(ph.contains("bkey"), ph)
+    assert(ph.contains("partial_max"), ph)
+    // embeddings: one bucket equi-join; per-delta top-k via the typed
+    // aggregator (partial objectagg), never a window over all pairs
+    val pe = plan("dd_embedding_incremental")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"), pe)
+    assert(pe.contains("bucket"), pe)
+    assert(!pe.contains("windowspecdefinition(delta_id"), pe)
+  }
+
   test("ss_bm25: scoring reads the checkpointed narrow frame, not a second corpus scan") {
     // the (id, dl, tf...) frame materializes once; stats and scoring
     // both read it back — a FileScan of documents in the SCORING plan
