@@ -385,12 +385,40 @@ object Dedup {
       bands: Int = DefaultMinhashBands,
       threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
       fast: Boolean = false,
-      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    minhashPairsIncrementalFromIndex(
+      delta,
+      minhashBandIndex(corpus, idCol, textCol, n, k, bands, native, fast, maxBucket),
+      idCol, textCol, n, k, bands, threshold, native, fast)
+
+  /** The corpus side of [[minhashPairsIncremental]] as a PERSISTABLE
+    * index: banded signature rows with the occupancy cap applied at
+    * BUILD time — plain (doc, sig, band, bkey) columns, storable and
+    * re-readable as parquet (DedupSpec proves the round trip), so a
+    * production ingest loop pays the signature pass and the cap shuffle
+    * once per corpus version, not once per delta batch. */
+  def minhashBandIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands, native: Boolean = true,
+      fast: Boolean = false,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    capBandBuckets(
+      minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast), maxBucket)
+
+  /** [[minhashPairsIncremental]] against an already-built (possibly
+    * persisted-and-reloaded) [[minhashBandIndex]]: the O(Δ) ingest path
+    * pays only the delta's signature projection and the band join. */
+  def minhashPairsIncrementalFromIndex(
+      delta: DataFrame, corpusIndex: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands,
+      threshold: Double = DefaultMinhashThreshold, native: Boolean = true,
+      fast: Boolean = false): DataFrame = {
     val bd = minhashBanded(delta, idCol, textCol, n, k, bands, native, fast)
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
         col("band"), col("bkey"))
-    val bc = capBandBuckets(
-      minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast), maxBucket)
+    val bc = corpusIndex
       .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
         col("band"), col("bkey"))
     bd.join(bc, Seq("band", "bkey"))
@@ -666,10 +694,32 @@ object Dedup {
       delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
       maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame =
+    sharedSpansIncrementalFromIndex(
+      delta,
+      spanPostingIndex(corpus, idCol, textCol, k, maxDocFreqFraction, fast),
+      idCol, textCol, k, minSpanTokens, fast)
+
+  /** The corpus side of [[sharedSpansIncremental]] as a PERSISTABLE
+    * index: positional postings with the doc-freq guard applied at
+    * BUILD time — plain (doc, pos, h) columns, storable and re-readable
+    * as parquet (DedupSpec proves the round trip), so an ingest loop
+    * pays the corpus shingle pass and guard once per corpus version. */
+  def spanPostingIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame =
+    positionalPosting(corpus, idCol, textCol, k, maxDocFreqFraction, fast)
+
+  /** [[sharedSpansIncremental]] against an already-built (possibly
+    * persisted-and-reloaded) [[spanPostingIndex]]. */
+  def sharedSpansIncrementalFromIndex(
+      delta: DataFrame, corpusIndex: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
       fast: Boolean = false): DataFrame = {
     val d = positionalPosting(delta, idCol, textCol, k, None, fast)
-    val c = positionalPosting(corpus, idCol, textCol, k, maxDocFreqFraction, fast)
-    val matches = d.as("d").join(c.as("c"),
+    val matches = d.as("d").join(corpusIndex.as("c"),
         col("d.h") === col("c.h") && col("d.doc") =!= col("c.doc"))
       .select(
         col("d.doc").as("doc_a"), col("c.doc").as("doc_b"),

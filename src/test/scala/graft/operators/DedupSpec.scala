@@ -343,6 +343,35 @@ class DedupSpec extends SparkSpecBase {
       s"self-pairs leaked on re-ingest: ${reingest.filter(p => p._1 == p._2).toSeq}")
   }
 
+  test("persisted incremental indexes reload from parquet and search identically") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+
+    // MinHash band index: write → reload → search must equal the
+    // direct (index-derived-in-query) run row for row
+    Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/mh")
+    val mhDirect = Dedup.minhashPairsIncremental(delta, corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val mhReloaded = Dedup.minhashPairsIncrementalFromIndex(
+      delta, spark.read.parquet(s"$dir/mh"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(mhDirect.nonEmpty && mhReloaded === mhDirect)
+
+    // span posting index: same round trip
+    Dedup.spanPostingIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/span")
+    val spDirect = Dedup.sharedSpansIncremental(delta, corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val spReloaded = Dedup.sharedSpansIncrementalFromIndex(
+      delta, spark.read.parquet(s"$dir/span"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(spReloaded === spDirect)
+  }
+
   test("exactDuplicatesIncremental reports the corpus canonical for verbatim re-arrivals only") {
     val corpus = spanDocs(
       1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 5L -> "delta epsilon")
