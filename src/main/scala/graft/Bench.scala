@@ -35,7 +35,7 @@ object Bench {
     "q24_cube", "q25_pivot", "q26_set_ops",
     "q27_grouping_sets", "q28_window_suite",
     "q29_correlated_subquery", "q30_set_ops_all",
-    "dd_spans", "dd_span_decontaminate", "ss_ann_pq",
+    "dd_spans", "dd_span_decontaminate", "ss_ann_pq", "ss_ann_ivf_pq_pruned",
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx",
@@ -242,7 +242,15 @@ object Bench {
       val ts = samples(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // stdout medians at 3 decimals: the driver's tail capture has
+    // truncated every full-precision (~6 KB) line since round 5 — the
+    // COMPACT stdout line carries totals + medians only (~1.6 KB) and
+    // the full-precision dispersion/failures/recall live in
+    // bench_out.json (self-contained file artifact, committed per round)
+    def sec3(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     // dispersion [min, median, max] makes a contended window visible in
     // the artifact itself: a wide max/min spread flags the recorded
@@ -285,15 +293,54 @@ object Bench {
     val fails = failures.toSeq.filter(kv => failed(kv._1)).sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"dispersion":$disp,"failures":$fails,"recall":$recall,"sf":"$sfDir"}"""
+    // the bench-only twins (no cross-engine oracle exists — xxhash64 has
+    // no DuckDB equivalent; ss_ann_ivf_scaled runs the production
+    // posture the fixed-knob oracle can't) are FLAGGED so an artifact
+    // parser never counts them as oracle-gated queries
+    val benchOnlyList = names.filter(benchOnly.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // optional per-SF scaling evidence: with SPARK_GRAFT_SCALING_DIR
+    // set, every headline query is also timed (median of `reps`,
+    // round-robin) at that second scale factor and the file artifact
+    // records [alt, main, main/alt] per query — making the "fixed
+    // per-job overhead, not scaling" defense of small-SF ratios
+    // adjudicable from the artifact itself. A query whose time grows
+    // ~1× across a 10× SF step is overhead-bound; ~10× is scan-bound.
+    val scalingJson = sys.env.get("SPARK_GRAFT_SCALING_DIR").map { altDir =>
+      names.foreach { n =>
+        try exec(n, altDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scaling warm-up $n failed: ${e.getMessage}")
+        }
+      }
+      val alt = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      def timeAlt(name: String): Double = {
+        val t0 = System.nanoTime()
+        try { exec(name, altDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      for (_ <- 1 to math.max(1, reps); name <- names)
+        alt(name) = alt.getOrElse(name, Vector.empty) :+ timeAlt(name)
+      val entries = names.map { name =>
+        val ts = alt(name)
+        val m = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+        val main = results.toMap.apply(name)
+        val ratio = if (m > 0 && main > 0) main / m else -1.0
+        "\"" + name + "\":[" + sec3(m) + "," + sec3(main) + "," + sec3(ratio) + "]"
+      }.mkString("{", ",", "}")
+      s""","scaling":{"alt_sf":${jstr(altDir)},"main_sf":${jstr(sfDir)},"queries":$entries}"""
+    }.getOrElse("")
+    // COMPACT stdout line (totals + medians + bench-only flags): this is
+    // what the driver tail-captures, and full-precision ~6 KB lines have
+    // been truncated mid-JSON every round since 5
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"sf":"$sfDir"}"""
     println(line)
-    // the stdout line is what the driver tail-captures, and at ~4KB it
-    // has been truncated mid-JSON before (round 5 lost q01–q16); the
-    // file copy makes the artifact self-contained regardless of capture
-    // length
+    // the FULL artifact — dispersion, failure reasons, recall, scaling —
+    // goes to the self-contained file copy, committed per round
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }

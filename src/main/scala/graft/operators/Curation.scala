@@ -94,9 +94,11 @@ object Curation {
     // (split assignment, the trim's posting self-join, and the trim's
     // text rebuild); Spark reuses exchanges, not projection subtrees,
     // so the whole quality→dedup pipeline above would re-run per
-    // consumer — materialize the survivor set once (the
-    // duplicateClusters localCheckpoint convention)
-    val unique = if (cfg.trimSpans) unique0.localCheckpoint(true) else unique0
+    // consumer — materialize the survivor set once. LAZY checkpoint
+    // (the bm25 convention): constructing the curated frame stays
+    // plan-only; the pipeline runs at the FIRST action and the
+    // materialized survivors are shared by all three consumers
+    val unique = if (cfg.trimSpans) unique0.localCheckpoint(false) else unique0
     val out = Sampling.splitByKey(unique, idCol, cfg.splits)
       .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
     withSpanTrim(out, unique, idCol, textCol, cfg)

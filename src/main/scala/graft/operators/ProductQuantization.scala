@@ -166,12 +166,24 @@ object ProductQuantization {
     } else {
       val spark = scored.sparkSession
       import spark.implicits._
-      val ids = scored.select(col("vec_id").cast("long"), col("score")).as[(Long, Double)]
+      // ONE scoring scan: the 16-byte (vec_id, score) projection is
+      // lazily checkpointed, so the heap passes both sides of the
+      // repartition read the materialized pairs instead of re-running
+      // the ADC-scoring subtree — exactly in the large-pool regime
+      // where that subtree is the expensive part. Checkpoint size is
+      // corpus-rows × 16 bytes spread across executors (memory+disk),
+      // the width the two-level reduction already assumes.
+      val slim = scored.select(col("vec_id").cast("long"), col("score"))
+        .localCheckpoint(false)
+      val ids = slim.as[(Long, Double)]
         .mapPartitions(heapTop(_, rerank))
         .repartition(PoolFanIn)
         .mapPartitions(heapTop(_, rerank))
         .toDF("vec_id", "score")
         .orderBy(col("score").desc, col("vec_id").asc).limit(rerank)
+      // payload restore: `score` is dropped, so Catalyst prunes the
+      // xhat/dot machinery from this second pass — it re-reads only the
+      // pre-scored payload columns the caller asked to keep
       scored.drop("score").join(broadcast(ids), "vec_id")
     }
 
@@ -255,17 +267,24 @@ object ProductQuantization {
     * pool semi-scan here; a point-lookup store in production).
     * Bit-identical to `pqTopK` given the same codebooks
     * (ProductQuantizationSpec). */
+  /** x̂ reconstruction from STORED codes: per-subspace plan-literal
+    * codebook lookup concatenated in subspace order — shared by
+    * [[pqTopKFromCodes]] and the persisted-index searches so the ADC
+    * score is one definition. */
+  private def xhatFromCodes(
+      codebooks: IndexedSeq[Seq[(Long, Array[Double])]]): Column =
+    concat(codebooks.indices.map(mi =>
+      element_at(
+        typedLit(codebooks(mi).map(_._2.toSeq)),
+        element_at(col("codes"), mi + 1) + 1)): _*)
+
   def pqTopKFromCodes(
       encoded: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, codebooks: IndexedSeq[Seq[(Long, Array[Double])]],
       rerank: Int = 100, topK: Int = 10): DataFrame = {
     require(rerank >= topK, s"rerank pool $rerank must cover topK $topK")
     graft.GraftExtensions.register(encoded.sparkSession)
-    val m = codebooks.size
-    val xhat = concat((0 until m).map(mi =>
-      element_at(
-        typedLit(codebooks(mi).map(_._2.toSeq)),
-        element_at(col("codes"), mi + 1) + 1)): _*)
+    val xhat = xhatFromCodes(codebooks)
     val scored = encoded
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
       .select(col("vec_id"), col("q"), dot(col("q"), xhat).as("score"))
@@ -288,6 +307,19 @@ object ProductQuantization {
     * (asserted in ProductQuantizationSpec) — probing only ever narrows.
     * Probe selection for the 1-row query happens on the driver against
     * the same k·dim centroid matrix the training already collected. */
+  /** The `nProbe` coarse cells nearest to query `qv`, ranked by the
+    * SAME (q·c − ½|c|², cid) ordering the cell-assignment argmax uses —
+    * shared by [[ivfPqTopK]] and the persisted-index search so the two
+    * paths can never probe differently. Driver-side over the k·dim
+    * centroid matrix training already collected. */
+  private[operators] def probeCells(
+      cents: Seq[(Long, Array[Double])], qv: Array[Double], nProbe: Int): Seq[Long] =
+    cents.map { case (cid, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += qv(i) * c(i); i += 1 }
+      (-(s - Clustering.halfNormSq(c)), cid)
+    }.sorted.take(nProbe).map(_._2)
+
   def ivfPqTopK(
       corpus: DataFrame, idCol: String, vecCol: String, query: DataFrame,
       dim: Int, nCells: Int = 16, nProbe: Int = 4, coarseIters: Int = 2,
@@ -299,11 +331,7 @@ object ProductQuantization {
     val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
     require(qRows.nonEmpty, "ivfPqTopK needs a 1-row query DataFrame with column qvec")
     val qv = qRows.head.getSeq[Double](0).toArray
-    val probed = cents.map { case (cid, c) =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += qv(i) * c(i); i += 1 }
-      (-(s - Clustering.halfNormSq(c)), cid)
-    }.sorted.take(nProbe).map(_._2)
+    val probed = probeCells(cents, qv, nProbe)
     val books = trainCodebooks(corpus, idCol, vecCol, dim, m, k, iters, roundDp)
     val sub = dim / m
     val xhat = concat((0 until m).map(mi =>
@@ -317,5 +345,157 @@ object ProductQuantization {
       .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** Schema the persisted index is read back with. Pinning the
+    * partition column `cell` to LONG matters: partition-value inference
+    * would narrow small cell ids to INT, and the resulting cast between
+    * the probe filter's long literals and the partition column can keep
+    * the filter out of the file-pruning layer. */
+  private val IndexReadSchema = "vec_id LONG, codes ARRAY<INT>, cell LONG"
+
+  /** Build the PERSISTED IVF-PQ index at `path`: coarse quantizer +
+    * per-subspace codebooks train exactly as [[ivfPqTopK]] does, the
+    * corpus is encoded to its m dense codes in one zero-shuffle
+    * projection, and the code rows are written `partitionBy(cell)` —
+    * the storage layout that makes probing a FILE-PRUNING operation.
+    * At 10⁹ vectors with nCells sized by `nCentroidsFor`, a search
+    * LISTS nProbe/nCells of the partition directories and never opens
+    * the rest; the closed round-8 gap where probed-cell restriction was
+    * a filter over a full corpus scan (the old
+    * `.filter(argminCell(…).isin(probed))` shape) is exactly what this
+    * layout removes. The trained model (coarse centroids + codebooks)
+    * is persisted alongside under `_ivfpq_model.txt` (underscore prefix:
+    * invisible to the parquet reader), so a search session needs ONLY
+    * the index path.
+    *
+    * Write cost: one signature/encode scan + one shuffle-free
+    * partitioned write (each scan task writes its rows' cells directly;
+    * at production scale repartition by cell first if small files
+    * matter — `Compaction` covers that concern separately). */
+  def buildIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, nCells: Int = 16, coarseIters: Int = 2,
+      m: Int = 8, k: Int = 16, iters: Int = 1, roundDp: Int = 6): IvfPqModel = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val cents = Clustering.kmeansCentroids(
+      corpus, idCol, vecCol, k = nCells, iters = coarseIters, roundDp = roundDp)
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, k, iters, roundDp)
+    val sub = dim / m
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .select(
+        col("vec_id"),
+        array((0 until m).map(mi =>
+          argminCell(books(mi), subVec(col("v"), mi, sub)).getField("idx")): _*)
+          .as("codes"),
+        argminCell(cents, col("v")).getField("cid").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val model = IvfPqModel(dim, cents, books)
+    IvfPqModel.save(model, path)
+    model
+  }
+
+  /** Search the PERSISTED index: the query picks its `nProbe` cells on
+    * the driver (same ranking as cell assignment), and the scan is
+    * `read.parquet(path).filter(cell.isin(probed))` — the probe
+    * restriction is a PartitionFilter, so only the probed cells'
+    * parquet files are ever listed, opened, or ADC-scored
+    * (IvfPqIndexSpec asserts the filter in-plan AND deletes an unprobed
+    * cell's files to prove the search never touches them). Downstream
+    * is the standard two-stage search: ADC over reconstructed x̂ into
+    * [[adcPool]], exact-cosine re-rank of the pool against `corpus`.
+    *
+    * With `nProbe` ≥ the number of cells in the index this is
+    * bit-identical to [[ivfPqTopK]] at the same knobs (probing only
+    * narrows); at the gated knobs the two agree exactly
+    * (ss_ann_ivf_pq_pruned shares ss_ann_ivf_pq's oracle). `model`
+    * defaults to loading the persisted copy at `path`. */
+  def ivfPqTopKFromIndex(
+      indexPath: String, corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, nProbe: Int = 4, rerank: Int = 100, topK: Int = 10,
+      model: Option[IvfPqModel] = None): DataFrame = {
+    require(rerank >= topK, s"rerank pool $rerank must cover topK $topK")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val spark = corpus.sparkSession
+    graft.GraftExtensions.register(spark)
+    val mdl = model.getOrElse(IvfPqModel.load(indexPath))
+    val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
+    require(qRows.nonEmpty,
+      "ivfPqTopKFromIndex needs a 1-row query DataFrame with column qvec")
+    val qv = qRows.head.getSeq[Double](0).toArray
+    val probed = probeCells(mdl.centroids, qv, nProbe)
+    val scored = spark.read.schema(IndexReadSchema).parquet(indexPath)
+      .filter(col("cell").isin(probed: _*))
+      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
+      .select(col("vec_id"), col("q"),
+        dot(col("q"), xhatFromCodes(mdl.codebooks)).as("score"))
+    adcPool(scored, rerank)
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+        asDoubles(col(vecCol)).as("v")), "vec_id")
+      .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+}
+
+/** The trained state of a persisted IVF-PQ index: the coarse-quantizer
+  * centroids (cell router) and the per-subspace PQ codebooks. Persisted
+  * next to the partitioned code files as a deterministic text artifact
+  * (`Double.toString` round-trips exactly, so a load-save-load cycle is
+  * bit-stable), sized k·dim + m·k·(dim/m) = 2·k·dim doubles — driver
+  * state, like the collected centroids it wraps. */
+final case class IvfPqModel(
+    dim: Int,
+    centroids: Seq[(Long, Array[Double])],
+    codebooks: IndexedSeq[Seq[(Long, Array[Double])]])
+
+object IvfPqModel {
+  private val FileName = "_ivfpq_model.txt"
+
+  /** Lines: `dim N` | `cent <cid> v,…` | `book <mi> <cid> v,…` —
+    * underscore-prefixed filename keeps it invisible to the parquet
+    * scanner reading the surrounding index directory. */
+  def save(model: IvfPqModel, indexPath: String): Unit = {
+    val sb = new StringBuilder
+    sb.append("dim ").append(model.dim).append('\n')
+    model.centroids.foreach { case (cid, v) =>
+      sb.append("cent ").append(cid).append(' ')
+        .append(v.map(_.toString).mkString(",")).append('\n')
+    }
+    model.codebooks.zipWithIndex.foreach { case (book, mi) =>
+      book.foreach { case (cid, v) =>
+        sb.append("book ").append(mi).append(' ').append(cid).append(' ')
+          .append(v.map(_.toString).mkString(",")).append('\n')
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexPath, FileName),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(indexPath: String): IvfPqModel = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(indexPath, FileName))
+    var dim = 0
+    val cents = Seq.newBuilder[(Long, Array[Double])]
+    val books = scala.collection.mutable.SortedMap
+      .empty[Int, scala.collection.mutable.Buffer[(Long, Array[Double])]]
+    lines.forEach { line =>
+      line.split(' ') match {
+        case Array("dim", d) => dim = d.toInt
+        case Array("cent", cid, vs) =>
+          cents += ((cid.toLong, vs.split(',').map(_.toDouble)))
+        case Array("book", mi, cid, vs) =>
+          books.getOrElseUpdate(mi.toInt, scala.collection.mutable.Buffer.empty) +=
+            ((cid.toLong, vs.split(',').map(_.toDouble)))
+        case other =>
+          throw new IllegalArgumentException(
+            s"malformed $FileName line: '$line'")
+      }
+    }
+    require(dim > 0, s"$FileName has no dim line")
+    IvfPqModel(dim, cents.result(),
+      books.values.map(_.toSeq).toIndexedSeq)
   }
 }

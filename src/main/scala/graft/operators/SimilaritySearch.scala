@@ -82,20 +82,44 @@ object SimilaritySearch {
     * under the operator's contract, but the posture is session-stale;
     * long-lived services that re-ingest should pass explicit
     * nBits/nCentroids (or a new session) after major corpus growth. */
+  /** Bounded per-session memo: keys are 32-char MD5 digests of the
+    * composed key string (never the raw plan text, which can be large)
+    * and the per-session map is an access-ordered LRU capped at
+    * [[PostureMemoMax]] entries — a session cycling through thousands
+    * of distinct corpus plans holds O(memo) bytes, not O(plans · plan
+    * text). */
+  private[operators] val PostureMemoMax = 256
   private val postureCounts =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, Long]]()
+      java.util.LinkedHashMap[String, java.lang.Long]]()
 
   private[operators] def postureCount(corpus: DataFrame): Long = {
+    val digest = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(postureKey(corpus).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     val inner = postureCounts.synchronized {
       var m = postureCounts.get(corpus.sparkSession)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Long]
+        m = new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+            size() > PostureMemoMax
+        }
         postureCounts.put(corpus.sparkSession, m)
       }
       m
     }
-    inner.getOrElseUpdate(postureKey(corpus), math.max(1L, corpus.count()))
+    val hit = inner.synchronized(inner.get(digest))
+    if (hit != null) hit.longValue()
+    else {
+      // the count job runs OUTSIDE the lock (it can take seconds on a
+      // large corpus); a concurrent duplicate count is harmless — both
+      // compute the same value
+      val n = math.max(1L, corpus.count())
+      inner.synchronized(inner.put(digest, java.lang.Long.valueOf(n)))
+      n
+    }
   }
 
   /** Memo key for [[postureCount]]: the canonicalized plan STRUCTURE

@@ -2066,6 +2066,30 @@ object TrainingDataQueries {
       roundDp = KmRound, rerank = PqRerank, topK = PqTopK)
   }
 
+  /** ss_ann_ivf_pq_pruned — the PERSISTED, partition-pruned IVF-PQ
+    * index (ProductQuantization.buildIvfPqIndex + ivfPqTopKFromIndex):
+    * the corpus's PQ codes are written `partitionBy(cell)` and the
+    * search reads ONLY the probed cells' partitions (a PartitionFilter,
+    * proved by plan assertion + physical file deletion in
+    * IvfPqIndexSpec). Pruning must not change results, so the gate
+    * shares ss_ann_ivf_pq's oracle verbatim — same knobs, same answer,
+    * different (file-pruned) physical plan. */
+  val ssAnnIvfPqPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString
+    val model = graft.operators.ProductQuantization.buildIvfPqIndex(
+      corpus, "vec_id", "embedding", idx,
+      dim = EmbDim, nCells = IvfPqCells, coarseIters = IvfPqCoarseIters,
+      m = PqM, k = PqK, iters = PqIters, roundDp = KmRound)
+    graft.operators.ProductQuantization.ivfPqTopKFromIndex(
+      idx, corpus, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+      nProbe = IvfPqProbe, rerank = PqRerank, topK = PqTopK,
+      model = Some(model))
+  }
+
   val ssAnnIvfPqOracle: String = {
     val iterCtes = (1 to IvfPqCoarseIters).map { i =>
       s"""cqs$i AS (
@@ -2548,6 +2572,7 @@ object TrainingDataQueries {
     "ss_ann_pq" -> ssAnnPq,
     "ss_ann_pq_codes" -> ssAnnPqCodes,
     "ss_ann_ivf_pq" -> ssAnnIvfPq,
+    "ss_ann_ivf_pq_pruned" -> ssAnnIvfPqPruned,
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
     "tx_canonicalize" -> txCanonicalize,
@@ -2610,6 +2635,7 @@ object TrainingDataQueries {
     "ss_ann_pq" -> ssAnnPqOracle,
     "ss_ann_pq_codes" -> ssAnnPqOracle,
     "ss_ann_ivf_pq" -> ssAnnIvfPqOracle,
+    "ss_ann_ivf_pq_pruned" -> ssAnnIvfPqOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
     "tx_canonicalize" -> txCanonicalizeOracle,
