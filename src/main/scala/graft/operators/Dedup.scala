@@ -775,19 +775,62 @@ object Dedup {
         col("a.pos").as("pa"), col("b.pos").as("pb"))
   }
 
+  /** Sentinel for "no open run/region" in the span folds: match
+    * positions and interval starts are non-negative, so Long.MinValue
+    * can never collide with real state. */
+  private val NoRun = Long.MinValue
+
   /** Maximal shared spans from (doc_a, doc_b, pa, pb) shingle matches:
     * one row per island of consecutive matches on a diagonal, length
-    * ≥ `minSpanTokens`. Window partition = (pair, diagonal) — bounded
-    * by document length. */
+    * ≥ `minSpanTokens`.
+    *
+    * ONE exchange: matches group straight to the pair, the sorted
+    * (diag, pa) match list folds into islands in-row (higher-order
+    * `aggregate` — a new island opens on a diagonal change or a
+    * position gap), and islands explode back to rows. This replaces
+    * the former sort-based (pair, diagonal) row_number window + second
+    * aggregate — same answer, one fewer pass over the (large) match
+    * set, and downstream pair/doc groupings run over island rows that
+    * are orders of magnitude fewer than matches. Per-pair in-row state
+    * is the pair's match list — bounded by the shorter document's
+    * shingle count, the same total the old window partition held
+    * across its diagonals. */
   private def spanIslands(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
-    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    // close the open run (if any) onto the done list
+    def close(done: Column, cd: Column, cs: Column, cp: Column): Column =
+      when(cs === NoRun, done).otherwise(concat(done,
+        array(struct(cd.as("diag"), cs.as("s"), cp.as("e")))))
+    val acc0 = struct(
+      typedLit(Seq.empty[(Long, Long, Long)])
+        .cast("array<struct<diag:bigint,s:bigint,e:bigint>>").as("done"),
+      lit(NoRun).as("cd"), lit(NoRun).as("cs"), lit(NoRun).as("cp"))
+    val islands = aggregate(
+      col("ms"), acc0,
+      (a, x) => {
+        val cont = x.getField("diag") === a.getField("cd") &&
+          x.getField("pa") === a.getField("cp") + 1L
+        when(cont, struct(
+          a.getField("done").as("done"), a.getField("cd").as("cd"),
+          a.getField("cs").as("cs"), x.getField("pa").as("cp")))
+          .otherwise(struct(
+            close(a.getField("done"), a.getField("cd"),
+              a.getField("cs"), a.getField("cp")).as("done"),
+            x.getField("diag").as("cd"),
+            x.getField("pa").as("cs"), x.getField("pa").as("cp")))
+      },
+      a => close(a.getField("done"), a.getField("cd"),
+        a.getField("cs"), a.getField("cp")))
     matches
-      .withColumn("diag", col("pa") - col("pb"))
-      .withColumn("island", col("pa") - row_number().over(byDiag))
-      .groupBy("doc_a", "doc_b", "diag", "island")
-      .agg(
-        min("pa").as("start_a"), min("pb").as("start_b"),
-        (count(lit(1)) + (k - 1)).as("span_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(array_sort(collect_set(struct(
+        (col("pa") - col("pb")).cast("long").as("diag"),
+        col("pa").cast("long").as("pa")))).as("ms"))
+      .select(col("doc_a"), col("doc_b"), explode(islands).as("isl"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("isl.s").cast("int").as("start_a"),
+        (col("isl.s") - col("isl.diag")).cast("int").as("start_b"),
+        (col("isl.e") - col("isl.s") + lit(k.toLong)).as("span_len"))
       .filter(col("span_len") >= minSpanTokens)
   }
 
@@ -858,26 +901,47 @@ object Dedup {
     * impossible. Output one row per document: (doc_id, n_tokens,
     * dup_tokens, dup_fraction), zero for untouched documents.
     *
-    * Scale shape: the sweep windows partition per DOCUMENT and hold one
-    * interval per (partner, diagonal) span — bounded by the doc's
-    * duplication degree, which the doc-freq guard bounds in turn; both
-    * aggregations are map-side combinable. */
-  /** Interval union per doc: DISTINCT (doc, s0, e0) rows → disjoint
-    * merged regions, via the running-max sweep (a row opens a new
-    * region iff it starts past the max end seen so far). Input MUST be
-    * distinct — duplicate rows tie in the sweep ordering and the flag
-    * and running-sum windows may order ties differently. */
-  private def mergedRegions(intervals: DataFrame): DataFrame = {
-    val byStart = Window.partitionBy("doc").orderBy("s0", "e0")
-    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
-    val runTot = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    * Scale shape: the interval union is one per-document aggregation
+    * (see [[mergedIntervals]]) holding one interval per (partner,
+    * diagonal) span — bounded by the doc's duplication degree, which
+    * the doc-freq guard bounds in turn. */
+  /** Interval union per doc: (doc, s0, e0) rows → one row per doc with
+    * the DISJOINT merged regions (`ivs`) and total covered length
+    * (`covered`), as ONE aggregation — `collect_set` dedupes and
+    * `array_sort` orders the (s0, e0) pairs in-row, then a single
+    * higher-order fold sweeps them (an interval opens a new region iff
+    * it starts past the running max end). This replaces the former
+    * distinct → flag-window → running-sum-window → re-aggregate
+    * pipeline: one exchange instead of two and no sort-based window
+    * passes. Per-doc in-row state is the doc's interval list — bounded
+    * by its duplication degree, exactly what the old per-doc window
+    * partition held. */
+  private def mergedIntervals(intervals: DataFrame): DataFrame = {
+    def close(done: Column, cs: Column, ce: Column): Column =
+      when(cs === NoRun, done).otherwise(concat(done,
+        array(struct(cs.as("s0"), ce.as("e0")))))
+    val acc0 = struct(
+      typedLit(Seq.empty[(Long, Long)])
+        .cast("array<struct<s0:bigint,e0:bigint>>").as("done"),
+      lit(NoRun).as("cs"), lit(NoRun).as("ce"))
+    val merged = aggregate(
+      col("__iv"), acc0,
+      (a, x) => when(x.getField("s0") > a.getField("ce"), struct(
+        close(a.getField("done"), a.getField("cs"), a.getField("ce")).as("done"),
+        x.getField("s0").as("cs"), x.getField("e0").as("ce")))
+        .otherwise(struct(
+          a.getField("done").as("done"), a.getField("cs").as("cs"),
+          greatest(a.getField("ce"), x.getField("e0")).as("ce"))),
+      a => close(a.getField("done"), a.getField("cs"), a.getField("ce")))
     intervals
-      .withColumn("new_region",
-        when(col("s0") > coalesce(max(col("e0")).over(prevMax), lit(Long.MinValue)), 1L)
-          .otherwise(0L))
-      .withColumn("region", sum(col("new_region")).over(runTot))
-      .groupBy("doc", "region")
-      .agg(min("s0").as("s0"), max("e0").as("e0"))
+      .groupBy("doc")
+      .agg(array_sort(collect_set(struct(
+        col("s0").cast("long").as("s0"),
+        col("e0").cast("long").as("e0")))).as("__iv"))
+      .select(col("doc"), merged.as("ivs"))
+      .select(col("doc"), col("ivs"),
+        aggregate(col("ivs"), lit(0L),
+          (t, iv) => t + (iv.getField("e0") - iv.getField("s0"))).as("covered"))
   }
 
   def duplicatedTokenFraction(
@@ -888,20 +952,15 @@ object Dedup {
     val islands = spanIslands(
       selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
-    // DISTINCT is load-bearing, not an optimization: duplicate (s0,e0)
-    // rows tie in the sweep's ordering, and the flag window and the
-    // running-sum window may order ties differently — a duplicated
-    // interval could then land in two regions and be counted twice.
-    // After distinct, (s0,e0) is unique per doc and the order is total.
+    // no distinct needed: mergedIntervals' collect_set dedupes in the
+    // same aggregation that unions the intervals
     val intervals = islands
       .select(col("doc_a").as("doc"), col("start_a").as("s0"),
         (col("start_a") + col("span_len")).as("e0"))
       .unionByName(islands.select(col("doc_b").as("doc"), col("start_b").as("s0"),
         (col("start_b") + col("span_len")).as("e0")))
-      .distinct()
-    val dup = mergedRegions(intervals)
-      .groupBy("doc")
-      .agg(sum(col("e0") - col("s0")).as("dup_tokens"))
+    val dup = mergedIntervals(intervals)
+      .select(col("doc"), col("covered").as("dup_tokens"))
     df.select(col(idCol).cast("long").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(dup, col("doc_id") === col("doc"), "left")
@@ -942,12 +1001,8 @@ object Dedup {
     val removals = islands
       .select(col("doc_b").as("doc"), col("start_b").as("s0"),
         (col("start_b") + col("span_len")).as("e0"))
-      .distinct()
-    val ivs = mergedRegions(removals)
-      .groupBy("doc")
-      .agg(
-        collect_list(struct(col("s0"), col("e0"))).as("ivs"),
-        sum(col("e0") - col("s0")).as("removed"))
+    val ivs = mergedIntervals(removals)
+      .select(col("doc"), col("ivs"), col("covered").as("removed"))
     val toks = tokens(col("text"))
     val kept = array_join(
       transform(

@@ -120,6 +120,82 @@ object MediaCodec {
     }
   }
 
+  // ---- JPEG / PNG via javax.imageio (public JDK API) -----------------
+
+  case class ImageIOInfo(width: Int, height: Int, meanChannel: Double)
+
+  /** Decode any ImageIO-supported container — PNG, JPEG, (JDK) BMP,
+    * GIF — and compute (width, height, mean 8-bit channel value over
+    * RGB). PNG is lossless, so its mean is EXACTLY recomputable from
+    * the encoded pixels (what makes the mm_features_img gate
+    * oracle-able); JPEG decodes are real but codec-dependent in the
+    * low bits, so callers keep JPEG means out of cross-engine
+    * comparisons. Returns None on anything unreadable — same
+    * corrupt-member isolation contract as [[decodeBmp]]. */
+  def decodeImageIO(bytes: Array[Byte]): Option[ImageIOInfo] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageIOInfo(w, h, sum.toDouble / (3.0 * w * h))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Render width×height pixels (3 bytes per pixel, row-major, same
+    * layout [[encodeBmp24]] takes) into a BufferedImage. */
+  private def toImage(
+      width: Int, height: Int, pixels: Array[Byte]): java.awt.image.BufferedImage = {
+    require(width > 0 && height > 0, "empty image")
+    require(pixels.length == width * height * 3,
+      s"expected ${width * height * 3} pixel bytes, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        img.setRGB(x, y,
+          ((pixels(i) & 0xff) << 16) | ((pixels(i + 1) & 0xff) << 8) |
+            (pixels(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def writeImage(
+      img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Lossless 24-bit PNG: decode recovers the pixel bytes exactly, so
+    * the decoded mean equals the encoded mean bit-for-bit. */
+  def encodePng24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    writeImage(toImage(width, height, pixels), "png")
+
+  /** Baseline JPEG at the writer's default quality: a REAL lossy
+    * encode — geometry survives exactly, sample values approximately
+    * (MultimodalSpec bounds the drift). */
+  def encodeJpeg24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    writeImage(toImage(width, height, pixels), "jpg")
+
   // ---- WAV ----------------------------------------------------------
   val WavHeaderSize = 44 // RIFF + fmt(16) + data header
 

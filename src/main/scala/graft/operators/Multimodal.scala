@@ -192,6 +192,65 @@ object Multimodal {
     })
   }
 
+  /** Decoded per-image features through `javax.imageio` — the
+    * real-world-format sibling of [[extractDecodedFeatures]] covering
+    * PNG and JPEG (the containers LLM image corpora actually ship).
+    * `mean_byte` is emitted for every decodable row; only the lossless
+    * formats' means are cross-engine reproducible, so the gate query
+    * projects PNG means and leaves JPEG means to the spec's
+    * tolerance assertion. Undecodable rows degrade to metadata-only —
+    * the same per-item isolation as every decode path here. */
+  case class ImageFeatures(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      width: Option[Long],
+      height: Option[Long],
+      mean_byte: Option[Double])
+
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bytes = Option(r.bytes).getOrElse(Array.emptyByteArray)
+      MediaCodec.decodeImageIO(bytes) match {
+        case Some(i) => ImageFeatures(r.media_id, r.format, bytes.length.toLong,
+          Some(i.width.toLong), Some(i.height.toLong), Some(i.meanChannel))
+        case None => ImageFeatures(r.media_id, r.format, bytes.length.toLong,
+          None, None, None)
+      }
+    })
+  }
+
+  /** Synthesize an IMAGE media table from any text column, in the
+    * real-world containers: id%3 = 0 rows carry a PNG and id%3 = 1 a
+    * JPEG (both real encodes of the text bytes as 4-wide 24bpp pixel
+    * rows — [[syntheticMediaFromText]]'s BMP geometry, so the oracles
+    * share one formula), id%3 = 2 a deliberately undecodable payload
+    * (the corrupt-member path). */
+  def syntheticImagesFromText(
+      df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val l = bytes.length
+        val h = math.max(1, l / 12)
+        lazy val pixels = java.util.Arrays.copyOf(bytes, 12 * h)
+        (id % 3) match {
+          case 0 =>
+            MediaRow(id, "image", "png", 4, h, 0L,
+              MediaCodec.encodePng24(4, h, pixels))
+          case 1 =>
+            MediaRow(id, "image", "jpeg", 4, h, 0L,
+              MediaCodec.encodeJpeg24(4, h, pixels))
+          case _ =>
+            MediaRow(id, "image", "bin", 0, 0, 0L, bytes)
+        }
+      }
+  }
+
   /** Synthesize a media table from any text column (this container has
     * no real media FILES, but the payloads are real media BYTES): image
     * rows carry a well-formed 24bpp BMP whose pixels are the text bytes,

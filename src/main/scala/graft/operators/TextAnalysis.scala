@@ -355,4 +355,134 @@ object TextAnalysis {
         nMatched.as("n_matched"))
       .filter(col("n_matched") > 0)
   }
+
+  /** REAL distributed BPE merge training (the standard byte-pair-
+    * encoding vocabulary learner): the corpus pre-tokenizes once into
+    * a (word, freq) table — the ONLY corpus-sized pass; at 100 TB the
+    * distinct pre-token vocabulary is millions of rows, and every
+    * training round below runs on that compressed table, never the
+    * corpus — then `rounds` Lloyd-style iterations each (a) count all
+    * adjacent symbol pairs weighted by word frequency (one map-side-
+    * combinable aggregation), (b) pick the best pair on the driver
+    * (count DESC, then lexicographic (left, right) — fully
+    * deterministic), and (c) apply the merge to every word's symbol
+    * array in-row via a greedy left-to-right fold (non-overlapping:
+    * "aaaa" under rule (a,a) becomes "aa","aa" — the standard BPE
+    * application; a higher-order `aggregate`, no shuffle). The word
+    * table is lazily localCheckpointed per round so lineage stays flat
+    * across iterations.
+    *
+    * Output: one row per learned merge — (merge_rank, lhs, rhs,
+    * pair_count) — the merge table a BPE tokenizer ships. Training
+    * stops early if no pair is left (every word fully merged).
+    * Differential-tested against [[bpeTrainReference]] in
+    * TextAnalysisSpec and oracle-gated as ta_bpe_train (the DuckDB
+    * oracle unrolls the same rounds; greedy overlap resolved by a
+    * keep-every-other-match-in-a-run window, which equals the fold
+    * because overlapping matches only arise when lhs = rhs). */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(regexp_extract_all(
+        col(textCol), lit(BpePattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> " +
+            "named_struct('a', syms[i], 'b', syms[i + 1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((r, a, b, cnt))
+        words = words
+          .withColumn("syms", applyBpeMerge(col("syms"), a, b))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** Greedy left-to-right, non-overlapping application of one merge
+    * rule to a symbol array — the in-row fold step of [[bpeTrain]]:
+    * carry (emitted, pending); a (pending = lhs, next = rhs) hit emits
+    * the merged symbol and clears pending, so the merged symbol can
+    * never participate in another merge of the SAME rule. */
+  private def applyBpeMerge(syms: Column, a: String, b: String): Column = {
+    val acc0 = struct(
+      typedLit(Seq.empty[String]).as("done"),
+      lit(null).cast("string").as("pend"))
+    def fDone(c: Column) = c.getField("done")
+    def fPend(c: Column) = c.getField("pend")
+    aggregate(
+      syms, acc0,
+      (acc, x) =>
+        when(fPend(acc).isNull, struct(fDone(acc).as("done"), x.as("pend")))
+          .when(fPend(acc) === a && x === b, struct(
+            concat(fDone(acc), array(lit(a + b))).as("done"),
+            lit(null).cast("string").as("pend")))
+          .otherwise(struct(
+            concat(fDone(acc), array(fPend(acc))).as("done"), x.as("pend"))),
+      acc => when(fPend(acc).isNull, fDone(acc))
+        .otherwise(concat(fDone(acc), array(fPend(acc)))))
+  }
+
+  /** Driver-side reference BPE trainer over a plain word-count map —
+    * the differential-test twin of [[bpeTrain]] (same seed convention,
+    * same tie-break, same greedy application), used by TextAnalysisSpec
+    * exactly like the k-means/zorder reference implementations. */
+  private[operators] def bpeTrainReference(
+      wordFreq: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = wordFreq.toSeq
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, a, b, cnt))
+        words = words.toSeq.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.result()
+  }
 }

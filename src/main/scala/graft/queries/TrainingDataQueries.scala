@@ -456,6 +456,78 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ta_bpe_train — REAL distributed BPE vocabulary training
+    * (TextAnalysis.bpeTrain): one corpus scan compresses to (word,
+    * freq), then `BpeTrainRounds` iterations of corpus-wide pair-count
+    * → driver argmax (count DESC, lexicographic tie-break) → greedy
+    * in-row merge application. Output is the learned merge table. The
+    * oracle unrolls the same rounds in SQL: pair counts via unnest,
+    * the argmax via ORDER BY/LIMIT 1, and the greedy non-overlapping
+    * application via gaps-and-islands over match positions (keep every
+    * other match inside a consecutive run — equal to the fold because
+    * overlapping matches only arise when lhs = rhs). Differential-
+    * tested against a driver-side reference in TextAnalysisSpec, like
+    * k-means. */
+  private val BpeTrainRounds = 8
+
+  val taBpeTrain: Q = (s, dir) =>
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", BpeTrainRounds)
+      .orderBy("merge_rank")
+
+  val taBpeTrainOracle: String = {
+    val pat = TextAnalysis.BpePattern
+    val roundCtes = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(len(syms) - 1),
+         |      i -> struct_pack(a := syms[i + 1], b := syms[i + 2]))) AS pr
+         |    FROM s${r - 1})
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |m$r AS (
+         |  SELECT word, mi FROM (
+         |    SELECT s.word, unnest(list_filter(range(len(s.syms) - 1),
+         |      i -> s.syms[i + 1] = x.a AND s.syms[i + 2] = x.b)) AS mi
+         |    FROM s${r - 1} s, b$r x)),
+         |k$r AS (
+         |  SELECT word, list(mi) AS kept FROM (
+         |    SELECT word, mi, isl,
+         |      row_number() OVER (PARTITION BY word, isl ORDER BY mi) AS rn2
+         |    FROM (
+         |      SELECT word, mi,
+         |        mi - row_number() OVER (PARTITION BY word ORDER BY mi) AS isl
+         |      FROM m$r))
+         |  WHERE (rn2 - 1) % 2 = 0
+         |  GROUP BY word),
+         |s$r AS MATERIALIZED (
+         |  SELECT s.word, s.freq,
+         |    CASE WHEN k.kept IS NULL THEN s.syms ELSE
+         |      list_filter(list_transform(range(len(s.syms)), i ->
+         |        CASE WHEN list_contains(k.kept, i) THEN x.a || x.b
+         |             WHEN list_contains(k.kept, i - 1) THEN NULL
+         |             ELSE s.syms[i + 1] END), y -> y IS NOT NULL)
+         |    END AS syms
+         |  FROM s${r - 1} s
+         |  LEFT JOIN k$r k USING (word)
+         |  LEFT JOIN b$r x ON true)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeTrainRounds).map(r =>
+      s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_transform(range(length(word)), i -> word[i+1:i+1]) AS syms
+       |  FROM w0),
+       |$roundCtes
+       |SELECT * FROM (
+       |$unions)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** dd_decontaminate — benchmark decontamination: training documents
     * (doc_id % 20 ≠ 0) containing ≥ 50% of some eval document's
     * shingles (doc_id % 20 = 0) — the asymmetric overlap that catches
@@ -1740,6 +1812,40 @@ object TrainingDataQueries {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  /** mm_features_img — the real-world image containers (PNG + JPEG via
+    * `javax.imageio`, public JDK API): id%3 = 0 docs become PNGs and
+    * id%3 = 1 JPEGs (real encodes of the text bytes as 4-wide 24bpp
+    * rows, the mm_features BMP geometry), id%3 = 2 an undecodable
+    * payload. The oracle recomputes what the decode MUST find:
+    * geometry for every decodable row (codec-exact for both formats)
+    * and the mean channel value for PNG only — PNG is lossless, so the
+    * decoded mean equals the encoded text-byte mean bit-for-bit, while
+    * JPEG's low bits are codec-dependent (its decode is bounded by
+    * MultimodalSpec's drift assertion instead). n_bytes is excluded:
+    * container size is encoder-dependent for both formats. */
+  val mmFeaturesImg: Q = (s, dir) =>
+    Multimodal.extractImageFeatures(
+      Multimodal.syntheticImagesFromText(Tables.documents(s, dir), "doc_id", "text"))
+      .toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        when(col("format") === "png", col("mean_byte")).as("mean_png"))
+      .orderBy("media_id")
+
+  val mmFeaturesImgOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS m, length(text) AS l,
+      |    greatest(1, length(text) // 12) AS h,
+      |    list_transform(range(length(text)), i -> ascii(text[i+1:i+1])) AS bs
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bin' END AS format,
+      |  CAST(CASE WHEN m < 2 THEN 4 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m < 2 THEN h END AS BIGINT) AS height,
+      |  CASE WHEN m = 0 THEN CAST(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])) AS DOUBLE) / (12.0 * h) END AS mean_png
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
     * LSH buckets (the scale path for vector dedup — exact all-pairs
     * cosine is quadratic). Oracle-gated like ss_ann_lsh. The cosine cut
@@ -2560,6 +2666,7 @@ object TrainingDataQueries {
     "tp_mixture" -> tpMixture,
     "op_merge_scd2" -> opMergeScd2,
     "mm_features" -> mmFeatures,
+    "mm_features_img" -> mmFeaturesImg,
     "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
     "dd_embedding_incremental" -> ddEmbeddingIncremental,
@@ -2578,6 +2685,7 @@ object TrainingDataQueries {
     "tx_canonicalize" -> txCanonicalize,
     "tp_trim_spans" -> tpTrimSpans,
     "ta_token_bpe" -> taTokenBpe,
+    "ta_bpe_train" -> taBpeTrain,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
@@ -2625,6 +2733,7 @@ object TrainingDataQueries {
     "tp_mixture" -> tpMixtureOracle,
     "op_merge_scd2" -> opMergeScd2Oracle,
     "mm_features" -> mmFeaturesOracle,
+    "mm_features_img" -> mmFeaturesImgOracle,
     "sk_sketches" -> skSketchesOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
@@ -2641,6 +2750,7 @@ object TrainingDataQueries {
     "tx_canonicalize" -> txCanonicalizeOracle,
     "tp_trim_spans" -> tpTrimSpansOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
+    "ta_bpe_train" -> taBpeTrainOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,

@@ -122,4 +122,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("PNG round-trips exactly through javax.imageio: dims and mean channel bit-equal") {
+    val pixels = Array.tabulate[Byte](4 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = MediaCodec.encodePng24(4, 3, pixels)
+    // PNG magic
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P' && png(2) === 'N' && png(3) === 'G')
+    val info = MediaCodec.decodeImageIO(png).get
+    assert(info.width === 4 && info.height === 3)
+    val expected = pixels.map(_ & 0xff).sum.toDouble / pixels.length
+    assert(info.meanChannel === expected,
+      "lossless decode must recover the exact channel mean")
+  }
+
+  test("JPEG decode is real: exact geometry, channel mean within lossy drift") {
+    // smooth gradient — JPEG's DCT reproduces it closely; exactness is
+    // deliberately NOT asserted (codec-dependent low bits)
+    val pixels = Array.tabulate[Byte](4 * 8 * 3)(i => (40 + (i % 160)).toByte)
+    val jpg = MediaCodec.encodeJpeg24(4, 8, pixels)
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8, "JPEG SOI magic")
+    val info = MediaCodec.decodeImageIO(jpg).get
+    assert(info.width === 4 && info.height === 8)
+    val expected = pixels.map(_ & 0xff).sum.toDouble / pixels.length
+    assert(math.abs(info.meanChannel - expected) < 16.0,
+      s"decoded mean ${info.meanChannel} drifted too far from $expected")
+  }
+
+  test("image features: PNG exact, JPEG bounded, corrupt rows metadata-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaaaaaaaaaaaaaaaaaaaaaa"), // png: l=24, h=2
+      (1L, "bbbbbbbbbbbbbbbbbbbbbbbb"), // jpeg
+      (2L, "not an image at all")       // undecodable passthrough
+    ).toDF("doc_id", "text")
+    val feats = Multimodal.extractImageFeatures(
+      Multimodal.syntheticImagesFromText(docs, "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    val png = feats(0)
+    assert(png.format === "png" && png.width === Some(4L) && png.height === Some(2L))
+    assert(png.mean_byte === Some('a'.toInt.toDouble),
+      "PNG of 24 identical bytes must decode to exactly that mean")
+    val jpg = feats(1)
+    assert(jpg.format === "jpeg" && jpg.width === Some(4L) && jpg.height === Some(2L))
+    assert(jpg.mean_byte.exists(m => math.abs(m - 'b'.toInt) < 16.0))
+    val bin = feats(2)
+    assert(bin.format === "bin" && bin.width.isEmpty && bin.mean_byte.isEmpty)
+    assert(bin.n_bytes === 19L, "undecodable rows keep their metadata")
+  }
 }

@@ -248,7 +248,7 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
-  test("dd_spans: inverted-index join, diagonal-bounded window, map-side span argmax") {
+  test("dd_spans: inverted-index join, in-row island fold, map-side span argmax") {
     val p = plan("dd_spans")
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loops are the 1-row df-limit broadcasts the skew
@@ -257,9 +257,13 @@ class PlanQualitySpec extends SparkSpecBase {
     // equi-join on the 60-bit md5 shingle key (never the 40-80 B string)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
     assert(p.contains("SortMergeJoin [h#") || p.contains("ShuffledHashJoin [h#"), p)
-    // the gaps-and-islands window partitions by (pair, diag) — bounded
-    // by document length, never corpus-sized
-    assert(p.contains("windowspecdefinition(doc_a"), p)
+    // island detection is the round-9 one-exchange shape: matches group
+    // straight to the pair (partial collect_set, map-side combinable)
+    // and the sorted (diag, pa) list folds to islands IN-ROW — a
+    // sort-based row_number window here would be the old two-pass plan
+    // sneaking back
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("windowspecdefinition"), p)
     assert(p.contains("diag"), p)
     // per-pair longest-span argmax is a partial (map-side combinable)
     // struct max, not a second window
