@@ -780,56 +780,64 @@ object Dedup {
     * can never collide with real state. */
   private val NoRun = Long.MinValue
 
+  /** (diag, pa) packed into one long: `(diag + 2³¹)·2³¹ + pa` — a
+    * strictly increasing encoding of the lexicographic (diag, pa)
+    * order for any int positions, with the property that CONSECUTIVE
+    * positions on the SAME diagonal are consecutive packed values, so
+    * the island-continuation test is a single `x == prev + 1` long
+    * compare. Max value (diag = 2³¹−1, pa = 2³¹−1) is exactly
+    * Long.MaxValue — no overflow for any int-positioned match. */
+  private val PackBase = 1L << 31
+  private val PackMask = PackBase - 1
+
   /** Maximal shared spans from (doc_a, doc_b, pa, pb) shingle matches:
     * one row per island of consecutive matches on a diagonal, length
     * ≥ `minSpanTokens`.
     *
-    * ONE exchange: matches group straight to the pair, the sorted
-    * (diag, pa) match list folds into islands in-row (higher-order
-    * `aggregate` — a new island opens on a diagonal change or a
-    * position gap), and islands explode back to rows. This replaces
-    * the former sort-based (pair, diagonal) row_number window + second
-    * aggregate — same answer, one fewer pass over the (large) match
-    * set, and downstream pair/doc groupings run over island rows that
-    * are orders of magnitude fewer than matches. Per-pair in-row state
-    * is the pair's match list — bounded by the shorter document's
-    * shingle count, the same total the old window partition held
-    * across its diagonals. */
+    * ONE exchange: matches group straight to the pair, each match
+    * packed into one long (see [[PackBase]]) so the collect, the
+    * in-row `array_sort`, and the island fold all run on primitive
+    * longs; the fold opens a new island exactly when the packed value
+    * is not `prev + 1` (diagonal change or position gap), and islands
+    * explode back to rows. This replaces the former sort-based
+    * (pair, diagonal) row_number window + second aggregate — same
+    * answer, one fewer pass over the (large) match set, and downstream
+    * pair/doc groupings run over island rows that are orders of
+    * magnitude fewer than matches. Per-pair in-row state is the pair's
+    * match list — bounded by the shorter document's shingle count, the
+    * same total the old window partition held across its diagonals. */
   private def spanIslands(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
-    // close the open run (if any) onto the done list
-    def close(done: Column, cd: Column, cs: Column, cp: Column): Column =
+    // close the open run (if any) onto the done list of packed (s, e)
+    def close(done: Column, cs: Column, cp: Column): Column =
       when(cs === NoRun, done).otherwise(concat(done,
-        array(struct(cd.as("diag"), cs.as("s"), cp.as("e")))))
+        array(struct(cs.as("s"), cp.as("e")))))
     val acc0 = struct(
-      typedLit(Seq.empty[(Long, Long, Long)])
-        .cast("array<struct<diag:bigint,s:bigint,e:bigint>>").as("done"),
-      lit(NoRun).as("cd"), lit(NoRun).as("cs"), lit(NoRun).as("cp"))
+      typedLit(Seq.empty[(Long, Long)])
+        .cast("array<struct<s:bigint,e:bigint>>").as("done"),
+      lit(NoRun).as("cs"), lit(NoRun).as("cp"))
     val islands = aggregate(
       col("ms"), acc0,
-      (a, x) => {
-        val cont = x.getField("diag") === a.getField("cd") &&
-          x.getField("pa") === a.getField("cp") + 1L
-        when(cont, struct(
-          a.getField("done").as("done"), a.getField("cd").as("cd"),
-          a.getField("cs").as("cs"), x.getField("pa").as("cp")))
+      (a, x) =>
+        when(x === a.getField("cp") + 1L, struct(
+          a.getField("done").as("done"),
+          a.getField("cs").as("cs"), x.as("cp")))
           .otherwise(struct(
-            close(a.getField("done"), a.getField("cd"),
-              a.getField("cs"), a.getField("cp")).as("done"),
-            x.getField("diag").as("cd"),
-            x.getField("pa").as("cs"), x.getField("pa").as("cp")))
-      },
-      a => close(a.getField("done"), a.getField("cd"),
-        a.getField("cs"), a.getField("cp")))
+            close(a.getField("done"), a.getField("cs"), a.getField("cp"))
+              .as("done"),
+            x.as("cs"), x.as("cp"))),
+      a => close(a.getField("done"), a.getField("cs"), a.getField("cp")))
+    val packed = ((col("pa") - col("pb")).cast("long") + PackBase) * PackBase +
+      col("pa").cast("long")
+    val startA = col("isl.s").bitwiseAND(PackMask)
+    val diag = shiftright(col("isl.s"), 31) - PackBase
     matches
       .groupBy("doc_a", "doc_b")
-      .agg(array_sort(collect_set(struct(
-        (col("pa") - col("pb")).cast("long").as("diag"),
-        col("pa").cast("long").as("pa")))).as("ms"))
+      .agg(array_sort(collect_list(packed)).as("ms"))
       .select(col("doc_a"), col("doc_b"), explode(islands).as("isl"))
       .select(
         col("doc_a"), col("doc_b"),
-        col("isl.s").cast("int").as("start_a"),
-        (col("isl.s") - col("isl.diag")).cast("int").as("start_b"),
+        startA.cast("int").as("start_a"),
+        (startA - diag).cast("int").as("start_b"),
         (col("isl.e") - col("isl.s") + lit(k.toLong)).as("span_len"))
       .filter(col("span_len") >= minSpanTokens)
   }
@@ -907,15 +915,19 @@ object Dedup {
     * the doc-freq guard bounds in turn. */
   /** Interval union per doc: (doc, s0, e0) rows → one row per doc with
     * the DISJOINT merged regions (`ivs`) and total covered length
-    * (`covered`), as ONE aggregation — `collect_set` dedupes and
-    * `array_sort` orders the (s0, e0) pairs in-row, then a single
-    * higher-order fold sweeps them (an interval opens a new region iff
-    * it starts past the running max end). This replaces the former
-    * distinct → flag-window → running-sum-window → re-aggregate
-    * pipeline: one exchange instead of two and no sort-based window
-    * passes. Per-doc in-row state is the doc's interval list — bounded
-    * by its duplication degree, exactly what the old per-doc window
-    * partition held. */
+    * (`covered`), as ONE aggregation — `array_sort` orders the
+    * (s0, e0) pairs in-row, then a single higher-order fold sweeps
+    * them (an interval opens a new region iff it starts past the
+    * running max end). Duplicate intervals are HARMLESS to the fold —
+    * a duplicate sorts adjacent to its twin and s0 < the open region's
+    * end (spans are non-empty), so it re-extends the region by nothing
+    * — which is why a plain collect_list suffices where the old
+    * window-sweep needed a load-bearing distinct (tie-ordering there
+    * could double-count). Replaces the former distinct → flag-window →
+    * running-sum-window → re-aggregate pipeline: one exchange instead
+    * of two and no sort-based window passes. Per-doc in-row state is
+    * the doc's interval list — bounded by its duplication degree,
+    * exactly what the old per-doc window partition held. */
   private def mergedIntervals(intervals: DataFrame): DataFrame = {
     def close(done: Column, cs: Column, ce: Column): Column =
       when(cs === NoRun, done).otherwise(concat(done,
@@ -935,7 +947,7 @@ object Dedup {
       a => close(a.getField("done"), a.getField("cs"), a.getField("ce")))
     intervals
       .groupBy("doc")
-      .agg(array_sort(collect_set(struct(
+      .agg(array_sort(collect_list(struct(
         col("s0").cast("long").as("s0"),
         col("e0").cast("long").as("e0")))).as("__iv"))
       .select(col("doc"), merged.as("ivs"))
@@ -952,8 +964,8 @@ object Dedup {
     val islands = spanIslands(
       selfSpanMatches(df, idCol, textCol, k, maxDocFreqFraction, fast),
       k, minSpanTokens)
-    // no distinct needed: mergedIntervals' collect_set dedupes in the
-    // same aggregation that unions the intervals
+    // no distinct needed: mergedIntervals' sweep fold is duplicate-proof
+    // (see its scaladoc), so both endpoint projections feed it raw
     val intervals = islands
       .select(col("doc_a").as("doc"), col("start_a").as("s0"),
         (col("start_a") + col("span_len")).as("e0"))
