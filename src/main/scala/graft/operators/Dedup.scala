@@ -712,6 +712,26 @@ object Dedup {
       fast: Boolean = false): DataFrame =
     positionalPosting(corpus, idCol, textCol, k, maxDocFreqFraction, fast)
 
+  /** Persist the span posting index as a BUCKETED-and-sorted table on
+    * the 60-bit shingle key — the shuffle-elimination layout for the
+    * O(Δ) ingest loop: every subsequent
+    * [[sharedSpansIncrementalFromIndex]] run against
+    * `spark.table(table)` shuffles ONLY the delta's postings; the
+    * corpus side — the overwhelming bulk at 100 TB — is read bucket-
+    * in-place with no exchange (SpanIndexBucketingSpec asserts exactly
+    * one h-partitioned exchange in the executed join). The bucket
+    * shuffle is paid once here, at index-persist time, like the
+    * occupancy caps. */
+  def writeSpanPostingIndexBucketed(
+      corpus: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int, path: Option[String] = None,
+      k: Int = DefaultSpanK,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): Unit =
+    graft.store.Bucketing.writeBucketed(
+      spanPostingIndex(corpus, idCol, textCol, k, maxDocFreqFraction, fast),
+      table, "h", nBuckets, path)
+
   /** [[sharedSpansIncremental]] against an already-built (possibly
     * persisted-and-reloaded) [[spanPostingIndex]]. */
   def sharedSpansIncrementalFromIndex(

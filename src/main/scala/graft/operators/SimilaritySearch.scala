@@ -523,4 +523,86 @@ object SimilaritySearch {
     ivfMembers(corpus, idCol, vecCol, dim, nCentroids, nProbe,
       literalMaxTerms, refineIters)
       .select(col("id"), col("pidx"), col("bucket"), col("is_member"))
+
+  /** Schema the persisted LSH index is read back with — the bucket is
+    * the partition column, pinned so the probe filter's string
+    * literals hit the file-pruning layer without a cast. */
+  private val LshIndexReadSchema =
+    "vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, bucket STRING"
+
+  /** Build the PERSISTED hyperplane bucket index at `path`: one
+    * zero-shuffle projection assigns every vector its `nBits`-bit sign
+    * bucket (single-table, default planes — the same expression the
+    * in-memory paths use), the norm precomputes at build time, and the
+    * rows are written `partitionBy(bucket)` — the storage layout under
+    * which a query's probe is FILE PRUNING: [[lshTopKFromIndex]] lists
+    * only the probed buckets' directories (1 + nBits of 2^nBits at the
+    * default 1-bit multiprobe) and never opens the rest. The
+    * hyperplanes are pure functions of (nBits, dim, seed), so unlike
+    * IVF-PQ there is NO trained model to persist — any session can
+    * search the index from its path + the two knobs. */
+  def buildLshBucketIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, nBits: Int): Unit = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val planes = hyperplanes(nBits, dim)
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        hyperplaneBits(col("v"), planes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** The query's probe set: its own bucket plus (at `probeBits` = 1,
+    * the default) every 1-bit-flip neighbor — the standard multiprobe
+    * that recovers most of the recall a sign-LSH loses at the bucket
+    * boundary, while still reading only (nBits+1)/2^nBits of the
+    * index. Driver-side: nBits dot products against the plan-literal
+    * planes. */
+  private[operators] def probeBuckets(
+      qv: Array[Double], dim: Int, nBits: Int, probeBits: Int): Seq[String] = {
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val planes = hyperplanes(nBits, dim)
+    val qb = planes.map { p =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += qv(i) * p(i); i += 1 }
+      if (s > 0) '1' else '0'
+    }.mkString
+    val flips =
+      if (probeBits == 0) Seq.empty
+      else (0 until nBits).map { i =>
+        qb.updated(i, if (qb(i) == '1') '0' else '1')
+      }
+    (qb +: flips).distinct
+  }
+
+  /** Single-query top-k over the PERSISTED bucket index: the probe
+    * restriction is a PartitionFilter (asserted in-plan and proved by
+    * physical deletion of unprobed buckets' files in LshIndexSpec), so
+    * at 10⁹ vectors with corpus-scaled nBits the scan reads
+    * ~(nBits+1)·targetBucketSize rows of files, independent of corpus
+    * size. Exact cosine within the probed buckets, ranked
+    * (cos DESC, vec_id ASC) — `query` is a 1-row DataFrame with column
+    * `qvec`, the bruteForceTopK convention. The stored `nrm` is the
+    * build-time `sqrt(v·v)` — bit-identical to recomputation, so the
+    * cosine matches the non-indexed paths' formula exactly. */
+  def lshTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: DataFrame, dim: Int, nBits: Int,
+      k: Int = 10, probeBits: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.GraftExtensions.register(spark)
+    val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
+    require(qRows.nonEmpty,
+      "lshTopKFromIndex needs a 1-row query DataFrame with column qvec")
+    val qv = qRows.head.getSeq[Double](0).toArray
+    val probed = probeBuckets(qv, dim, nBits, probeBits)
+    spark.read.schema(LshIndexReadSchema).parquet(indexPath)
+      .filter(col("bucket").isin(probed: _*))
+      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
+      .select(col("vec_id"),
+        (dot(col("v"), col("q")) / (col("nrm") * norm(col("q")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

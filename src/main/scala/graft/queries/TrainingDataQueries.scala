@@ -244,6 +244,29 @@ object TrainingDataQueries {
       .orderBy("delta_id", "corpus_id")
   }
 
+  /** dd_spans_idx_bucketed — the incremental span search against the
+    * BUCKETED persisted posting index
+    * (Dedup.writeSpanPostingIndexBucketed): the corpus postings are
+    * written bucketed-and-sorted on the 60-bit shingle key, so the
+    * ingest join shuffles only the delta (SpanIndexBucketingSpec
+    * asserts the single-exchange plan). The layout must not change
+    * results, so the gate shares dd_spans_incremental's oracle
+    * verbatim. */
+  val ddSpansIdxBucketed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val table = "graft_span_idx_gate"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.writeSpanPostingIndexBucketed(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      table, nBuckets = 8,
+      path = Some(java.nio.file.Files
+        .createTempDirectory("graft-span-idx-gate").toString))
+    Dedup.sharedSpansIncrementalFromIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), s.table(table),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
+  }
+
   val ddSpansIncrementalOracle: String = {
     val k = Dedup.DefaultSpanK
     val minSpan = Dedup.DefaultMinSpanTokens
@@ -1812,6 +1835,55 @@ object TrainingDataQueries {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  /** ss_ann_lsh_pruned — the PERSISTED, partition-pruned hyperplane
+    * bucket index (SimilaritySearch.buildLshBucketIndex +
+    * lshTopKFromIndex): vectors are written `partitionBy(bucket)` and
+    * a query reads ONLY its own bucket plus the 1-bit-flip multiprobe
+    * neighbors — (nBits+1)/2^nBits of the partition directories, a
+    * PartitionFilter proved in LshIndexSpec by plan assertion +
+    * physical deletion of every unprobed bucket's files. The oracle
+    * recomputes the same probe set (own bucket + per-position flips)
+    * and the exact cosine over probed-bucket members. */
+  val ssAnnLshPruned: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-lsh-idx").toString
+    graft.operators.SimilaritySearch.buildLshBucketIndex(
+      corpus, "vec_id", "embedding", idx, dim = 64, nBits = EmbNBits)
+    graft.operators.SimilaritySearch.lshTopKFromIndex(
+      s, idx, emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+      dim = 64, nBits = EmbNBits, k = 10, probeBits = 1)
+  }
+
+  // lazy: EmbNBits is defined further down the object; an eager val
+  // here would read its uninitialized 0 during object init
+  lazy val ssAnnLshPrunedOracle: String = {
+    import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
+    val planes = hyperplanes(EmbNBits, 64)
+    val bBits = hyperplaneBitsSql("v", planes)
+    val flips = (1 to EmbNBits).map { j =>
+      val pre = if (j == 1) "''" else s"substr(qb, 1, ${j - 1})"
+      s"SELECT $pre || (CASE WHEN qb[$j:$j] = '1' THEN '0' ELSE '1' END) || substr(qb, ${j + 1}) FROM qbt"
+    }.mkString("\nUNION\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+       |b AS (SELECT vec_id, v, $bBits AS bucket FROM e),
+       |qbt AS (SELECT $bBits AS qb FROM q),
+       |probed AS (
+       |  SELECT qb AS bk FROM qbt
+       |  UNION
+       |$flips)
+       |SELECT b.vec_id,
+       |  list_dot_product(b.v, q.v) /
+       |  (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+       |FROM b JOIN probed ON b.bucket = probed.bk, q
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   /** mm_features_img — the real-world image containers (PNG + JPEG via
     * `javax.imageio`, public JDK API): id%3 = 0 docs become PNGs and
     * id%3 = 1 JPEGs (real encodes of the text bytes as 4-wide 24bpp
@@ -2675,11 +2747,13 @@ object TrainingDataQueries {
     "dd_keep_best" -> ddKeepBest,
     "dd_spans" -> ddSpans,
     "dd_spans_incremental" -> ddSpansIncremental,
+    "dd_spans_idx_bucketed" -> ddSpansIdxBucketed,
     "dd_span_decontaminate" -> ddSpanDecontaminate,
     "ss_ann_pq" -> ssAnnPq,
     "ss_ann_pq_codes" -> ssAnnPqCodes,
     "ss_ann_ivf_pq" -> ssAnnIvfPq,
     "ss_ann_ivf_pq_pruned" -> ssAnnIvfPqPruned,
+    "ss_ann_lsh_pruned" -> ssAnnLshPruned,
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
     "tx_canonicalize" -> txCanonicalize,
@@ -2740,11 +2814,13 @@ object TrainingDataQueries {
     "dd_keep_best" -> ddKeepBestOracle,
     "dd_spans" -> ddSpansOracle,
     "dd_spans_incremental" -> ddSpansIncrementalOracle,
+    "dd_spans_idx_bucketed" -> ddSpansIncrementalOracle,
     "dd_span_decontaminate" -> ddSpanDecontaminateOracle,
     "ss_ann_pq" -> ssAnnPqOracle,
     "ss_ann_pq_codes" -> ssAnnPqOracle,
     "ss_ann_ivf_pq" -> ssAnnIvfPqOracle,
     "ss_ann_ivf_pq_pruned" -> ssAnnIvfPqOracle,
+    "ss_ann_lsh_pruned" -> ssAnnLshPrunedOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
     "tx_canonicalize" -> txCanonicalizeOracle,
