@@ -396,6 +396,35 @@ object ProductQuantization {
     model
   }
 
+  /** APPEND a new batch to an existing persisted index — the O(Δ)
+    * ingest flow of a production vector store: the delta encodes under
+    * the index's FROZEN model (coarse centroids + codebooks load from
+    * the path; retraining would silently re-route existing vectors to
+    * different cells and orphan their files) and its code rows append
+    * into the same `partitionBy(cell)` layout, so searches see the new
+    * vectors immediately with zero touch of existing files. Standard
+    * IVF-PQ operational trade, stated plainly: quantization error on
+    * the appended data reflects the original training distribution —
+    * after major drift, rebuild (the spec proves append ≡ encoding the
+    * union under the same model, which is exactly that contract). */
+  def appendToIvfPqIndex(
+      delta: DataFrame, idCol: String, vecCol: String, path: String): IvfPqModel = {
+    graft.GraftExtensions.register(delta.sparkSession)
+    val model = IvfPqModel.load(path)
+    val m = model.codebooks.size
+    val sub = model.dim / m
+    delta
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .select(
+        col("vec_id"),
+        array((0 until m).map(mi =>
+          argminCell(model.codebooks(mi), subVec(col("v"), mi, sub))
+            .getField("idx")): _*).as("codes"),
+        argminCell(model.centroids, col("v")).getField("cid").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    model
+  }
+
   /** Search the PERSISTED index: the query picks its `nProbe` cells on
     * the driver (same ranking as cell assignment), and the scan is
     * `read.parquet(path).filter(cell.isin(probed))` — the probe

@@ -97,6 +97,36 @@ class IvfPqIndexSpec extends SparkSpecBase {
       "search over the probed-cells-only remnant must be byte-identical")
   }
 
+  test("append encodes the delta under the frozen model and search sees the union") {
+    // build on the even-id half, append the odd-id half; the result
+    // must equal building codes for the UNION under the SAME model —
+    // the frozen-model contract (no silent re-route of existing cells)
+    val half = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = corpus.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+    val path = Files.createTempDirectory("graft-ivfpq-append").toString
+    val model = ProductQuantization.buildIvfPqIndex(
+      half, "vec_id", "embedding", path,
+      dim = dim, nCells = 16, coarseIters = 2, m = 8, k = 16, iters = 1)
+    val loaded = ProductQuantization.appendToIvfPqIndex(
+      rest, "vec_id", "embedding", path)
+    assert(loaded.centroids.map(_._1) === model.centroids.map(_._1))
+
+    val afterAppend = ProductQuantization.ivfPqTopKFromIndex(
+      path, corpus, "vec_id", "embedding", query,
+      nProbe = 16, rerank = 100, topK = 10, model = Some(model))
+      .collect().toSeq
+    // reference: encode the whole corpus under the SAME half-trained
+    // model via the stored-codes search (nProbe = nCells → no pruning
+    // on either side, so only the encode provenance differs)
+    val enc = ProductQuantization.encode(
+      corpus, "vec_id", "embedding", model.codebooks, dim)
+    val reference = ProductQuantization.pqTopKFromCodes(
+      enc, corpus, "vec_id", "embedding", query, model.codebooks,
+      rerank = 100, topK = 10)
+      .collect().toSeq
+    assert(afterAppend === reference)
+  }
+
   test("the persisted model round-trips exactly and the search needs only the index path") {
     val (path, built) = buildIndex()
     val loaded = IvfPqModel.load(path)
