@@ -381,9 +381,21 @@ object TextAnalysis {
     * keep-every-other-match-in-a-run window, which equals the fold
     * because overlapping matches only arise when lhs = rhs). */
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainLoop(df, textCol, rounds)._1
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** The training loop shared by [[bpeTrain]] and [[bpeEncodeCounts]]:
+    * returns (learned merges, the word table AFTER all merges — (word,
+    * freq, syms), the trained vocabulary's segmentation of every
+    * corpus word). */
+  private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, "rounds must be >= 1")
     var words = df
       .select(explode(regexp_extract_all(
         col(textCol), lit(BpePattern), lit(0))).as("word"))
@@ -416,10 +428,32 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.result()
-      .toDF("merge_rank", "lhs", "rhs", "pair_count")
-      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
-        col("pair_count"))
+    (merges.result(), words)
+  }
+
+  /** Per-document MODEL-token counts under the TRAINED vocabulary —
+    * the accounting a data-mixture planner actually budgets with
+    * (ta_token_bpe's regex pre-token count is the UPPER bound before
+    * merges; this is the real count after `rounds` learned merges):
+    * train once on the corpus, then one join of each doc's word counts
+    * against the final word table's segment lengths. Words outside the
+    * trained table (possible when encoding NEW text) fall back to
+    * character count — the byte-fallback analogue. Output:
+    * (doc_id, n_bpe_tokens); documents with no pre-tokens have no
+    * tokens and no row. */
+  def bpeEncodeCounts(
+      df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+    val (_, words) = bpeTrainLoop(df, textCol, rounds)
+    val vocab = words.select(col("word"),
+      size(col("syms")).cast("long").as("n_syms"))
+    df.select(col(idCol), explode(regexp_extract_all(
+        col(textCol), lit(BpePattern), lit(0))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") *
+        coalesce(col("n_syms"), length(col("word")).cast("long")))
+        .as("n_bpe_tokens"))
   }
 
   /** Greedy left-to-right, non-overlapping application of one merge

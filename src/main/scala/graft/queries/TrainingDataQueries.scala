@@ -497,6 +497,38 @@ object TrainingDataQueries {
     TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", BpeTrainRounds)
       .orderBy("merge_rank")
 
+  /** ta_bpe_encode — per-document MODEL-token counts under the TRAINED
+    * vocabulary (TextAnalysis.bpeEncodeCounts): the real budget number
+    * a mixture planner uses, where ta_token_bpe's regex count is only
+    * the pre-merge upper bound. The oracle rides the ta_bpe_train CTE
+    * chain to its final word table (s8) and joins each document's word
+    * counts against the learned segment lengths, character-fallback
+    * for out-of-table words. */
+  val taBpeEncode: Q = (s, dir) =>
+    TextAnalysis.bpeEncodeCounts(
+      Tables.documents(s, dir), "doc_id", "text", BpeTrainRounds)
+      .orderBy("doc_id")
+
+  lazy val taBpeEncodeOracle: String = {
+    val pat = TextAnalysis.BpePattern
+    val body = taBpeTrainOracle
+    // reuse the training oracle's CTE chain; swap its final SELECT for
+    // the per-doc encode join against the last round's word table
+    val cteEnd = body.lastIndexOf("SELECT * FROM (")
+    body.take(cteEnd).stripSuffix("\n") + ",\n" +
+      s"""d0 AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS word
+         |        FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT d0.doc_id,
+         |  CAST(sum(d0.cnt * COALESCE(len(s$BpeTrainRounds.syms), length(d0.word))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM d0 LEFT JOIN s$BpeTrainRounds USING (word)
+         |GROUP BY 1
+         |ORDER BY doc_id""".stripMargin
+  }
+
   val taBpeTrainOracle: String = {
     val pat = TextAnalysis.BpePattern
     val roundCtes = (1 to BpeTrainRounds).map { r =>
@@ -2760,6 +2792,7 @@ object TrainingDataQueries {
     "tp_trim_spans" -> tpTrimSpans,
     "ta_token_bpe" -> taTokenBpe,
     "ta_bpe_train" -> taBpeTrain,
+    "ta_bpe_encode" -> taBpeEncode,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
@@ -2827,6 +2860,7 @@ object TrainingDataQueries {
     "tp_trim_spans" -> tpTrimSpansOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
     "ta_bpe_train" -> taBpeTrainOracle,
+    "ta_bpe_encode" -> taBpeEncodeOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,

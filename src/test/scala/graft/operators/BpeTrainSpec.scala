@@ -44,6 +44,26 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(m(1) === ((2, "aa", "aa", 1L)))
   }
 
+  test("encode counts sit between the pre-token floor and the character ceiling, and merges only shrink them") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val enc8 = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    val enc2 = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val bounds = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0)))
+        .cast("long").as("floor"))
+      .as[(Long, Long)].collect().toMap
+    assert(enc8.keySet === bounds.keySet)
+    enc8.foreach { case (id, n) =>
+      assert(n >= bounds(id), s"doc $id: $n below the one-symbol-per-word floor")
+      assert(n <= enc2(id), s"doc $id: more merges must never increase the count")
+    }
+    assert(enc8.values.sum < enc2.values.sum,
+      "8 rounds must compress the corpus strictly more than 2 on this fixture")
+  }
+
   test("training stops early when every word is fully merged") {
     import spark.implicits._
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
