@@ -356,6 +356,61 @@ object TextAnalysis {
       .filter(col("n_matched") > 0)
   }
 
+  /** N-gram language-model PERPLEXITY scoring — the standard
+    * model-based quality filter of LLM data pipelines (documents a
+    * corpus-trained LM finds surprising are boilerplate, garbled, or
+    * off-distribution; filter above a perplexity threshold): an
+    * add-α-smoothed bigram LM trains on the corpus itself in two
+    * map-side-combinable count aggregations, and every document scores
+    * p(w₂|w₁) = (c(w₁w₂)+α)/(c(w₁)+α·V) over its bigrams. c(w₁) is
+    * the token's total occurrence count (the context-count
+    * approximation, stated plainly — exact context counts differ only
+    * by each doc's final token).
+    *
+    * Determinism across engines, the part that makes this
+    * oracle-gateable: per-bigram log-probs are fixed-pointed to
+    * `roundDp` decimals AS LONGS and summed — integer addition is
+    * order-independent, where a double sum over shuffled rows is not —
+    * then the average exponentiates once per doc. Output one row per
+    * document with ≥2 tokens: (doc_id, n_bigrams, perplexity); shorter
+    * docs have no bigram evidence and no row.
+    *
+    * Scale shape: the corpus-sized joins are equi-joins of the doc
+    * bigrams against the bigram/unigram count tables (the bigram side
+    * reuses the bigram exchange, tfidf-style); V is a 1-row broadcast;
+    * nothing is quadratic and no state exceeds the count tables. */
+  def bigramPerplexity(
+      df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, roundDp: Int = 6): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros have log -inf)")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = uni.select(count(lit(1)).as("v"))
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> " +
+          "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val scaled = math.pow(10, roundDp)
+    val lp = floor(log(
+      (col("cb").cast("double") + lit(alpha)) /
+        (col("cu").cast("double") + lit(alpha) * col("v").cast("double"))) *
+      lit(scaled) + lit(0.5)).cast("long")
+    bi
+      .join(cb, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol), lp.as("lp_fixed"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_fixed").as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        roundFixed(exp(-(col("lp_sum").cast("double") / lit(scaled)) /
+          col("n_bigrams").cast("double")), roundDp).as("perplexity"))
+  }
+
   /** REAL distributed BPE merge training (the standard byte-pair-
     * encoding vocabulary learner): the corpus pre-tokenizes once into
     * a (word, freq) table — the ONLY corpus-sized pass; at 100 TB the

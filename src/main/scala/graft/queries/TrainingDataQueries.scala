@@ -479,6 +479,43 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ta_perplexity — bigram-LM perplexity scoring
+    * (TextAnalysis.bigramPerplexity), the model-based quality filter:
+    * an add-1-smoothed bigram LM trained on the corpus scores every
+    * document's surprise. The oracle recomputes the same counts,
+    * smoothing, and the ORDER-INDEPENDENT fixed-point log-prob sum
+    * (longs, not doubles — a double sum over shuffled rows would hash
+    * differently run to run). */
+  val taPerplexity: Q = (s, dir) =>
+    TextAnalysis.bigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val taPerplexityOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM (
+      |    SELECT unnest(t) AS w1 FROM tok)
+      |  GROUP BY w1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |      i -> struct_pack(w1 := t[i + 1], w2 := t[i + 2]))) AS b
+      |    FROM tok WHERE len(t) >= 2)),
+      |cb AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+      |lp AS (
+      |  SELECT bi.doc_id,
+      |    CAST(floor(ln((cb + 1.0) / (cu + 1.0 * v.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM bi JOIN cb USING (w1, w2) JOIN uni USING (w1), v)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  floor(exp(-(CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+      |FROM lp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** ta_bpe_train — REAL distributed BPE vocabulary training
     * (TextAnalysis.bpeTrain): one corpus scan compresses to (word,
     * freq), then `BpeTrainRounds` iterations of corpus-wide pair-count
@@ -2793,6 +2830,7 @@ object TrainingDataQueries {
     "ta_token_bpe" -> taTokenBpe,
     "ta_bpe_train" -> taBpeTrain,
     "ta_bpe_encode" -> taBpeEncode,
+    "ta_perplexity" -> taPerplexity,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
@@ -2861,6 +2899,7 @@ object TrainingDataQueries {
     "ta_token_bpe" -> taTokenBpeOracle,
     "ta_bpe_train" -> taBpeTrainOracle,
     "ta_bpe_encode" -> taBpeEncodeOracle,
+    "ta_perplexity" -> taPerplexityOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,

@@ -112,4 +112,31 @@ class TextRelevanceSpec extends SparkSpecBase {
       assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq)
     }
   }
+
+  test("bigram perplexity: golden values on a hand-checkable corpus, garbled text scores worse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'a b' repeated is maximally predictable; the shuffled-vocabulary
+    // doc uses the same tokens in unseen orders — the LM must find it
+    // more surprising (higher perplexity)
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "b b a a b a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    assert(out.forall(_._2 === 7L), "8 tokens -> 7 bigrams")
+    assert(out(0)._3 === out(1)._3, "identical docs score identically")
+    assert(out(2)._3 > out(0)._3,
+      s"garbled doc must be more surprising: ${out(2)._3} vs ${out(0)._3}")
+    // perplexity of a smoothed model over a tiny vocab is bounded by
+    // the vocab-size ceiling (uniform model): V + 1 here with add-1
+    assert(out.forall(r => r._3 >= 1.0 && r._3 <= 3.0))
+    // a doc below the bigram floor is absent, not a zero row
+    val tiny = TextAnalysis.bigramPerplexity(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(tiny === 0L)
+  }
 }
