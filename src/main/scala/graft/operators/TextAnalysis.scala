@@ -382,26 +382,58 @@ object TextAnalysis {
   def bigramPerplexity(
       df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, roundDp: Int = 6): DataFrame = {
-    require(alpha > 0, "alpha must be positive (unsmoothed zeros have log -inf)")
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val (uni, bi) = bigramLmModel(df, textCol)
+    bigramPerplexityFromModel(df, idCol, textCol, uni, bi, alpha, roundDp)
+  }
+
+  /** The trained LM state as two PERSISTABLE count tables — unigram
+    * (w1, cu) and bigram (w1, w2, cb), plain columns storable and
+    * re-readable as parquet like every other incremental index here —
+    * so a production loop trains once per corpus version and every
+    * ingest batch scores against the frozen tables. */
+  def bigramLmModel(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
     val uni = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-    val v = uni.select(count(lit(1)).as("v"))
     val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> " +
+          "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    (uni, bi)
+  }
+
+  /** Score documents against a (possibly persisted-and-reloaded,
+    * possibly OTHER-corpus) LM — the O(Δ)-per-ingest twin: out-of-model
+    * tokens and bigrams take the smoothed-zero path (cb = 0 / cu = 0 →
+    * p = α/(α·V) at worst, the uniform floor), so new text scores
+    * without retraining. Within-corpus self-scoring
+    * ([[bigramPerplexity]]) matches every key, making the two paths one
+    * definition. */
+  def bigramPerplexityFromModel(
+      df: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame,
+      alpha: Double = 1.0, roundDp: Int = 6): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros have log -inf)")
+    val v = uni.select(count(lit(1)).as("v"))
+    val docBi = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> " +
           "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val scaled = math.pow(10, roundDp)
     val lp = floor(log(
-      (col("cb").cast("double") + lit(alpha)) /
-        (col("cu").cast("double") + lit(alpha) * col("v").cast("double"))) *
+      (coalesce(col("cb"), lit(0L)).cast("double") + lit(alpha)) /
+        (coalesce(col("cu"), lit(0L)).cast("double") +
+          lit(alpha) * col("v").cast("double"))) *
       lit(scaled) + lit(0.5)).cast("long")
-    bi
-      .join(cb, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    docBi
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col(idCol), lp.as("lp_fixed"))
       .groupBy(col(idCol))

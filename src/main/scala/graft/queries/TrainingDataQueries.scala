@@ -516,6 +516,54 @@ object TrainingDataQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** ta_perplexity_incremental — NEW docs scored under the FROZEN
+    * corpus LM (TextAnalysis.bigramPerplexityFromModel): the
+    * dd_minhash_incremental split convention — id%5 = 0 is the
+    * incoming delta, the standing corpus trains the model — with
+    * out-of-model tokens/bigrams taking the smoothed-zero path. The
+    * oracle mirrors the split and the LEFT-join/COALESCE zeros. */
+  val taPerplexityIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (uni, bi) = TextAnalysis.bigramLmModel(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text")
+    TextAnalysis.bigramPerplexityFromModel(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+      uni, bi)
+      .orderBy("doc_id")
+  }
+
+  val taPerplexityIncrementalOracle: String =
+    """WITH ctok AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 5 <> 0),
+      |uni AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM (
+      |    SELECT unnest(t) AS w1 FROM ctok)
+      |  GROUP BY w1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |cb AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS cb FROM (
+      |    SELECT unnest(list_transform(range(len(t) - 1),
+      |      i -> struct_pack(w1 := t[i + 1], w2 := t[i + 2]))) AS b
+      |    FROM ctok WHERE len(t) >= 2)
+      |  GROUP BY 1, 2),
+      |dbi AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |      i -> struct_pack(w1 := t[i + 1], w2 := t[i + 2]))) AS b
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |          WHERE doc_id % 5 = 0)
+      |    WHERE len(t) >= 2)),
+      |lp AS (
+      |  SELECT dbi.doc_id,
+      |    CAST(floor(ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + 1.0 * v.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM dbi LEFT JOIN cb USING (w1, w2) LEFT JOIN uni USING (w1), v)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  floor(exp(-(CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+      |FROM lp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** ta_bpe_train — REAL distributed BPE vocabulary training
     * (TextAnalysis.bpeTrain): one corpus scan compresses to (word,
     * freq), then `BpeTrainRounds` iterations of corpus-wide pair-count
@@ -2831,6 +2879,7 @@ object TrainingDataQueries {
     "ta_bpe_train" -> taBpeTrain,
     "ta_bpe_encode" -> taBpeEncode,
     "ta_perplexity" -> taPerplexity,
+    "ta_perplexity_incremental" -> taPerplexityIncremental,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
@@ -2900,6 +2949,7 @@ object TrainingDataQueries {
     "ta_bpe_train" -> taBpeTrainOracle,
     "ta_bpe_encode" -> taBpeEncodeOracle,
     "ta_perplexity" -> taPerplexityOracle,
+    "ta_perplexity_incremental" -> taPerplexityIncrementalOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,

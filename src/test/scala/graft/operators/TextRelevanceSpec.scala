@@ -139,4 +139,32 @@ class TextRelevanceSpec extends SparkSpecBase {
       Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count()
     assert(tiny === 0L)
   }
+
+  test("LM model tables persist to parquet and score new text identically after reload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val (uni, bi) = TextAnalysis.bigramLmModel(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    uni.write.parquet(s"$dir/uni")
+    bi.write.parquet(s"$dir/bi")
+    val fresh = TextAnalysis.bigramPerplexityFromModel(
+      delta, "doc_id", "text", uni, bi).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val reloaded = TextAnalysis.bigramPerplexityFromModel(
+      delta, "doc_id", "text",
+      spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(reloaded === fresh)
+    assert(fresh.nonEmpty)
+    // out-of-model evidence floors at the uniform probability, never NaN
+    val alien = TextAnalysis.bigramPerplexityFromModel(
+      Seq((1L, "zzz qqq zzz")).toDF("doc_id", "text"), "doc_id", "text",
+      uni, bi).as[(Long, Long, Double)].collect().head
+    assert(alien._2 === 2L && !alien._3.isNaN && alien._3 > 1.0)
+  }
 }
