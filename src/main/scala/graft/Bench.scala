@@ -348,10 +348,11 @@ object Bench {
       }
       for (_ <- 1 to math.max(1, reps); name <- names)
         alt(name) = alt.getOrElse(name, Vector.empty) :+ timeAlt(name)
+      val mainByName = results.toMap
       val entries = names.map { name =>
         val ts = alt(name)
         val m = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
-        val main = results.toMap.apply(name)
+        val main = mainByName(name)
         val ratio = if (m > 0 && main > 0) main / m else -1.0
         "\"" + name + "\":[" + sec3(m) + "," + sec3(main) + "," + sec3(ratio) + "]"
       }.mkString("{", ",", "}")

@@ -800,34 +800,31 @@ object Dedup {
     * can never collide with real state. */
   private val NoRun = Long.MinValue
 
-  /** (diag, pa) packed into one long: `(diag + 2³¹)·2³¹ + pa` — a
-    * strictly increasing encoding of the lexicographic (diag, pa)
-    * order for any int positions, with the property that CONSECUTIVE
-    * positions on the SAME diagonal are consecutive packed values, so
-    * the island-continuation test is a single `x == prev + 1` long
-    * compare. Max value (diag = 2³¹−1, pa = 2³¹−1) is exactly
-    * Long.MaxValue — no overflow for any int-positioned match. */
-  private val PackBase = 1L << 31
-  private val PackMask = PackBase - 1
-
   /** Maximal shared spans from (doc_a, doc_b, pa, pb) shingle matches:
     * one row per island of consecutive matches on a diagonal, length
     * ≥ `minSpanTokens`.
     *
-    * ONE exchange: matches group straight to the pair, each match
-    * packed into one long (see [[PackBase]]) so the collect, the
-    * in-row `array_sort`, and the island fold all run on primitive
-    * longs; the fold opens a new island exactly when the packed value
-    * is not `prev + 1` (diagonal change or position gap), and islands
-    * explode back to rows. This replaces the former sort-based
-    * (pair, diagonal) row_number window + second aggregate — same
-    * answer, one fewer pass over the (large) match set, and downstream
-    * pair/doc groupings run over island rows that are orders of
-    * magnitude fewer than matches. Per-pair in-row state is the pair's
-    * match list — bounded by the shorter document's shingle count, the
-    * same total the old window partition held across its diagonals. */
+    * ONE exchange: matches group to (pair, diagonal), the sorted
+    * position list folds into islands in-row (higher-order `aggregate`
+    * over primitive longs — a new island opens exactly when the
+    * position is not `prev + 1`), and islands explode back to rows.
+    * This replaces the former sort-based row_number window + second
+    * aggregate — same answer, one fewer pass over the (large) match
+    * set, and downstream pair/doc groupings run over island rows that
+    * are orders of magnitude fewer than matches.
+    *
+    * The grouping key is (pair, DIAGONAL), deliberately not the bare
+    * pair: per-group in-row state is then one diagonal's positions —
+    * bounded by the shorter document's shingle count, the exact bound
+    * the old window partition had. A bare-pair grouping would hold ALL
+    * of a pair's matches in one aggregation buffer row, and two long
+    * documents sharing a within-doc-repeated rare shingle (n
+    * repetitions each ⇒ n² matches; the doc-freq guard counts DISTINCT
+    * docs, so within-doc repeats pass it) would overflow the single
+    * row where the per-diagonal split spreads the same n² matches over
+    * ~2n−1 bounded groups. */
   private def spanIslands(matches: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
-    // close the open run (if any) onto the done list of packed (s, e)
+    // close the open run (if any) onto the done list of (s, e) positions
     def close(done: Column, cs: Column, cp: Column): Column =
       when(cs === NoRun, done).otherwise(concat(done,
         array(struct(cs.as("s"), cp.as("e")))))
@@ -846,18 +843,15 @@ object Dedup {
               .as("done"),
             x.as("cs"), x.as("cp"))),
       a => close(a.getField("done"), a.getField("cs"), a.getField("cp")))
-    val packed = ((col("pa") - col("pb")).cast("long") + PackBase) * PackBase +
-      col("pa").cast("long")
-    val startA = col("isl.s").bitwiseAND(PackMask)
-    val diag = shiftright(col("isl.s"), 31) - PackBase
     matches
-      .groupBy("doc_a", "doc_b")
-      .agg(array_sort(collect_list(packed)).as("ms"))
-      .select(col("doc_a"), col("doc_b"), explode(islands).as("isl"))
+      .withColumn("diag", (col("pa") - col("pb")).cast("long"))
+      .groupBy("doc_a", "doc_b", "diag")
+      .agg(array_sort(collect_list(col("pa").cast("long"))).as("ms"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), explode(islands).as("isl"))
       .select(
         col("doc_a"), col("doc_b"),
-        startA.cast("int").as("start_a"),
-        (startA - diag).cast("int").as("start_b"),
+        col("isl.s").cast("int").as("start_a"),
+        (col("isl.s") - col("diag")).cast("int").as("start_b"),
         (col("isl.e") - col("isl.s") + lit(k.toLong)).as("span_len"))
       .filter(col("span_len") >= minSpanTokens)
   }

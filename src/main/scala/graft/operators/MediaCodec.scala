@@ -124,34 +124,59 @@ object MediaCodec {
 
   case class ImageIOInfo(width: Int, height: Int, meanChannel: Double)
 
+  /** Largest pixel count [[decodeImageIO]] will decode: a
+    * decompression-bomb guard. Like [[decodeBmp]]'s Long-math bounds
+    * check, the limit is enforced from the HEADER — via the ImageReader
+    * API, which parses dimensions without touching pixel data — so a
+    * hostile 30000×30000 PNG declaration is rejected before the
+    * multi-GB BufferedImage allocation, not OOM-caught after. 64 MP
+    * covers any real training-corpus image. */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** Decode any ImageIO-supported container — PNG, JPEG, (JDK) BMP,
     * GIF — and compute (width, height, mean 8-bit channel value over
     * RGB). PNG is lossless, so its mean is EXACTLY recomputable from
     * the encoded pixels (what makes the mm_features_img gate
     * oracle-able); JPEG decodes are real but codec-dependent in the
     * low bits, so callers keep JPEG means out of cross-engine
-    * comparisons. Returns None on anything unreadable — same
-    * corrupt-member isolation contract as [[decodeBmp]]. */
+    * comparisons. Returns None on anything unreadable or over
+    * [[MaxImagePixels]] — the [[decodeBmp]] corrupt-member contract.
+    * Catches NonFatal only: an executor OOM must surface, never be
+    * swallowed as a quiet None. Pixels read one bulk row at a time
+    * (not per-pixel getRGB — a color-model conversion per call) and
+    * the stream is memory-backed (`MemoryCacheImageInputStream`), so
+    * no per-decode temp file is created on the hot path. */
   def decodeImageIO(bytes: Array[Byte]): Option[ImageIOInfo] =
     try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+          val img = reader.read(0)
+          val row = new Array[Int](w)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        ImageIOInfo(w, h, sum.toDouble / (3.0 * w * h))
-      }
-    } catch { case _: Throwable => None }
+          Some(ImageIOInfo(w, h, sum.toDouble / (3.0 * w * h)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Render width×height pixels (3 bytes per pixel, row-major, same
     * layout [[encodeBmp24]] takes) into a BufferedImage. */

@@ -573,8 +573,34 @@ object TextAnalysis {
     * exactly like the k-means/zorder reference implementations. */
   private[operators] def bpeTrainReference(
       wordFreq: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+    // CODE-POINT symbols (not UTF-16 chars): Spark's substring slices
+    // by code point, so a supplementary-plane character (emoji) must be
+    // ONE reference symbol too, never a surrogate half
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    // tie-break in UTF-8 BYTE order — the binary ordering Spark's
+    // orderBy uses on strings; Java's compareTo orders by UTF-16 unit,
+    // which ranks [U+E000, U+FFFF] above supplementary characters
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     var words: Map[Vector[String], Long] = wordFreq.toSeq
-      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .map { case (w, f) => codePoints(w) -> f }
       .groupMapReduce(_._1)(_._2)(_ + _)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
@@ -589,7 +615,16 @@ object TextAnalysis {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        val ord = new Ordering[((String, String), Long)] {
+          def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+            if (p._2 != q._2) return java.lang.Long.compare(q._2, p._2)
+            if (p._1._1 != q._1._1)
+              return if (utf8Lt(p._1._1, q._1._1)) -1 else 1
+            if (p._1._2 == q._1._2) 0
+            else if (utf8Lt(p._1._2, q._1._2)) -1 else 1
+          }
+        }
+        val ((a, b), cnt) = counts.min(ord)
         out += ((r, a, b, cnt))
         words = words.toSeq.map { case (syms, f) =>
           val merged = Vector.newBuilder[String]

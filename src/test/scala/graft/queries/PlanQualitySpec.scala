@@ -258,15 +258,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
     assert(p.contains("SortMergeJoin [h#") || p.contains("ShuffledHashJoin [h#"), p)
     // island detection is the round-9 one-exchange shape: matches group
-    // straight to the pair (partial collect_list of PACKED longs,
-    // map-side combinable) and the sorted list folds to islands IN-ROW
-    // — a sort-based row_number window here would be the old two-pass
-    // plan sneaking back
+    // to (pair, diagonal) — the bounded-buffer key — with a partial
+    // collect_list of primitive long positions, and the sorted list
+    // folds to islands IN-ROW; a sort-based row_number window here
+    // would be the old two-pass plan sneaking back
     assert(p.contains("collect_list"), p)
     assert(!p.contains("windowspecdefinition"), p)
-    // the (diag, pa) pack rides as `(pa - pb + 2^31) * 2^31 + pa`; its
-    // shiftright unpack in the island projection is the plan's trace
-    assert(p.contains("shiftright"), p)
+    assert(p.contains("diag"), p)
     // per-pair longest-span argmax is a partial (map-side combinable)
     // struct max, not a second window
     assert(p.contains("partial_max(struct(l"), p)
