@@ -512,4 +512,31 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_span") === 12L)
     assert(r.getAs[Int]("start_a") === 0 && r.getAs[Int]("start_b") === 2)
   }
+
+  test("span machinery survives the quadratic-match adversary: one repeated shingle, n^2 matches") {
+    // two docs of n identical tokens: EVERY positional shingle matches
+    // every other (n' = n-k+1 shingles ⇒ n'^2 cross-matches) and a
+    // within-doc repeat slips the DISTINCT-doc frequency guard by
+    // design. The per-(pair, diagonal) aggregation state must stay
+    // bounded by n' (one diagonal's run), never buffer the whole n'^2
+    // match set in one row — the round-9 self-review regression case.
+    import spark.implicits._
+    val n = 400
+    val text = Seq.fill(n)("x").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(
+      docs, "doc_id", "text", maxDocFreqFraction = None).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // the longest shared run is the zero diagonal: all n tokens
+    assert(r.getAs[Long]("max_span") === n.toLong)
+    assert(r.getAs[Int]("start_a") === 0 && r.getAs[Int]("start_b") === 0)
+    // one island per diagonal long enough to clear the span floor:
+    // diagonals d in (-(n'-12), n'-12) where n' = n-k+1 shingles
+    val nShingles = n - Dedup.DefaultSpanK + 1
+    val expectedSpans = 2L * (nShingles - Dedup.DefaultMinSpanTokens +
+      Dedup.DefaultSpanK - 1) + 1
+    assert(r.getAs[Long]("n_spans") === expectedSpans,
+      s"one maximal island per qualifying diagonal, got ${r.getAs[Long]("n_spans")}")
+  }
 }
