@@ -846,7 +846,16 @@ object Dedup {
     matches
       .withColumn("diag", (col("pa") - col("pb")).cast("long"))
       .groupBy("doc_a", "doc_b", "diag")
-      .agg(array_sort(collect_list(col("pa").cast("long"))).as("ms"))
+      // array_distinct: the fold below assumes strictly increasing
+      // positions (x == prev would close-and-reopen the run, splitting
+      // one island into two and inflating n_spans/coverage silently).
+      // Internal producers can never emit a duplicate (pa, diag) for a
+      // pair — one (doc, pos) posting has exactly one h — but a
+      // hand-built or externally persisted posting index with duplicate
+      // (doc, h, pos) rows could; dedup in-row, where it is one pass
+      // over an already-sorted primitive array (no-op on clean input,
+      // so every gate hash is unchanged)
+      .agg(array_distinct(array_sort(collect_list(col("pa").cast("long")))).as("ms"))
       .select(col("doc_a"), col("doc_b"), col("diag"), explode(islands).as("isl"))
       .select(
         col("doc_a"), col("doc_b"),

@@ -382,18 +382,38 @@ object ProductQuantization {
       corpus, idCol, vecCol, k = nCells, iters = coarseIters, roundDp = roundDp)
     val books = trainCodebooks(corpus, idCol, vecCol, dim, m, k, iters, roundDp)
     val sub = dim / m
-    corpus
+    // slim (vec_id, v, codes, cell) frame, LAZILY checkpointed: the
+    // partitioned write below materializes it, and the training-error
+    // baseline aggregation then reads the materialized rows instead of
+    // re-running the encode scan (the adcPool single-scan convention)
+    val enc = corpus
       .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
       .select(
-        col("vec_id"),
+        col("vec_id"), col("v"),
         array((0 until m).map(mi =>
           argminCell(books(mi), subVec(col("v"), mi, sub)).getField("idx")): _*)
           .as("codes"),
         argminCell(cents, col("v")).getField("cid").as("cell"))
+      .localCheckpoint(false)
+    enc.select("vec_id", "codes", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    val model = IvfPqModel(dim, cents, books)
+    // drift baseline: mean squared reconstruction error over the
+    // training corpus — one aggregation over the checkpointed rows
+    val trainErr = enc
+      .select(reconstructionErr(books).as("e"))
+      .agg(avg("e")).head.getDouble(0)
+    val model = IvfPqModel(dim, cents, books, Some(trainErr))
     IvfPqModel.save(model, path)
     model
+  }
+
+  /** Per-row squared reconstruction error |v − x̂|² of a (v, codes) row
+    * under `codebooks` — the quantization-quality measure both the
+    * build-time baseline and [[indexHealth]]'s drift probe compute. */
+  private def reconstructionErr(
+      codebooks: IndexedSeq[Seq[(Long, Array[Double])]]): Column = {
+    val diff = zip_with(col("v"), xhatFromCodes(codebooks), (a, b) => a - b)
+    dot(diff, diff)
   }
 
   /** APPEND a new batch to an existing persisted index — the O(Δ)
@@ -423,6 +443,63 @@ object ProductQuantization {
         argminCell(model.centroids, col("v")).getField("cid").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     model
+  }
+
+  /** One-row index-health summary — the WHEN-to-rebuild signal for the
+    * append-only maintenance contract: [[appendToIvfPqIndex]] encodes
+    * under the FROZEN model, so quantization quality on appended data
+    * silently decays as the ingest distribution drifts from the
+    * training distribution. This probe makes that decay an observable:
+    *
+    *   - per-cell occupancy (`n_cells_occupied`, `occ_max`, `occ_mean`,
+    *     `occ_skew` = max/mean) from the index's own code rows — a cell
+    *     absorbing the bulk of appends means the coarse router no
+    *     longer spreads the data (probe-cost skew);
+    *   - `delta_qerr`: mean squared reconstruction error |v − x̂|² of
+    *     the sampled delta batch encoded under the frozen model, vs
+    *     `train_qerr`, the build-time baseline persisted in the model
+    *     file;
+    *   - `drift_flagged`: delta_qerr > `driftFactor` × train_qerr
+    *     (NULL when the model predates the baseline).
+    *
+    * Observability, not a gated operator (the OccupancyProbe
+    * convention): no oracle, spec-anchored with a planted-drift fixture
+    * (IvfPqIndexSpec — shifted-distribution appends flag, i.i.d.
+    * appends don't). Cost: one scan of the index's (slim) code rows +
+    * one scan of the delta sample — run it on a sampled delta, not the
+    * full ingest. */
+  def indexHealth(
+      indexPath: String, delta: DataFrame, idCol: String, vecCol: String,
+      driftFactor: Double = 2.0): DataFrame = {
+    require(driftFactor > 0, "driftFactor must be positive")
+    val spark = delta.sparkSession
+    graft.GraftExtensions.register(spark)
+    val model = IvfPqModel.load(indexPath)
+    val m = model.codebooks.size
+    val sub = model.dim / m
+    val occ = spark.read.schema(IndexReadSchema).parquet(indexPath)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_cells_occupied"),
+        max("cnt").as("occ_max"),
+        avg("cnt").as("occ_mean"))
+    val deltaErr = delta
+      .select(asDoubles(col(vecCol)).as("v"))
+      .select(col("v"),
+        array((0 until m).map(mi =>
+          argminCell(model.codebooks(mi), subVec(col("v"), mi, sub))
+            .getField("idx")): _*).as("codes"))
+      .select(reconstructionErr(model.codebooks).as("e"))
+      .agg(avg("e").as("delta_qerr"))
+    val trainErr = model.trainQuantErr
+      .map(e => lit(e)).getOrElse(lit(null).cast("double"))
+    occ.crossJoin(deltaErr)
+      .select(
+        col("n_cells_occupied"), col("occ_max"), col("occ_mean"),
+        (col("occ_max").cast("double") / col("occ_mean")).as("occ_skew"),
+        trainErr.as("train_qerr"),
+        col("delta_qerr"),
+        (col("delta_qerr") > trainErr * lit(driftFactor)).as("drift_flagged"))
   }
 
   /** Search the PERSISTED index: the query picks its `nProbe` cells on
@@ -477,17 +554,30 @@ object ProductQuantization {
 final case class IvfPqModel(
     dim: Int,
     centroids: Seq[(Long, Array[Double])],
-    codebooks: IndexedSeq[Seq[(Long, Array[Double])]])
+    codebooks: IndexedSeq[Seq[(Long, Array[Double])]],
+    /** Mean squared reconstruction error |v − x̂|² over the TRAINING
+      * corpus at build time — the drift baseline
+      * [[ProductQuantization.indexHealth]] compares appended batches
+      * against. None on models persisted before the health check
+      * existed (health then reports drift as undeterminable). */
+    trainQuantErr: Option[Double] = None)
 
 object IvfPqModel {
   private val FileName = "_ivfpq_model.txt"
 
-  /** Lines: `dim N` | `cent <cid> v,…` | `book <mi> <cid> v,…` —
-    * underscore-prefixed filename keeps it invisible to the parquet
-    * scanner reading the surrounding index directory. */
+  /** Lines: `dim N` | `qerr E` (optional — mean training quantization
+    * error, the drift baseline for [[ProductQuantization.indexHealth]])
+    * | `cent <cid> v,…` | `book <mi> <cid> v,…` — underscore-prefixed
+    * filename keeps it invisible to the parquet scanner reading the
+    * surrounding index directory. IO goes through the Hadoop FS layer
+    * (resolved from the ACTIVE session's configuration), so the model
+    * lands on the same scheme as the index parquet it describes —
+    * file:// in tests, hdfs://-or-s3a:// on a cluster — instead of
+    * silently requiring a driver-local index path. */
   def save(model: IvfPqModel, indexPath: String): Unit = {
     val sb = new StringBuilder
     sb.append("dim ").append(model.dim).append('\n')
+    model.trainQuantErr.foreach(e => sb.append("qerr ").append(e).append('\n'))
     model.centroids.foreach { case (cid, v) =>
       sb.append("cent ").append(cid).append(' ')
         .append(v.map(_.toString).mkString(",")).append('\n')
@@ -498,21 +588,24 @@ object IvfPqModel {
           .append(v.map(_.toString).mkString(",")).append('\n')
       }
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexPath, FileName),
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.store.Storage.writeTextFile(
+      org.apache.spark.sql.SparkSession.active, s"$indexPath/$FileName",
+      sb.toString)
   }
 
   def load(indexPath: String): IvfPqModel = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(indexPath, FileName))
+    val lines = graft.store.Storage.readTextFile(
+      org.apache.spark.sql.SparkSession.active, s"$indexPath/$FileName")
+      .split('\n').iterator.filter(_.nonEmpty)
     var dim = 0
+    var qerr: Option[Double] = None
     val cents = Seq.newBuilder[(Long, Array[Double])]
     val books = scala.collection.mutable.SortedMap
       .empty[Int, scala.collection.mutable.Buffer[(Long, Array[Double])]]
-    lines.forEach { line =>
+    lines.foreach { line =>
       line.split(' ') match {
         case Array("dim", d) => dim = d.toInt
+        case Array("qerr", e) => qerr = Some(e.toDouble)
         case Array("cent", cid, vs) =>
           cents += ((cid.toLong, vs.split(',').map(_.toDouble)))
         case Array("book", mi, cid, vs) =>
@@ -525,6 +618,6 @@ object IvfPqModel {
     }
     require(dim > 0, s"$FileName has no dim line")
     IvfPqModel(dim, cents.result(),
-      books.values.map(_.toSeq).toIndexedSeq)
+      books.values.map(_.toSeq).toIndexedSeq, qerr)
   }
 }

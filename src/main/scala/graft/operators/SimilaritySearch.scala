@@ -538,19 +538,46 @@ object SimilaritySearch {
     * which a query's probe is FILE PRUNING: [[lshTopKFromIndex]] lists
     * only the probed buckets' directories (1 + nBits of 2^nBits at the
     * default 1-bit multiprobe) and never opens the rest. The
-    * hyperplanes are pure functions of (nBits, dim, seed), so unlike
-    * IVF-PQ there is NO trained model to persist — any session can
-    * search the index from its path + the two knobs. */
+    * hyperplanes are pure functions of (nBits, dim, seed) — no trained
+    * model — but the KNOBS are part of the index's identity: a search
+    * under a different dim or seed computes same-length bucket strings
+    * and silently probes the wrong partitions, so the build persists
+    * them as a `_lsh_meta.txt` sidecar (the `_ivfpq_model.txt`
+    * convention) and [[lshTopKFromIndex]] validates its arguments
+    * against it. */
   def buildLshBucketIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      dim: Int, nBits: Int): Unit = {
+      dim: Int, nBits: Int, seed: Long = DefaultPlaneSeed): Unit = {
     graft.GraftExtensions.register(corpus.sparkSession)
-    val planes = hyperplanes(nBits, dim)
+    val planes = hyperplanes(nBits, dim, seed)
     corpus
       .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
         hyperplaneBits(col("v"), planes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.store.Storage.writeTextFile(corpus.sparkSession,
+      s"$path/$LshMetaFile", s"dim $dim\nnbits $nBits\nseed $seed\n")
+  }
+
+  /** The default hyperplane seed, shared with
+    * `VectorFunctions.hyperplanes`. */
+  private val DefaultPlaneSeed = 0x5CA1AB1EL
+
+  private val LshMetaFile = "_lsh_meta.txt"
+
+  /** Parse the `_lsh_meta.txt` sidecar → (dim, nBits, seed); None when
+    * the index predates the sidecar (written before round 10). */
+  private def readLshMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(Int, Int, Long)] = {
+    if (!graft.store.Storage.exists(spark, s"$indexPath/$LshMetaFile")) None
+    else {
+      val kv = graft.store.Storage
+        .readTextFile(spark, s"$indexPath/$LshMetaFile")
+        .split('\n').filter(_.nonEmpty)
+        .map(_.split(' ')).map(a => a(0) -> a(1)).toMap
+      Some((kv("dim").toInt, kv("nbits").toInt, kv("seed").toLong))
+    }
   }
 
   /** The query's probe set: its own bucket plus (at `probeBits` = 1,
@@ -560,9 +587,10 @@ object SimilaritySearch {
     * index. Driver-side: nBits dot products against the plan-literal
     * planes. */
   private[operators] def probeBuckets(
-      qv: Array[Double], dim: Int, nBits: Int, probeBits: Int): Seq[String] = {
+      qv: Array[Double], dim: Int, nBits: Int, probeBits: Int,
+      seed: Long = DefaultPlaneSeed): Seq[String] = {
     require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
-    val planes = hyperplanes(nBits, dim)
+    val planes = hyperplanes(nBits, dim, seed)
     val qb = planes.map { p =>
       var s = 0.0; var i = 0
       while (i < p.length) { s += qv(i) * p(i); i += 1 }
@@ -589,14 +617,26 @@ object SimilaritySearch {
   def lshTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       query: DataFrame, dim: Int, nBits: Int,
-      k: Int = 10, probeBits: Int = 1): DataFrame = {
+      k: Int = 10, probeBits: Int = 1, seed: Long = DefaultPlaneSeed): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.GraftExtensions.register(spark)
+    // knob validation against the build-time sidecar: a mismatched dim
+    // or seed would compute same-LENGTH bucket strings, probe the wrong
+    // partitions, and return plausible-but-wrong neighbors with no
+    // error. Indexes persisted before the sidecar existed are searched
+    // on the caller's word (nothing to validate against).
+    readLshMeta(spark, indexPath).foreach { case (mDim, mBits, mSeed) =>
+      require(mDim == dim && mBits == nBits && mSeed == seed,
+        s"index at $indexPath was built with (dim=$mDim, nBits=$mBits, " +
+          s"seed=$mSeed) but the search asked for (dim=$dim, " +
+          s"nBits=$nBits, seed=$seed) — wrong-knob probes return wrong " +
+          "neighbors silently, so this is an error")
+    }
     val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
     require(qRows.nonEmpty,
       "lshTopKFromIndex needs a 1-row query DataFrame with column qvec")
     val qv = qRows.head.getSeq[Double](0).toArray
-    val probed = probeBuckets(qv, dim, nBits, probeBits)
+    val probed = probeBuckets(qv, dim, nBits, probeBits, seed)
     spark.read.schema(LshIndexReadSchema).parquet(indexPath)
       .filter(col("bucket").isin(probed: _*))
       .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))

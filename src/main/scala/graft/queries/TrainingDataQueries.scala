@@ -1955,7 +1955,10 @@ object TrainingDataQueries {
       |  CAST(CASE WHEN m = 0 THEN h END AS BIGINT) AS height,
       |  CAST(CASE WHEN m = 1 THEN 8000 + (doc_id % 5) * 2000 END AS BIGINT) AS sample_rate,
       |  CAST(CASE WHEN m = 1 THEN l END AS BIGINT) AS n_samples,
-      |  CASE WHEN m = 0 THEN CAST(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])) AS DOUBLE) / (12.0 * h)
+      |  -- COALESCE: an empty-text row has an empty byte list, and DuckDB's
+      |  -- list_sum over an empty list is NULL where the Spark decoder
+      |  -- zero-pads the pixel block and reads mean 0.0 — align on 0
+      |  CASE WHEN m = 0 THEN CAST(COALESCE(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])), 0) AS DOUBLE) / (12.0 * h)
       |       WHEN m = 1 THEN CAST(list_sum(bs) AS DOUBLE) / l END AS mean_byte
       |FROM d
       |ORDER BY media_id""".stripMargin
@@ -2042,7 +2045,9 @@ object TrainingDataQueries {
       |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bin' END AS format,
       |  CAST(CASE WHEN m < 2 THEN 4 END AS BIGINT) AS width,
       |  CAST(CASE WHEN m < 2 THEN h END AS BIGINT) AS height,
-      |  CASE WHEN m = 0 THEN CAST(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])) AS DOUBLE) / (12.0 * h) END AS mean_png
+      |  -- COALESCE: mmFeaturesOracle's empty-text alignment (Spark's
+      |  -- zero-padded decode reads 0.0; DuckDB's empty list_sum is NULL)
+      |  CASE WHEN m = 0 THEN CAST(COALESCE(list_sum(list_transform(range(least(l, 12*h)), i -> bs[i+1])), 0) AS DOUBLE) / (12.0 * h) END AS mean_png
       |FROM d
       |ORDER BY media_id""".stripMargin
 

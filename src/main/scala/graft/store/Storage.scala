@@ -94,6 +94,28 @@ object Storage {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Small text artifact write through the Hadoop FS layer — for model/
+    * metadata sidecar files living NEXT TO parquet index data (IVF-PQ
+    * codebooks, LSH build knobs). Resolving through the path's own
+    * FileSystem keeps the sidecar on the same scheme as the index it
+    * describes: a file://-only java.nio write would succeed locally and
+    * strand an hdfs:// or s3a:// index with no model after the
+    * expensive parquet write completed. */
+  def writeTextFile(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Sidecar text read — [[writeTextFile]]'s counterpart. */
+  def readTextFile(spark: SparkSession, path: String): String = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** ORC scan/sink — the other columnar format Spark executes natively
     * (vectorized reader, predicate pushdown, column pruning), for
     * interchange with Hive/Trino-flavored warehouses. Beyond the

@@ -151,4 +151,35 @@ class IvfPqIndexSpec extends SparkSpecBase {
       .collect().toSeq
     assert(viaLoad === viaBuilt)
   }
+
+  test("indexHealth: i.i.d. appends don't flag drift; shifted-distribution appends do") {
+    val (path, model) = buildIndex()
+    // the build persists the drift baseline and it round-trips
+    assert(model.trainQuantErr.exists(_ > 0))
+    assert(IvfPqModel.load(path).trainQuantErr === model.trainQuantErr)
+
+    // an i.i.d. batch (a slice of the training distribution, re-keyed):
+    // quantization error under the frozen model matches the baseline
+    val iid = corpus.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    ProductQuantization.appendToIvfPqIndex(iid, "vec_id", "embedding", path)
+    val ok = ProductQuantization.indexHealth(
+      path, iid, "vec_id", "embedding").collect().head
+    assert(!ok.getAs[Boolean]("drift_flagged"),
+      s"i.i.d. append must not flag drift: $ok")
+    assert(ok.getAs[Double]("train_qerr") === model.trainQuantErr.get)
+    assert(ok.getAs[Double]("occ_skew") >= 1.0)
+    assert(ok.getAs[Long]("n_cells_occupied") >= 1L)
+
+    // a planted-drift batch (every component shifted far outside the
+    // training range): reconstruction error under the frozen codebooks
+    // explodes, and the operator is told to rebuild
+    val shifted = iid.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(5.0)))
+    val bad = ProductQuantization.indexHealth(
+      path, shifted, "vec_id", "embedding").collect().head
+    assert(bad.getAs[Boolean]("drift_flagged"),
+      s"shifted-distribution append must flag drift: $bad")
+    assert(bad.getAs[Double]("delta_qerr") > 2 * bad.getAs[Double]("train_qerr"))
+  }
 }

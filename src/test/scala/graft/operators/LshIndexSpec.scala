@@ -87,6 +87,25 @@ class LshIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("wrong-knob search against the persisted build meta fails loudly") {
+    val path = buildIndex()
+    // a different seed (or dim) computes same-LENGTH bucket strings and
+    // would silently probe the wrong partitions — the sidecar check
+    // must turn that into an error, not plausible-but-wrong neighbors
+    val wrongSeed = intercept[IllegalArgumentException] {
+      SimilaritySearch.lshTopKFromIndex(
+        spark, path, query, dim = dim, nBits = nBits, k = 5, seed = 123L)
+    }
+    assert(wrongSeed.getMessage.contains("built with"))
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshTopKFromIndex(
+        spark, path, query, dim = 32, nBits = nBits, k = 5)
+    }
+    // matching knobs still search fine
+    assert(SimilaritySearch.lshTopKFromIndex(
+      spark, path, query, dim = dim, nBits = nBits, k = 5).count() === 5)
+  }
+
   test("deleting every unprobed bucket's files leaves the search unchanged") {
     val path = buildIndex()
     val probed = SimilaritySearch.probeBuckets(qv, dim, nBits, probeBits = 1).toSet
