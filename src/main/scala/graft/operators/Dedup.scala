@@ -406,9 +406,23 @@ object Dedup {
     capBandBuckets(
       minhashBanded(corpus, idCol, textCol, n, k, bands, native, fast), maxBucket)
 
+  /** Single-column band join key `bb` = band ':' bkey — bijective with
+    * (band, bkey): band is a plain integer and ':' occurs in neither
+    * part (bkey joins numeric components with '_'), so an equi-join on
+    * `bb` produces exactly the (band, bkey) join's rows while giving
+    * the persisted bucketed layouts ONE column to bucket-and-sort on
+    * (Spark's bucketed scan satisfies a join's distribution only
+    * through its bucket column). */
+  private def bandKey: Column = concat_ws(":", col("band"), col("bkey"))
+
   /** [[minhashPairsIncremental]] against an already-built (possibly
     * persisted-and-reloaded) [[minhashBandIndex]]: the O(Δ) ingest path
-    * pays only the delta's signature projection and the band join. */
+    * pays only the delta's signature projection and the band join. The
+    * join runs on the single fused `bb` key — computed here unless the
+    * index already STORES it (the [[writeMinhashBandIndexBucketed]]
+    * layout), in which case the stored column carries the scan's bucket
+    * partitioning into the join and the corpus side shuffles ZERO rows
+    * (MinhashIndexBucketingSpec asserts the single-exchange plan). */
   def minhashPairsIncrementalFromIndex(
       delta: DataFrame, corpusIndex: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
@@ -417,16 +431,40 @@ object Dedup {
       fast: Boolean = false): DataFrame = {
     val bd = minhashBanded(delta, idCol, textCol, n, k, bands, native, fast)
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
-        col("band"), col("bkey"))
-    val bc = corpusIndex
-      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
-        col("band"), col("bkey"))
-    bd.join(bc, Seq("band", "bkey"))
+        bandKey.as("bb"))
+    val withBb =
+      if (corpusIndex.columns.contains("bb")) corpusIndex
+      else corpusIndex.withColumn("bb", bandKey)
+    val bc = withBb
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"), col("bb"))
+    bd.join(bc, Seq("bb"))
       .filter(col("delta_id") =!= col("corpus_id"))
       .groupBy("delta_id", "corpus_id")
       .agg(max(estJaccard(col("sig_d"), col("sig_c"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Persist the MinHash band index as a BUCKETED-and-sorted table on
+    * the fused band key — the span family's round-9 shuffle-elimination
+    * layout ([[writeSpanPostingIndexBucketed]]) applied to the MinHash
+    * sibling: every subsequent [[minhashPairsIncrementalFromIndex]] run
+    * against `spark.table(table)` shuffles ONLY the delta's band rows;
+    * the corpus index — the overwhelming bulk at 100 TB — is read
+    * bucket-in-place with no exchange. The occupancy cap is applied at
+    * build time (capping is idempotent), so the stored index is the
+    * guarded one and ingest pays neither the cap shuffle nor the corpus
+    * shuffle. */
+  def writeMinhashBandIndexBucketed(
+      corpus: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int, path: Option[String] = None,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands, native: Boolean = true,
+      fast: Boolean = false,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): Unit =
+    graft.store.Bucketing.writeBucketed(
+      minhashBandIndex(corpus, idCol, textCol, n, k, bands, native, fast, maxBucket)
+        .withColumn("bb", bandKey),
+      table, "bb", nBuckets, path)
 
   /** Key-stable per-(band, bkey) occupancy cap on a banded index — the
     * incremental twins' version of the full paths' candidate-pool
@@ -558,20 +596,61 @@ object Dedup {
       delta: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
       maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1,
-      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    simhashPairsIncrementalFromIndex(
+      delta,
+      simhashBandIndex(corpus, idCol, textCol, bits, bands, minTokens, maxBucket),
+      idCol, textCol, bits, bands, maxHamming, minTokens)
+
+  /** The corpus side of [[simhashPairsIncremental]] as a PERSISTABLE
+    * index — [[minhashBandIndex]]'s SimHash twin: banded signature rows
+    * with the (load-bearing here — 256-value band keys) occupancy cap
+    * applied at build time. */
+  def simhashBandIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      minTokens: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    capBandBuckets(
+      simhashBanded(corpus, idCol, textCol, bits, bands, minTokens), maxBucket)
+
+  /** [[simhashPairsIncremental]] against an already-built (possibly
+    * persisted-and-reloaded) [[simhashBandIndex]] — same fused-`bb`
+    * join contract as the MinHash twin: a stored `bb` column (the
+    * bucketed layout) carries the scan's partitioning into the join and
+    * the corpus side shuffles nothing. */
+  def simhashPairsIncrementalFromIndex(
+      delta: DataFrame, corpusIndex: DataFrame, idCol: String, textCol: String,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
     val bd = simhashBanded(delta, idCol, textCol, bits, bands, minTokens)
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
-        col("band"), col("bkey"))
-    val bc = capBandBuckets(
-      simhashBanded(corpus, idCol, textCol, bits, bands, minTokens), maxBucket)
-      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"),
-        col("band"), col("bkey"))
-    bd.join(bc, Seq("band", "bkey"))
+        bandKey.as("bb"))
+    val withBb =
+      if (corpusIndex.columns.contains("bb")) corpusIndex
+      else corpusIndex.withColumn("bb", bandKey)
+    val bc = withBb
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"), col("bb"))
+    bd.join(bc, Seq("bb"))
       .filter(col("delta_id") =!= col("corpus_id"))
       .groupBy("delta_id", "corpus_id")
       .agg(max(hamming(col("sig_d"), col("sig_c"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[writeMinhashBandIndexBucketed]]'s SimHash twin: the banded
+    * signature index persisted bucketed-and-sorted on the fused band
+    * key, so ingest joins shuffle only the delta. */
+  def writeSimhashBandIndexBucketed(
+      corpus: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int, path: Option[String] = None,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      minTokens: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): Unit =
+    graft.store.Bucketing.writeBucketed(
+      simhashBandIndex(corpus, idCol, textCol, bits, bands, minTokens, maxBucket)
+        .withColumn("bb", bandKey),
+      table, "bb", nBuckets, path)
 
   /** SimHash's banded index rows — the occupancy-observability surface,
     * mirroring `minhashBanded`. SimHash bands are far more collision-

@@ -845,6 +845,33 @@ object TrainingDataQueries {
        |ORDER BY delta_id, corpus_id""".stripMargin
   }
 
+  /** dd_minhash_idx_bucketed — the incremental MinHash search against
+    * the BUCKETED persisted band index
+    * (Dedup.writeMinhashBandIndexBucketed): the corpus's banded
+    * signature rows are written bucketed-and-sorted on the fused band
+    * key, so the ingest join shuffles only the delta
+    * (MinhashIndexBucketingSpec asserts the single-exchange plan). The
+    * layout must not change results, so the gate shares
+    * dd_minhash_incremental's oracle verbatim — the
+    * dd_spans_idx_bucketed convention. */
+  val ddMinhashIdxBucketed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val table = s"graft_mh_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"mhidx:${System.identityHashCode(s)}:$dir", {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      Dedup.writeMinhashBandIndexBucketed(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        table, nBuckets = 8,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("graft-mh-idx-gate").toString))
+      table
+    })
+    Dedup.minhashPairsIncrementalFromIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), s.table(table),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
+  }
+
   /** dd_recall_minhash — MinHash dedup QUALITY under the cross-engine
     * gate: pair-level recall of the banded MinHash pipeline against the
     * exact n-gram Jaccard pair graph at the 0.8 near-duplicate bar (the
@@ -1001,6 +1028,28 @@ object TrainingDataQueries {
       |SELECT delta_id, corpus_id, hamming FROM scored
       |WHERE hamming <= ${Dedup.DefaultMaxHamming}
       |ORDER BY delta_id, corpus_id""".stripMargin
+  }
+
+  /** dd_simhash_idx_bucketed — dd_minhash_idx_bucketed's SimHash twin
+    * (Dedup.writeSimhashBandIndexBucketed): bucketed persisted banded
+    * signatures, delta-only shuffle on ingest, results proven
+    * layout-independent by sharing dd_simhash_incremental's oracle. */
+  val ddSimhashIdxBucketed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val table = s"graft_sh_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"shidx:${System.identityHashCode(s)}:$dir", {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      Dedup.writeSimhashBandIndexBucketed(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        table, nBuckets = 8,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("graft-sh-idx-gate").toString))
+      table
+    })
+    Dedup.simhashPairsIncrementalFromIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), s.table(table),
+      "doc_id", "text")
+      .orderBy("delta_id", "corpus_id")
   }
 
   /** ta_token_stats — per-document token statistics. */
@@ -2901,6 +2950,7 @@ object TrainingDataQueries {
     "ss_ann_lsh_pruned" -> ssAnnLshPruned,
     "ta_dup_fraction" -> taDupFraction,
     "dd_minhash_incremental" -> ddMinhashIncremental,
+    "dd_minhash_idx_bucketed" -> ddMinhashIdxBucketed,
     "tx_canonicalize" -> txCanonicalize,
     "tp_trim_spans" -> tpTrimSpans,
     "ta_token_bpe" -> taTokenBpe,
@@ -2922,6 +2972,7 @@ object TrainingDataQueries {
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_incremental" -> ddSimhashIncremental,
+    "dd_simhash_idx_bucketed" -> ddSimhashIdxBucketed,
     "ta_token_stats" -> taTokenStats,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
@@ -2971,6 +3022,7 @@ object TrainingDataQueries {
     "ss_ann_lsh_pruned" -> ssAnnLshPrunedOracle,
     "ta_dup_fraction" -> taDupFractionOracle,
     "dd_minhash_incremental" -> ddMinhashIncrementalOracle,
+    "dd_minhash_idx_bucketed" -> ddMinhashIncrementalOracle,
     "tx_canonicalize" -> txCanonicalizeOracle,
     "tp_trim_spans" -> tpTrimSpansOracle,
     "ta_token_bpe" -> taTokenBpeOracle,
@@ -2994,6 +3046,7 @@ object TrainingDataQueries {
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,
     "dd_simhash_incremental" -> ddSimhashIncrementalOracle,
+    "dd_simhash_idx_bucketed" -> ddSimhashIncrementalOracle,
     "ta_token_stats" -> taTokenStatsOracle,
     "ta_quality" -> taQualityOracle,
     "ta_langid" -> taLangidOracle,
