@@ -38,6 +38,7 @@ object Bench {
     "dd_spans", "dd_span_decontaminate", "ss_ann_pq", "ss_ann_ivf_pq_pruned",
     "ss_ann_lsh_pruned", "dd_spans_idx_bucketed", "ta_bpe_train", "mm_features_img",
     "ta_bpe_encode", "ta_perplexity", "ta_perplexity_incremental",
+    "ta_quality_clf", "dd_minhash_idx_bucketed", "dd_simhash_idx_bucketed",
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx",

@@ -572,6 +572,81 @@ object TrainingDataQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** ta_quality_clf — TRAINED model-based quality classifier
+    * (operators.QualityClassifier): logistic regression over hashed
+    * bag-of-words + engineered integer features, trained by `ClfIters`
+    * full-batch gradient rounds on seed labels derived in-plan from the
+    * heuristic quality score's extremes, then scoring every document
+    * under the learned fixed-point weights. The oracle unrolls the SAME
+    * rounds as chained MATERIALIZED CTEs (materialization is
+    * load-bearing: inlined CTE expansion doubles per round) with every
+    * accumulated quantity an integer, so the final 6-dp probabilities
+    * must hash-match exactly — the ta_perplexity determinism recipe
+    * applied to model TRAINING, not just scoring. */
+  private val ClfNf = graft.operators.QualityClassifier.DefaultNumFeatures
+  private val ClfIters = graft.operators.QualityClassifier.DefaultIters
+  private val ClfLr = graft.operators.QualityClassifier.DefaultLearningRate
+  private val ClfLo = graft.operators.QualityClassifier.DefaultLowQ
+  private val ClfHi = graft.operators.QualityClassifier.DefaultHighQ
+
+  val taQualityClf: Q = (s, dir) =>
+    graft.operators.QualityClassifier.classify(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val taQualityClfOracle: String = {
+    val S = "1000000.0"
+    val iterCtes = (1 to ClfIters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT feat.doc_id, sum(wf * c) AS dot
+         |  FROM feat JOIN w${i - 1} USING (f) GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT lab.doc_id,
+         |    CAST(floor((1.0/(1.0 + exp(-(CAST(dot AS DOUBLE)/($S * nn.n)))) - y)/nn.n*$S + 0.5) AS BIGINT) AS resid
+         |  FROM lab JOIN d$i USING (doc_id) JOIN nn USING (doc_id)),
+         |g$i AS MATERIALIZED (
+         |  SELECT f, sum(resid * c) AS g FROM feat JOIN r$i USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w${i - 1}.f,
+         |    wf - CAST(floor($ClfLr * CAST(COALESCE(g, 0) AS DOUBLE) / nt + 0.5) AS BIGINT) AS wf
+         |  FROM w${i - 1} LEFT JOIN g$i USING (f), ntr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |nn AS (SELECT doc_id, len(t) AS n FROM tok),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
+       |     + LEAST(len(string_split(text,' ')) / 100.0, 1.0)
+       |     - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' '))) AS q
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN q >= $ClfHi THEN 1 ELSE 0 END AS y
+       |  FROM q WHERE q >= $ClfHi OR q <= $ClfLo),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT % $ClfNf AS f,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, $ClfNf, CAST(len(list_distinct(t)) AS BIGINT) FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, ${ClfNf + 1}, CAST(floor(least(len(t)*len(t)/100.0, len(t))) AS BIGINT) FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, ${ClfNf + 2}, CAST(len(t) AS BIGINT) FROM tok),
+       |ntr AS (SELECT count(*) AS nt FROM lab),
+       |w0 AS (SELECT CAST(r.range AS BIGINT) AS f, CAST(0 AS BIGINT) AS wf FROM range(${ClfNf + 3}) r),
+       |$iterCtes,
+       |sc AS (SELECT feat.doc_id, sum(wf * c) AS dot FROM feat JOIN w$ClfIters USING (f) GROUP BY 1),
+       |p AS (
+       |  SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_tokens,
+       |    floor((1.0/(1.0 + exp(-(CAST(dot AS DOUBLE)/($S * nn.n)))))*$S + 0.5)/$S AS clf_prob
+       |  FROM nn JOIN sc USING (doc_id))
+       |SELECT p.doc_id, n_tokens, clf_prob,
+       |  CAST(CASE WHEN clf_prob >= 0.5 THEN 1 ELSE 0 END AS INT) AS clf_label
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** ta_bpe_train — REAL distributed BPE vocabulary training
     * (TextAnalysis.bpeTrain): one corpus scan compresses to (word,
     * freq), then `BpeTrainRounds` iterations of corpus-wide pair-count
@@ -2957,6 +3032,7 @@ object TrainingDataQueries {
     "ta_bpe_train" -> taBpeTrain,
     "ta_bpe_encode" -> taBpeEncode,
     "ta_perplexity" -> taPerplexity,
+    "ta_quality_clf" -> taQualityClf,
     "ta_perplexity_incremental" -> taPerplexityIncremental,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -3029,6 +3105,7 @@ object TrainingDataQueries {
     "ta_bpe_train" -> taBpeTrainOracle,
     "ta_bpe_encode" -> taBpeEncodeOracle,
     "ta_perplexity" -> taPerplexityOracle,
+    "ta_quality_clf" -> taQualityClfOracle,
     "ta_perplexity_incremental" -> taPerplexityIncrementalOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
