@@ -41,7 +41,18 @@ object Curation {
       // the rebuilt text and its removed-token count.
       trimSpans: Boolean = false,
       spanK: Int = Dedup.DefaultSpanK,
-      minSpanTokens: Int = Dedup.DefaultMinSpanTokens)
+      minSpanTokens: Int = Dedup.DefaultMinSpanTokens,
+      // LM-perplexity stage (4c): train an add-α bigram LM on the
+      // deduped survivors (TextAnalysis.bigramPerplexity) and drop the
+      // most surprising tail — documents above the keep-percent
+      // percentile of perplexity. Runs AFTER dedup (duplicate-heavy
+      // text must not skew the LM counts it is judged by) and BEFORE
+      // split/trim; docs with <2 tokens have no bigram evidence and are
+      // kept. When on, the output gains the (nullable) perplexity
+      // column.
+      perplexityFilter: Boolean = false,
+      perplexityKeepPercent: Int = 90,
+      lmAlpha: Double = 1.0)
 
   /** Stages 1–2 fused into one stateless projection + filter over one
     * scan: every input column survives, plus `quality_score` and
@@ -98,11 +109,64 @@ object Curation {
     // (the bm25 convention): constructing the curated frame stays
     // plan-only; the pipeline runs at the FIRST action and the
     // materialized survivors are shared by all three consumers
-    val unique = if (cfg.trimSpans) unique0.localCheckpoint(false) else unique0
-    val out = Sampling.splitByKey(unique, idCol, cfg.splits)
-      .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
-    withSpanTrim(out, unique, idCol, textCol, cfg)
+    val unique = if (cfg.trimSpans || cfg.perplexityFilter)
+      unique0.localCheckpoint(false) else unique0
+    // stage 4c — LM-perplexity cut over the deduped survivors; the
+    // post-cut set fans out into split + the trim's two consumers, so
+    // materialize it when both stages are on
+    val kept0 = withPerplexityFilter(unique, idCol, textCol, cfg)
+    val kept = if (cfg.trimSpans && cfg.perplexityFilter)
+      kept0.localCheckpoint(false) else kept0
+    val outCols =
+      Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
+        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil)
+    val out = Sampling.splitByKey(kept, idCol, cfg.splits).select(outCols: _*)
+    withSpanTrim(out, kept, idCol, textCol, cfg)
   }
+
+  /** Stage 4c — the model-based quality cut: an add-α bigram LM trains
+    * on the surviving corpus and documents above the
+    * `perplexityKeepPercent` percentile of perplexity are dropped.
+    * Shared verbatim by the batch pipeline and the streaming twin's
+    * finalization (StreamingCuration.curatedFromSinks) so the two
+    * postures cannot drift — the `withSpanTrim` convention.
+    *
+    * The threshold is the EXACT discrete percentile (the value at
+    * ascending position ⌈n·pct/100⌉, integer arithmetic — no float
+    * fraction), computed over the count-per-DISTINCT-perplexity table:
+    * the single-partition cumulative window runs over distinct 6-dp
+    * values, orders of magnitude fewer rows than documents (and one
+    * narrow sort even in the worst case — the standard exact-percentile
+    * cost, deliberately taken over a sketch so the stage stays
+    * DuckDB-gateable; composes with the q23 trade-off note). Ties at
+    * the threshold are all kept, so the cut is key-stable. Documents
+    * without bigram evidence (<2 tokens) carry NULL perplexity and are
+    * kept — no evidence is not low quality. */
+  private[graft] def withPerplexityFilter(survivors: DataFrame,
+      idCol: String, textCol: String, cfg: Config): DataFrame =
+    if (!cfg.perplexityFilter) survivors
+    else {
+      require(cfg.perplexityKeepPercent >= 1 && cfg.perplexityKeepPercent <= 100,
+        "perplexityKeepPercent must be in [1, 100]")
+      val perp = TextAnalysis.bigramPerplexity(
+        survivors.select(col(idCol), col(textCol)), idCol, textCol, cfg.lmAlpha)
+        .select(col(idCol), col("perplexity"))
+      val byVal = perp.groupBy("perplexity").agg(count(lit(1)).as("__c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("perplexity")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = perp.agg(count(lit(1)).as("__ntot"))
+      val thr = byVal.withColumn("__cum", sum("__c").over(win))
+        .crossJoin(broadcast(tot))
+        .filter(col("__cum") >=
+          expr(s"(__ntot * ${cfg.perplexityKeepPercent} + 99) div 100"))
+        .agg(min("perplexity").as("__perp_thr"))
+      survivors.join(perp, Seq(idCol), "left")
+        .crossJoin(broadcast(thr))
+        .filter(col("perplexity").isNull || col("perplexity") <= col("__perp_thr"))
+        .drop("__perp_thr")
+    }
 
   /** Stage 4b — substring dedup over the surviving corpus: shared spans
     * ≥ `cfg.minSpanTokens` are cut from the max-id side
@@ -120,6 +184,8 @@ object Curation {
           .select(col("doc_id").as(idCol), col("trimmed").as(textCol),
             col("removed_tokens")),
         Seq(idCol))
-      .select(col(idCol), col("predicted_lang"), col("quality_score"),
-        col("split"), col(textCol), col("removed_tokens"))
+      // preserve whatever the upstream stages put on `out` (e.g. the
+      // perplexity column when stage 4c is on), then the rebuilt text
+      .select(out.columns.map(col).toSeq ++
+        Seq(col(textCol), col("removed_tokens")): _*)
 }

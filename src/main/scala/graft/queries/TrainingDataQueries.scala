@@ -1794,6 +1794,77 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** tp_curate_lm — the curation pipeline with the LM-perplexity stage
+    * ON (Curation.Config(perplexityFilter = true)): after the quality/
+    * language/dedup stages, an add-1 bigram LM trains on the survivors
+    * and documents above the 90th-percentile perplexity are dropped
+    * (exact discrete percentile, ties kept; <2-token docs carry NULL
+    * perplexity and are kept). The oracle chains the curate CTEs into
+    * the ta_perplexity fixed-point recipe and the integer-arithmetic
+    * percentile cut — proving the quality → dedup → LM → split
+    * COMPOSITION cross-engine. */
+  private val CurateLmCfg = CurateCfg.copy(perplexityFilter = true)
+
+  val tpCurateLm: Q = (s, dir) =>
+    graft.operators.Curation.curate(
+      Tables.documents(s, dir), "doc_id", "text", CurateLmCfg)
+      .orderBy("doc_id")
+
+  val tpCurateLmOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val pct = CurateLmCfg.perplexityKeepPercent
+    val bounds = graft.operators.Sampling.splitBounds(CurateLmCfg.splits)
+    val splitCases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE $curateCtes,
+       |kx AS (
+       |  SELECT kept.doc_id, kept.predicted_lang, kept.quality_score, ex.text
+       |  FROM kept JOIN ex USING (doc_id)),
+       |ptok AS (SELECT doc_id, string_split(text, ' ') AS t FROM kx),
+       |puni AS (
+       |  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM (
+       |    SELECT unnest(t) AS w1 FROM ptok)
+       |  GROUP BY w1),
+       |pv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM puni),
+       |pbi AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+       |      i -> struct_pack(w1 := t[i + 1], w2 := t[i + 2]))) AS b
+       |    FROM ptok WHERE len(t) >= 2)),
+       |pcb AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pbi GROUP BY 1, 2),
+       |plp AS (
+       |  SELECT pbi.doc_id,
+       |    CAST(floor(ln((cb + 1.0) / (cu + 1.0 * pv.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+       |  FROM pbi JOIN pcb USING (w1, w2) JOIN puni USING (w1), pv),
+       |perp AS (
+       |  SELECT doc_id,
+       |    floor(exp(-(CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+       |  FROM plp GROUP BY doc_id),
+       |pcnt AS (SELECT count(*) AS ntot FROM perp),
+       |pthr AS (
+       |  SELECT min(perplexity) AS thr FROM (
+       |    SELECT perplexity,
+       |      sum(c) OVER (ORDER BY perplexity
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT perplexity, count(*) AS c FROM perp GROUP BY 1)), pcnt
+       |  WHERE cum >= (ntot * $pct + 99) // 100),
+       |keptlm AS (
+       |  SELECT kx.doc_id, kx.predicted_lang, kx.quality_score, perp.perplexity
+       |  FROM kx LEFT JOIN perp USING (doc_id), pthr
+       |  WHERE perp.perplexity IS NULL OR perp.perplexity <= pthr.thr),
+       |withu AS (
+       |  SELECT doc_id, predicted_lang, quality_score, perplexity,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM keptlm)
+       |SELECT doc_id, predicted_lang, quality_score,
+       |  CASE $splitCases ELSE '${CurateLmCfg.splits.last._1}' END AS split,
+       |  perplexity
+       |FROM withu
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ds_split — deterministic key-stable train/val/test assignment
     * (operators.Sampling.splitByKey): membership is a pure function of
     * (doc_id, salt), so re-runs and corpus growth never move a document
@@ -3038,6 +3109,7 @@ object TrainingDataQueries {
     "ds_sample_stratified" -> dsSampleStratified,
     "tp_curate" -> tpCurate,
     "tp_curate_trim" -> tpCurateTrim,
+    "tp_curate_lm" -> tpCurateLm,
     "op_salted_agg" -> opSaltedAgg,
     "ta_repetition" -> taRepetition,
     "tx_redact" -> txRedact,
@@ -3111,6 +3183,7 @@ object TrainingDataQueries {
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
     "tp_curate" -> tpCurateOracle,
     "tp_curate_trim" -> tpCurateTrimOracle,
+    "tp_curate_lm" -> tpCurateLmOracle,
     "op_salted_agg" -> opSaltedAggOracle,
     "ta_repetition" -> taRepetitionOracle,
     "tx_redact" -> txRedactOracle,

@@ -91,11 +91,18 @@ object StreamingCuration {
       idCol: String,
       cfg: Curation.Config = Curation.Config(),
       textCol: String = "text"): DataFrame = {
-    val kept = candidates.join(
+    val kept0 = candidates.join(
       notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
       Seq(idCol), "left_anti")
-    val out = Sampling.splitByKey(kept, idCol, cfg.splits)
-      .select(col(idCol), col("predicted_lang"), col("quality_score"), col("split"))
+    // stage 4c — the SAME LM-perplexity cut the batch pipeline runs
+    // (Curation.withPerplexityFilter), over the post-dedup survivors;
+    // finalization is batch-side, so the stage composes with zero
+    // semantic delta
+    val kept = Curation.withPerplexityFilter(kept0, idCol, textCol, cfg)
+    val outCols =
+      Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
+        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil)
+    val out = Sampling.splitByKey(kept, idCol, cfg.splits).select(outCols: _*)
     Curation.withSpanTrim(out, kept, idCol, textCol, cfg)
   }
 }
