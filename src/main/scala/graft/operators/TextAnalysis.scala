@@ -415,16 +415,25 @@ object TextAnalysis {
   def bigramPerplexityFromModel(
       df: DataFrame, idCol: String, textCol: String,
       uni: DataFrame, bi: DataFrame,
-      alpha: Double = 1.0, roundDp: Int = 6): DataFrame = {
+      alpha: Double = 1.0, roundDp: Int = 6,
+      // extra named grouping columns computed over the input row and
+      // carried through the per-doc aggregation — the streaming twin
+      // (streaming.StreamingPerplexity) passes its event-time window
+      // here so append-mode emission and state expiry work; batch
+      // callers leave it empty and the plan is unchanged
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed zeros have log -inf)")
     val v = uni.select(count(lit(1)).as("v"))
+    val carryNames = carry.map(_._1)
+    val keyCols = col(idCol) +: carryNames.map(col)
     val docBi = df
-      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol) +: carry.map { case (n, c) => c.as(n) } :+
+        tokens(col(textCol)).as("t"): _*)
       .filter(size(col("t")) >= 2)
-      .select(col(idCol), explode(expr(
+      .select(keyCols :+ explode(expr(
         "transform(sequence(0, size(t) - 2), i -> " +
-          "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"): _*)
+      .select(keyCols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
     val scaled = math.pow(10, roundDp)
     val lp = floor(log(
       (coalesce(col("cb"), lit(0L)).cast("double") + lit(alpha)) /
@@ -435,12 +444,12 @@ object TextAnalysis {
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .select(col(idCol), lp.as("lp_fixed"))
-      .groupBy(col(idCol))
+      .select(keyCols :+ lp.as("lp_fixed"): _*)
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_bigrams"), sum("lp_fixed").as("lp_sum"))
-      .select(col(idCol), col("n_bigrams"),
+      .select(keyCols ++ Seq(col("n_bigrams"),
         roundFixed(exp(-(col("lp_sum").cast("double") / lit(scaled)) /
-          col("n_bigrams").cast("double")), roundDp).as("perplexity"))
+          col("n_bigrams").cast("double")), roundDp).as("perplexity")): _*)
   }
 
   /** REAL distributed BPE merge training (the standard byte-pair-
