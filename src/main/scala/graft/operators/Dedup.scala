@@ -851,12 +851,23 @@ object Dedup {
     maxDocFreqFraction match {
       case None => sh
       case Some(f) =>
+        // materialize the posting projection ONCE (lazy localCheckpoint,
+        // the bm25 convention): the guard consumes it twice — the
+        // doc-freq aggregate and the keep join — and the aggregate's
+        // map-side partial-distinct phase runs BELOW its exchange, so
+        // exchange reuse can never unify the two consumers; without the
+        // checkpoint the full tokenize→shingle→md5 scan runs once per
+        // consumer (measured 3 corpus scans per sharedSpans execution —
+        // the dominant cost of every span gate at sf0.1). At corpus
+        // scale the checkpoint is a disk-backed (doc, pos, h) spill of
+        // ~24 B/shingle — strictly cheaper than re-hashing the corpus.
+        val shc = sh.localCheckpoint(false)
         val limitDf = df.select(greatest(lit(MinDocFreqFloor.toDouble),
           count(lit(1)).cast("double") * f).as("df_limit"))
-        val keep = sh.groupBy("h").agg(countDistinct("doc").as("df"))
+        val keep = shc.groupBy("h").agg(countDistinct("doc").as("df"))
           .crossJoin(broadcast(limitDf))
           .filter(col("df") <= col("df_limit")).select("h")
-        sh.join(keep, "h")
+        shc.join(keep, "h")
     }
   }
 
