@@ -594,7 +594,29 @@ object TrainingDataQueries {
       Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  val taQualityClfOracle: String = {
+  val taQualityClfOracle: String = qualityClfOracle(labWhere = "", scoreWhere = "")
+
+  /** ta_quality_clf_incremental — NEW docs scored under the FROZEN
+    * classifier (the ta_perplexity_incremental convention): the
+    * standing corpus (id%5 ≠ 0) derives the seed labels and trains the
+    * weights; the incoming delta (id%5 = 0) is scored under them — the
+    * O(Δ)-per-ingest posture where the model is trained once per corpus
+    * version and every batch pays one aggregation. The oracle is the
+    * same unrolled training chain with the label set restricted to the
+    * corpus split and the scoring restricted to the delta. */
+  val taQualityClfIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.QualityClassifier.trainWeights(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+    graft.operators.QualityClassifier.scoreWithWeights(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", w)
+      .orderBy("doc_id")
+  }
+
+  val taQualityClfIncrementalOracle: String = qualityClfOracle(
+    labWhere = " AND doc_id % 5 <> 0", scoreWhere = "WHERE doc_id % 5 = 0")
+
+  private def qualityClfOracle(labWhere: String, scoreWhere: String): String = {
     val S = "1000000.0"
     val iterCtes = (1 to ClfIters).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -622,7 +644,7 @@ object TrainingDataQueries {
        |  FROM documents),
        |lab AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN q >= $ClfHi THEN 1 ELSE 0 END AS y
-       |  FROM q WHERE q >= $ClfHi OR q <= $ClfLo),
+       |  FROM q WHERE (q >= $ClfHi OR q <= $ClfLo)$labWhere),
        |feat AS MATERIALIZED (
        |  SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT % $ClfNf AS f,
        |         CAST(count(*) AS BIGINT) AS c
@@ -641,7 +663,7 @@ object TrainingDataQueries {
        |p AS (
        |  SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_tokens,
        |    floor((1.0/(1.0 + exp(-(CAST(dot AS DOUBLE)/($S * nn.n)))))*$S + 0.5)/$S AS clf_prob
-       |  FROM nn JOIN sc USING (doc_id))
+       |  FROM nn JOIN sc USING (doc_id) $scoreWhere)
        |SELECT p.doc_id, n_tokens, clf_prob,
        |  CAST(CASE WHEN clf_prob >= 0.5 THEN 1 ELSE 0 END AS INT) AS clf_label
        |FROM p ORDER BY doc_id""".stripMargin
@@ -3104,6 +3126,7 @@ object TrainingDataQueries {
     "ta_bpe_encode" -> taBpeEncode,
     "ta_perplexity" -> taPerplexity,
     "ta_quality_clf" -> taQualityClf,
+    "ta_quality_clf_incremental" -> taQualityClfIncremental,
     "ta_perplexity_incremental" -> taPerplexityIncremental,
     "ds_split" -> dsSplit,
     "ds_sample_stratified" -> dsSampleStratified,
@@ -3178,6 +3201,7 @@ object TrainingDataQueries {
     "ta_bpe_encode" -> taBpeEncodeOracle,
     "ta_perplexity" -> taPerplexityOracle,
     "ta_quality_clf" -> taQualityClfOracle,
+    "ta_quality_clf_incremental" -> taQualityClfIncrementalOracle,
     "ta_perplexity_incremental" -> taPerplexityIncrementalOracle,
     "ds_split" -> dsSplitOracle,
     "ds_sample_stratified" -> dsSampleStratifiedOracle,
