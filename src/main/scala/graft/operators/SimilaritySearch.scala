@@ -297,18 +297,33 @@ object SimilaritySearch {
       delta: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 0, k: Int = 3,
       maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     graft.GraftExtensions.register(delta.sparkSession)
     val bits = if (nBits == 0) nBitsFor(postureCount(corpus)) else nBits
-    val bCols = lshBucketCols(dim, bits, 1)
-    val d = bucketedMembers(delta, idCol, vecCol, bCols)
-      .select(col("id").as("delta_id"), col("v").as("vd"),
-        col("nrm").as("nd"), col("bucket"))
-    val cRaw = bucketedMembers(corpus, idCol, vecCol, bCols)
+    lshNeighborsIncrementalFromIndex(
+      delta, embBucketIndex(corpus, idCol, vecCol, dim, bits, maxBucket),
+      idCol, vecCol, dim, bits, k)
+  }
+
+  /** The corpus side of [[lshNeighborsIncremental]] as a PERSISTABLE
+    * index — the embedding twin of `Dedup.minhashBandIndex`: one
+    * zero-shuffle bucket/norm projection with the (load-bearing)
+    * occupancy cap applied at build time. Plain (corpus_id, vc, nc,
+    * bucket) columns, parquet-round-trippable. `nBits` must be explicit
+    * here (there is no corpus to derive the posture from on reload) —
+    * searches against a persisted copy must pass the SAME value, the
+    * `_lsh_meta.txt` concern; the bucketed writer below records it in
+    * the table comment-free layout by contract. */
+  def embBucketIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): DataFrame = {
+    require(nBits >= 1, "nBits must be explicit for a persistable index")
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val cRaw = bucketedMembers(corpus, idCol, vecCol, lshBucketCols(dim, nBits, 1))
       .select(col("id").as("corpus_id"), col("v").as("vc"),
         col("nrm").as("nc"), col("bucket"))
-    val c = maxBucket match {
+    maxBucket match {
       case None => cRaw
       case Some(cap) =>
         // key-stable per-bucket cap on the persistable index side —
@@ -319,7 +334,20 @@ object SimilaritySearch {
         cRaw.withColumn("__r", row_number().over(w))
           .filter(col("__r") <= cap).drop("__r")
     }
-    val pairs = d.join(c, Seq("bucket"))
+  }
+
+  /** [[lshNeighborsIncremental]] against an already-built (possibly
+    * persisted-and-reloaded) [[embBucketIndex]]: the O(Δ) ingest path
+    * pays the delta's bucket projection and ONE bucket equi-join. */
+  def lshNeighborsIncrementalFromIndex(
+      delta: DataFrame, corpusIndex: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.GraftExtensions.register(delta.sparkSession)
+    val d = bucketedMembers(delta, idCol, vecCol, lshBucketCols(dim, nBits, 1))
+      .select(col("id").as("delta_id"), col("v").as("vd"),
+        col("nrm").as("nd"), col("bucket"))
+    val pairs = d.join(corpusIndex, Seq("bucket"))
       .filter(col("delta_id") =!= col("corpus_id"))
       .select(col("delta_id").cast("long").as("delta_id"),
         (dot(col("vd"), col("vc")) / (col("nd") * col("nc"))).as("cos"),
@@ -327,6 +355,21 @@ object SimilaritySearch {
     topKPerVector(pairs, k)
       .toDF("delta_id", "corpus_id", "cos")
   }
+
+  /** Persist the embedding bucket index as a BUCKETED-and-sorted table
+    * on the bucket string — completing the bucketed persisted-index
+    * family across every dedup modality (spans, MinHash, SimHash, and
+    * now embeddings): ingest joins against `spark.table(table)` shuffle
+    * ONLY the delta's bucket rows; the corpus side reads bucket-in-place
+    * (EmbIndexBucketingSpec asserts the single-exchange plan). */
+  def writeEmbBucketIndexBucketed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, nBuckets: Int, dim: Int, nBits: Int,
+      path: Option[String] = None,
+      maxBucket: Option[Int] = Some(DefaultMaxBucketOccupancy)): Unit =
+    graft.store.Bucketing.writeBucketed(
+      embBucketIndex(corpus, idCol, vecCol, dim, nBits, maxBucket),
+      table, "bucket", nBuckets, path)
 
   /** Table-indexed hyperplane bucket expressions over the vector column
     * `v` — table t's planes draw from a disjoint splitmix64 range.

@@ -2338,6 +2338,34 @@ object TrainingDataQueries {
        |ORDER BY delta_id, corpus_id""".stripMargin
   }
 
+  /** dd_embedding_idx_bucketed — the incremental embedding neighbor
+    * search against the BUCKETED persisted hyperplane index
+    * (SimilaritySearch.writeEmbBucketIndexBucketed), completing the
+    * bucketed-index family across every dedup modality (spans, MinHash,
+    * SimHash, embeddings): the corpus's (id, vec, norm, bucket) rows
+    * are written bucketed-and-sorted on the bucket string, so the
+    * ingest join shuffles only the delta (EmbIndexBucketingSpec asserts
+    * the plan). Layout must not change results — shares
+    * dd_embedding_incremental's oracle verbatim. */
+  val ddEmbeddingIdxBucketed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val table = s"graft_emb_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"embidx:${System.identityHashCode(s)}:$dir", {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      graft.operators.SimilaritySearch.writeEmbBucketIndexBucketed(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding",
+        table, nBuckets = 4, dim = 64, nBits = EmbNBits,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("graft-emb-idx-gate").toString))
+      table
+    })
+    graft.operators.SimilaritySearch.lshNeighborsIncrementalFromIndex(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), s.table(table),
+      "vec_id", "embedding", dim = 64, nBits = EmbNBits, k = EmbK)
+      .filter(col("cos") >= EmbIncThreshold)
+      .orderBy("delta_id", "corpus_id")
+  }
+
   /** sk_sketches — approximate aggregates (HLL++ distinct count,
     * approximate percentiles): the constant-memory alternative to exact
     * distinct/percentile at 100 TB. Sketch INTERNALS are engine-specific,
@@ -3104,6 +3132,7 @@ object TrainingDataQueries {
     "sk_sketches" -> skSketches,
     "dd_embedding" -> ddEmbedding,
     "dd_embedding_incremental" -> ddEmbeddingIncremental,
+    "dd_embedding_idx_bucketed" -> ddEmbeddingIdxBucketed,
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
     "dd_keep_best" -> ddKeepBest,
@@ -3216,6 +3245,7 @@ object TrainingDataQueries {
     "dd_decontaminate" -> ddDecontaminateOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_embedding_incremental" -> ddEmbeddingIncrementalOracle,
+    "dd_embedding_idx_bucketed" -> ddEmbeddingIncrementalOracle,
     "dd_minhash" -> ddMinhashOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,
