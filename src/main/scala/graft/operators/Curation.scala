@@ -52,7 +52,14 @@ object Curation {
       // column.
       perplexityFilter: Boolean = false,
       perplexityKeepPercent: Int = 90,
-      lmAlpha: Double = 1.0)
+      lmAlpha: Double = 1.0,
+      // trained-classifier stage (4d), the third leg of the quality
+      // stack (heuristic floor = stage 1, LM surprise = 4c, classifier
+      // = 4d): QualityClassifier trains on the surviving corpus's own
+      // seed extremes and documents scoring below clfMinProb are
+      // dropped. Runs after the LM stage; the output gains clf_prob.
+      classifierFilter: Boolean = false,
+      clfMinProb: Double = 0.5)
 
   /** Stages 1–2 fused into one stateless projection + filter over one
     * scan: every input column survives, plus `quality_score` and
@@ -109,20 +116,47 @@ object Curation {
     // (the bm25 convention): constructing the curated frame stays
     // plan-only; the pipeline runs at the FIRST action and the
     // materialized survivors are shared by all three consumers
-    val unique = if (cfg.trimSpans || cfg.perplexityFilter)
-      unique0.localCheckpoint(false) else unique0
-    // stage 4c — LM-perplexity cut over the deduped survivors; the
-    // post-cut set fans out into split + the trim's two consumers, so
-    // materialize it when both stages are on
-    val kept0 = withPerplexityFilter(unique, idCol, textCol, cfg)
-    val kept = if (cfg.trimSpans && cfg.perplexityFilter)
+    val multiConsumer = cfg.trimSpans || cfg.perplexityFilter || cfg.classifierFilter
+    val unique = if (multiConsumer) unique0.localCheckpoint(false) else unique0
+    // stage 4c — LM-perplexity cut over the deduped survivors;
+    // materialize the post-cut set when a later stage re-consumes it
+    val kept1raw = withPerplexityFilter(unique, idCol, textCol, cfg)
+    val kept1 = if (cfg.perplexityFilter && (cfg.classifierFilter || cfg.trimSpans))
+      kept1raw.localCheckpoint(false) else kept1raw
+    // stage 4d — trained-classifier cut (the model trains on the
+    // surviving corpus itself, so it runs over the post-LM set)
+    val kept0 = withClassifierFilter(kept1, idCol, textCol, cfg)
+    val kept = if (cfg.classifierFilter && cfg.trimSpans)
       kept0.localCheckpoint(false) else kept0
     val outCols =
       Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
-        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil)
+        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil) ++
+        (if (cfg.classifierFilter) Seq(col("clf_prob")) else Nil)
     val out = Sampling.splitByKey(kept, idCol, cfg.splits).select(outCols: _*)
     withSpanTrim(out, kept, idCol, textCol, cfg)
   }
+
+  /** Stage 4d — the trained-classifier quality cut
+    * ([[QualityClassifier]]): weights train on the surviving corpus's
+    * own heuristic-extreme seed labels (the production bootstrap before
+    * hand labels exist) and documents with clf_prob below
+    * `cfg.clfMinProb` are dropped; survivors gain the clf_prob column.
+    * Shared verbatim by the batch pipeline and the streaming twin's
+    * finalization — the `withPerplexityFilter` convention. NOTE:
+    * training is inherently eager (bounded driver collects per round),
+    * so constructing a classifier-on curation frame runs the training
+    * jobs up front; scoring itself stays plan-only. */
+  private[graft] def withClassifierFilter(survivors: DataFrame,
+      idCol: String, textCol: String, cfg: Config): DataFrame =
+    if (!cfg.classifierFilter) survivors
+    else {
+      val slim = survivors.select(col(idCol), col(textCol))
+      val w = QualityClassifier.trainWeights(slim, idCol, textCol)
+      val scored = QualityClassifier.scoreWithWeights(slim, idCol, textCol, w)
+        .select(col(idCol), col("clf_prob"))
+      survivors.join(scored, Seq(idCol), "left")
+        .filter(col("clf_prob").isNull || col("clf_prob") >= cfg.clfMinProb)
+    }
 
   /** Stage 4c — the model-based quality cut: an add-α bigram LM trains
     * on the surviving corpus and documents above the

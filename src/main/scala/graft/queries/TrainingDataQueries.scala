@@ -616,7 +616,18 @@ object TrainingDataQueries {
   val taQualityClfIncrementalOracle: String = qualityClfOracle(
     labWhere = " AND doc_id % 5 <> 0", scoreWhere = "WHERE doc_id % 5 = 0")
 
-  private def qualityClfOracle(labWhere: String, scoreWhere: String): String = {
+  private def qualityClfOracle(labWhere: String, scoreWhere: String): String =
+    s"""WITH ${qualityClfCtes("documents", labWhere, scoreWhere)}
+       |SELECT p.doc_id, n_tokens, clf_prob,
+       |  CAST(CASE WHEN clf_prob >= 0.5 THEN 1 ELSE 0 END AS INT) AS clf_label
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** The unrolled training+scoring CTE chain over `src` — any relation
+    * with (doc_id, text): ends at `p` (doc_id, n_tokens, clf_prob).
+    * Shared by the standalone classifier gates (src = documents) and
+    * the curation composition (src = the survivors CTE). CTE names are
+    * chosen not to clash with the curate chain (cq, not q). */
+  private def qualityClfCtes(src: String, labWhere: String, scoreWhere: String): String = {
     val S = "1000000.0"
     val iterCtes = (1 to ClfIters).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -633,18 +644,18 @@ object TrainingDataQueries {
          |    wf - CAST(floor($ClfLr * CAST(COALESCE(g, 0) AS DOUBLE) / nt + 0.5) AS BIGINT) AS wf
          |  FROM w${i - 1} LEFT JOIN g$i USING (f), ntr)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        |nn AS (SELECT doc_id, len(t) AS n FROM tok),
-       |q AS (
+       |cq AS (
        |  SELECT doc_id,
        |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
        |     + LEAST(len(string_split(text,' ')) / 100.0, 1.0)
        |     - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' '))) AS q
-       |  FROM documents),
+       |  FROM $src),
        |lab AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN q >= $ClfHi THEN 1 ELSE 0 END AS y
-       |  FROM q WHERE (q >= $ClfHi OR q <= $ClfLo)$labWhere),
+       |  FROM cq WHERE (q >= $ClfHi OR q <= $ClfLo)$labWhere),
        |feat AS MATERIALIZED (
        |  SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT % $ClfNf AS f,
        |         CAST(count(*) AS BIGINT) AS c
@@ -663,10 +674,7 @@ object TrainingDataQueries {
        |p AS (
        |  SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_tokens,
        |    floor((1.0/(1.0 + exp(-(CAST(dot AS DOUBLE)/($S * nn.n)))))*$S + 0.5)/$S AS clf_prob
-       |  FROM nn JOIN sc USING (doc_id) $scoreWhere)
-       |SELECT p.doc_id, n_tokens, clf_prob,
-       |  CAST(CASE WHEN clf_prob >= 0.5 THEN 1 ELSE 0 END AS INT) AS clf_label
-       |FROM p ORDER BY doc_id""".stripMargin
+       |  FROM nn JOIN sc USING (doc_id) $scoreWhere)""".stripMargin
   }
 
   /** ta_bpe_train — REAL distributed BPE vocabulary training
@@ -1884,6 +1892,48 @@ object TrainingDataQueries {
        |  CASE $splitCases ELSE '${CurateLmCfg.splits.last._1}' END AS split,
        |  perplexity
        |FROM withu
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tp_curate_clf — the curation pipeline with the trained-classifier
+    * stage ON (Curation.Config(classifierFilter = true)), completing
+    * the three-leg quality stack under one composition gate: after the
+    * quality/language/dedup stages, QualityClassifier trains on the
+    * SURVIVORS' own seed extremes and docs scoring below 0.5 are
+    * dropped; output gains clf_prob. The oracle chains the curate CTEs
+    * into the shared unrolled training chain (src = the survivors) and
+    * the split tail — quality → dedup → TRAIN → score → cut → split,
+    * all hash-matched cross-engine. */
+  private val CurateClfCfg = CurateCfg.copy(classifierFilter = true)
+
+  val tpCurateClf: Q = (s, dir) =>
+    graft.operators.Curation.curate(
+      Tables.documents(s, dir), "doc_id", "text", CurateClfCfg)
+      .orderBy("doc_id")
+
+  val tpCurateClfOracle: String = {
+    val P = graft.functions.TextFunctions.P
+    val bounds = graft.operators.Sampling.splitBounds(CurateClfCfg.splits)
+    val splitCases = bounds.map { case (name, b) => s"WHEN u < $b THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE $curateCtes,
+       |kx AS (
+       |  SELECT kept.doc_id, kept.predicted_lang, kept.quality_score, ex.text
+       |  FROM kept JOIN ex USING (doc_id)),
+       |${qualityClfCtes("kx", "", "")},
+       |keptclf AS (
+       |  SELECT kx.doc_id, kx.predicted_lang, kx.quality_score, p.clf_prob
+       |  FROM kx LEFT JOIN p USING (doc_id)
+       |  WHERE p.clf_prob IS NULL OR p.clf_prob >= ${CurateClfCfg.clfMinProb}),
+       |cwithu AS (
+       |  SELECT doc_id, predicted_lang, quality_score, clf_prob,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT % $P)
+       |      / CAST($P AS DOUBLE) AS u
+       |  FROM keptclf)
+       |SELECT doc_id, predicted_lang, quality_score,
+       |  CASE $splitCases ELSE '${CurateClfCfg.splits.last._1}' END AS split,
+       |  clf_prob
+       |FROM cwithu
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3162,6 +3212,7 @@ object TrainingDataQueries {
     "tp_curate" -> tpCurate,
     "tp_curate_trim" -> tpCurateTrim,
     "tp_curate_lm" -> tpCurateLm,
+    "tp_curate_clf" -> tpCurateClf,
     "op_salted_agg" -> opSaltedAgg,
     "ta_repetition" -> taRepetition,
     "tx_redact" -> txRedact,
@@ -3237,6 +3288,7 @@ object TrainingDataQueries {
     "tp_curate" -> tpCurateOracle,
     "tp_curate_trim" -> tpCurateTrimOracle,
     "tp_curate_lm" -> tpCurateLmOracle,
+    "tp_curate_clf" -> tpCurateClfOracle,
     "op_salted_agg" -> opSaltedAggOracle,
     "ta_repetition" -> taRepetitionOracle,
     "tx_redact" -> txRedactOracle,

@@ -94,14 +94,18 @@ object StreamingCuration {
     val kept0 = candidates.join(
       notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
       Seq(idCol), "left_anti")
-    // stage 4c — the SAME LM-perplexity cut the batch pipeline runs
-    // (Curation.withPerplexityFilter), over the post-dedup survivors;
-    // finalization is batch-side, so the stage composes with zero
+    // stages 4c/4d — the SAME LM-perplexity and trained-classifier cuts
+    // the batch pipeline runs (Curation.withPerplexityFilter /
+    // withClassifierFilter), over the post-dedup survivors;
+    // finalization is batch-side, so the stages compose with zero
     // semantic delta
-    val kept = Curation.withPerplexityFilter(kept0, idCol, textCol, cfg)
+    val kept = Curation.withClassifierFilter(
+      Curation.withPerplexityFilter(kept0, idCol, textCol, cfg),
+      idCol, textCol, cfg)
     val outCols =
       Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
-        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil)
+        (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil) ++
+        (if (cfg.classifierFilter) Seq(col("clf_prob")) else Nil)
     val out = Sampling.splitByKey(kept, idCol, cfg.splits).select(outCols: _*)
     Curation.withSpanTrim(out, kept, idCol, textCol, cfg)
   }

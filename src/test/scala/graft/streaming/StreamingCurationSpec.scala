@@ -164,6 +164,49 @@ class StreamingCurationSpec extends SparkSpecBase {
       s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
   }
 
+  test("classifier-on finalization equals Curation.curate with the clf stage on") {
+    val batch = corpus.toDF("doc_id", "text", "ts")
+    val cfg = Curation.Config(classifierFilter = true)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val expected = Curation.curate(batch, "doc_id", "text", cfg)
+      .collect().map(key).toSet
+    assert(expected.nonEmpty)
+
+    val src = Files.createTempDirectory("graft-scur-clf-src").toString
+    batch.coalesce(1).write.mode("append").json(src)
+    def stream() = spark.readStream.schema(schema).json(src)
+    val candOut = Files.createTempDirectory("graft-scur-clf-cand").toString
+    val q1 = StreamingCuration.qualifiedStream(stream(), "doc_id", "text", timeCol = "ts")
+      .select("doc_id", "text", "quality_score", "predicted_lang")
+      .writeStream.format("parquet").option("path", candOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-clf-ck1").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val dropOut = Files.createTempDirectory("graft-scur-clf-drop").toString
+    val q2 = StreamingCuration.dropNotices(spark, stream(), "doc_id", "text",
+      timeCol = "ts", horizonMinutes = 600)
+      .writeStream.format("parquet").option("path", dropOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-clf-ck2").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q1.stop()
+    q2.awaitTermination(120000); q2.stop()
+
+    val candSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("quality_score", DoubleType),
+      StructField("predicted_lang", StringType)))
+    val noticeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("event_time", TimestampType),
+      StructField("matched_doc_id", LongType)))
+    val curated = StreamingCuration.curatedFromSinks(
+      spark.read.schema(candSchema).parquet(candOut),
+      spark.read.schema(noticeSchema).parquet(dropOut), "doc_id", cfg)
+      .collect().map(key).toSet
+    assert(curated === expected,
+      s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
+  }
+
   test("trim-on finalization equals Curation.curate with the span stage on") {
     // two extra survivors sharing a 14-token passage (7 of 33 8-shingles
     // → Jaccard ≈ 0.12, far below the 0.5 near-dup cut, so BOTH survive
