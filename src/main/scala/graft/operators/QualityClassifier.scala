@@ -170,6 +170,46 @@ object QualityClassifier {
       .withColumn("clf_label", (col("clf_prob") >= 0.5).cast("int"))
   }
 
+  /** IN-ROW scoring twin of [[scoreWithWeights]]: the fixed-point dot
+    * product Σ_f w_f·c_f equals Σ_tokens w[hash(token)] plus the three
+    * engineered terms, so scoring is a pure per-row expression — no
+    * feature table, no aggregation, no shuffle. Both formulations sum
+    * the SAME multiset of longs (integer addition is order-independent),
+    * so the result is BIT-IDENTICAL to the aggregated path
+    * (QualityClassifierSpec proves row-for-row equality) — which makes
+    * this the streaming twin's body: a stateless projection is legal on
+    * any streaming frame with no watermark or state at all
+    * (streaming.StreamingQualityClassifier). */
+  def scoreRowWise(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    val nf = weights.length - 3
+    require(nf >= 1, "weights must cover the 3 engineered features")
+    val wLit = typedLit(weights.toSeq)
+    val t = col("__t")
+    val n = size(t).cast("long")
+    val hashedDot = aggregate(
+      transform(t, w => element_at(wLit,
+        (pmod(TextFunctions.shingleKey(w), lit(nf.toLong)) + 1L).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val dot = hashedDot +
+      element_at(wLit, nf + 1) * size(array_distinct(t)).cast("long") +
+      element_at(wLit, nf + 2) *
+        floor(least(n * n / lit(100.0), n.cast("double"))).cast("long") +
+      element_at(wLit, nf + 3) * n
+    docs
+      .select(docs.columns.map(col).toSeq :+
+        TextFunctions.tokens(col(textCol)).as("__t"): _*)
+      .select(docs.columns.map(col).toSeq ++ Seq(
+        n.as("n_tokens"), dot.as("dot")): _*)
+      .select(docs.columns.map(col).toSeq ++ Seq(
+        col("n_tokens"),
+        roundFixed(lit(1.0) / (lit(1.0) +
+          exp(-(col("dot").cast("double") /
+            (lit(Scale) * col("n_tokens").cast("double"))))), 6).as("clf_prob")): _*)
+      .withColumn("clf_label", (col("clf_prob") >= 0.5).cast("int"))
+  }
+
   /** Train-then-score in one call — the gated composition
     * (ta_quality_clf). */
   def classify(

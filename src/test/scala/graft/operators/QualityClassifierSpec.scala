@@ -60,6 +60,25 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(viaFrozen === direct)
   }
 
+  test("in-row scoring is bit-identical to the aggregated path (the streaming twin's body)") {
+    val w = QualityClassifier.trainWeights(docs, "doc_id", "text")
+    val agg = QualityClassifier.scoreWithWeights(docs, "doc_id", "text", w)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val rowWise = QualityClassifier.scoreRowWise(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", w)
+      .select("doc_id", "n_tokens", "clf_prob", "clf_label")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rowWise === agg)
+    // and it is genuinely shuffle-free — the property that makes it
+    // legal as a stateless streaming projection
+    val plan = QualityClassifier.scoreRowWise(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("probabilities are calibrated-direction: positive seeds score above negative seeds on average") {
     val scored = QualityClassifier.classify(docs, "doc_id", "text")
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
