@@ -207,6 +207,63 @@ class StreamingCurationSpec extends SparkSpecBase {
       s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
   }
 
+  test("ALL-stages finalization (trim + LM + classifier) equals the batch pipeline") {
+    // the maximal composition: exercises the multi-stage checkpoint
+    // plumbing and column preservation (perplexity + clf_prob + trimmed
+    // text all surviving to the output) — each stage's cross-engine
+    // semantics is already oracle-gated pairwise
+    val passage = Seq("the", "of") ++ (0 until 12).map(i => s"q_$i")
+    val extra = Seq(
+      (2000L, (passage ++ (0 until 26).map(i => s"ya_$i")).mkString(" "),
+        "2024-01-01T11:10:00"),
+      (2001L, (passage ++ (0 until 26).map(i => s"yb_$i")).mkString(" "),
+        "2024-01-01T11:11:00"))
+    val batch = (corpus ++ extra).toDF("doc_id", "text", "ts")
+    val cfg = Curation.Config(trimSpans = true, perplexityFilter = true,
+      perplexityKeepPercent = 85, classifierFilter = true, clfMinProb = 0.000001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getString(6), r.getLong(7))
+    val expected = Curation.curate(batch, "doc_id", "text", cfg)
+      .collect().map(key).toSet
+    assert(expected.nonEmpty)
+    assert(expected.exists(_._8 > 0), "span stage must trim something")
+
+    val src = Files.createTempDirectory("graft-scur-all-src").toString
+    batch.coalesce(1).write.mode("append").json(src)
+    def stream() = spark.readStream.schema(schema).json(src)
+    val candOut = Files.createTempDirectory("graft-scur-all-cand").toString
+    val q1 = StreamingCuration.qualifiedStream(stream(), "doc_id", "text", timeCol = "ts")
+      .select("doc_id", "text", "quality_score", "predicted_lang")
+      .writeStream.format("parquet").option("path", candOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-all-ck1").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val dropOut = Files.createTempDirectory("graft-scur-all-drop").toString
+    val q2 = StreamingCuration.dropNotices(spark, stream(), "doc_id", "text",
+      timeCol = "ts", horizonMinutes = 600)
+      .writeStream.format("parquet").option("path", dropOut)
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-all-ck2").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q1.stop()
+    q2.awaitTermination(120000); q2.stop()
+
+    val candSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("quality_score", DoubleType),
+      StructField("predicted_lang", StringType)))
+    val noticeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("event_time", TimestampType),
+      StructField("matched_doc_id", LongType)))
+    val curated = StreamingCuration.curatedFromSinks(
+      spark.read.schema(candSchema).parquet(candOut),
+      spark.read.schema(noticeSchema).parquet(dropOut), "doc_id", cfg)
+      .collect().map(key).toSet
+    assert(curated === expected,
+      s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
+  }
+
   test("trim-on finalization equals Curation.curate with the span stage on") {
     // two extra survivors sharing a 14-token passage (7 of 33 8-shingles
     // → Jaccard ≈ 0.12, far below the 0.5 near-dup cut, so BOTH survive
