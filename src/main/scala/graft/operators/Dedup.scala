@@ -466,6 +466,23 @@ object Dedup {
         .withColumn("bb", bandKey),
       table, "bb", nBuckets, path)
 
+  /** APPEND a new batch's band rows into an existing bucketed MinHash
+    * band index — [[appendToSpanPostingIndexBucketed]]'s signature-family
+    * twin, same frozen-decision contract: the build-time occupancy cap
+    * is not re-run (appends can push a bucket past it; rebuild — which
+    * is idempotent over the stored index — re-caps), and the layout is
+    * preserved so ingest joins stay delta-only-exchange. */
+  def appendToMinhashBandIndexBucketed(
+      batch: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK,
+      bands: Int = DefaultMinhashBands, native: Boolean = true,
+      fast: Boolean = false): Unit =
+    graft.store.Bucketing.appendBucketed(
+      minhashBanded(batch, idCol, textCol, n, k, bands, native, fast)
+        .withColumn("bb", bandKey),
+      table, "bb", nBuckets)
+
   /** Key-stable per-(band, bkey) occupancy cap on a banded index — the
     * incremental twins' version of the full paths' candidate-pool
     * guard: a hot bucket's members are sampled to `cap` by
@@ -810,6 +827,26 @@ object Dedup {
     graft.store.Bucketing.writeBucketed(
       spanPostingIndex(corpus, idCol, textCol, k, maxDocFreqFraction, fast),
       table, "h", nBuckets, path)
+
+  /** APPEND a new batch's postings into an existing bucketed span
+    * posting index — the O(Δ) index-maintenance flow, under the SAME
+    * frozen-decision contract as `ProductQuantization.appendToIvfPqIndex`:
+    * the original corpus's doc-freq guard decisions stay as built (the
+    * appended postings ship unguarded — a shingle's boilerplate-ness is
+    * re-judged only at rebuild, where the guard is recomputed over the
+    * union; the guard and caps are idempotent, so rebuilding FROM the
+    * stored index re-applies them correctly). Layout is preserved
+    * (`Bucketing.appendBucketed` routes rows into the existing
+    * buckets), so ingest searches stay single-exchange. Spec contract:
+    * search after append ≡ search against the union of the guarded
+    * corpus index and the delta's unguarded postings. */
+  def appendToSpanPostingIndexBucketed(
+      batch: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int,
+      k: Int = DefaultSpanK, fast: Boolean = false): Unit =
+    graft.store.Bucketing.appendBucketed(
+      positionalPosting(batch, idCol, textCol, k, None, fast),
+      table, "h", nBuckets)
 
   /** [[sharedSpansIncremental]] against an already-built (possibly
     * persisted-and-reloaded) [[spanPostingIndex]]. */

@@ -28,6 +28,21 @@ object Bucketing {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Append rows into an EXISTING bucketed table, preserving its
+    * layout: Spark's bucketed writer routes the new rows into the same
+    * bucket ids (same hash, same count — `nBuckets` must match the
+    * table's spec), adding one file per bucket per append. Scans stay
+    * `Bucketed: true` and joins on the bucket key stay exchange-free;
+    * only the per-file sort guarantee weakens to per-FILE sorted, which
+    * a sort-merge join repairs with an in-partition sort, never a
+    * shuffle. Compact when the file count hurts (store.Compaction). */
+  def appendBucketed(df: DataFrame, table: String, keyCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 1)
+    df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol).saveAsTable(table)
+  }
+
   /** Inner equi-join of two co-bucketed tables on their shared bucket
     * key — with matching bucket counts this plans shuffle-free (asserted
     * in BucketingSpec). */

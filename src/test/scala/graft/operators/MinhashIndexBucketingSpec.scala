@@ -63,6 +63,35 @@ class MinhashIndexBucketingSpec extends SparkSpecBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("minhash append preserves layout and equals the union-of-band-rows contract") {
+    val base = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val table = "mh_idx_append_spec"
+    val path = Files.createTempDirectory("graft-mh-aidx").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.writeMinhashBandIndexBucketed(
+      base, "doc_id", "text", table, nBuckets = 4, path = Some(path))
+    Dedup.appendToMinhashBandIndexBucketed(
+      batch, "doc_id", "text", table, nBuckets = 4)
+    withNoBroadcast {
+      val viaAppended = Dedup.minhashPairsIncrementalFromIndex(
+        delta, spark.table(table), "doc_id", "text")
+        .orderBy("delta_id", "corpus_id")
+      // frozen-decision reference: capped base index ∪ uncapped batch rows
+      val reference = Dedup.minhashPairsIncrementalFromIndex(
+        delta,
+        Dedup.minhashBandIndex(base, "doc_id", "text")
+          .unionByName(Dedup.minhashBandIndex(
+            batch, "doc_id", "text", maxBucket = None)),
+        "doc_id", "text")
+        .orderBy("delta_id", "corpus_id")
+      val got = viaAppended.collect().toSeq
+      assert(got.nonEmpty && got === reference.collect().toSeq)
+      assertDeltaOnlyExchange(viaAppended)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bucketed-index incremental simhash: delta-only exchange, identical results") {
     val table = "sh_idx_bucketed_spec"
     val path = Files.createTempDirectory("graft-sh-bidx").toString
