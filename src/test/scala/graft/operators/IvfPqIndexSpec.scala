@@ -152,6 +152,34 @@ class IvfPqIndexSpec extends SparkSpecBase {
     assert(viaLoad === viaBuilt)
   }
 
+  test("compaction after appends preserves search results and shrinks the file count") {
+    val (path, model) = buildIndex()
+    // three appends leave every touched cell with several small files
+    (1 to 3).foreach { i =>
+      ProductQuantization.appendToIvfPqIndex(
+        corpus.filter(pmod(col("vec_id"), lit(11)) === i)
+          .withColumn("vec_id", col("vec_id") + i * 100000),
+        "vec_id", "embedding", path)
+    }
+    val before = ProductQuantization.ivfPqTopKFromIndex(
+      path, corpus, "vec_id", "embedding", query,
+      nProbe = 4, rerank = 100, topK = 10, model = Some(model)).collect().toSeq
+    def fileCount = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).sum
+    val filesBefore = fileCount
+    val reports = graft.store.Compaction.compactTable(spark, path)
+    assert(reports.nonEmpty, "appends must have produced compactable cells")
+    assert(fileCount < filesBefore)
+    // the model sidecar survives (underscore file at the root, outside
+    // the partition dirs compaction rewrites)
+    assert(IvfPqModel.load(path).dim === model.dim)
+    val after = ProductQuantization.ivfPqTopKFromIndex(
+      path, corpus, "vec_id", "embedding", query,
+      nProbe = 4, rerank = 100, topK = 10, model = Some(model)).collect().toSeq
+    assert(after === before)
+  }
+
   test("indexHealth: i.i.d. appends don't flag drift; shifted-distribution appends do") {
     val (path, model) = buildIndex()
     // the build persists the drift baseline and it round-trips
