@@ -118,28 +118,37 @@ object QualityClassifier {
       lr: Double = DefaultLearningRate,
       lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ): Array[Long] = {
     require(nf >= 1 && iters >= 1)
-    // both frames are consumed 2× per training round: materialize once
-    // (LAZY localCheckpoint, the bm25 convention — nothing runs until
-    // the first action below)
-    val feat = featureTable(docs, idCol, textCol, nf).localCheckpoint(false)
-    val labels = seedLabels(docs, idCol, textCol, lowQ, highQ)
+    // ONE materialized row per labeled doc carrying its whole (bounded,
+    // ≤ n+3 entries) feature vector: the per-round residual is then an
+    // IN-ROW fixed-point dot (no per-doc groupBy, no join back), and
+    // the gradient is the round's ONLY aggregation — explode(fs) →
+    // groupBy(f). Halves the per-round job latency vs the two-shuffle
+    // formulation while summing the exact same multiset of longs
+    // (integer addition is order-independent, so collect_list's
+    // nondeterministic order cannot change a bit — hash-equal to the
+    // oracle's join-based formulation).
+    val labeled = featureTable(docs, idCol, textCol, nf)
+      .groupBy("doc", "n")
+      .agg(collect_list(struct(col("f"), col("c"))).as("fs"))
+      .join(seedLabels(docs, idCol, textCol, lowQ, highQ), "doc")
+      .select(col("n"), col("y"), col("fs"))
       .localCheckpoint(false)
-    val nTrain = labels.count()
+    val nTrain = labeled.count()
     require(nTrain > 0, "no documents fall in the seed-label extremes")
     var w = Array.fill(nf + 3)(0L)
     for (_ <- 1 to iters) {
       val wLit = typedLit(w.toSeq)
+      val dot = aggregate(col("fs"), lit(0L), (acc, s) =>
+        acc + element_at(wLit, (s.getField("f") + 1L).cast("int")) *
+          s.getField("c"))
       // per-doc fixed-point residual: r = ⌊(σ(w·x) − y)/n · S + ½⌋
-      val dots = feat.join(labels, "doc")
-        .groupBy("doc", "n", "y")
-        .agg(sum(element_at(wLit, (col("f") + 1).cast("int")) * col("c")).as("dot"))
-        .select(col("doc"),
-          floor((sigmoidOfDot - col("y").cast("double")) /
-            col("n").cast("double") * lit(Scale) + lit(0.5))
-            .cast("long").as("resid"))
+      val resid = floor((sigmoidOfDot - col("y").cast("double")) /
+        col("n").cast("double") * lit(Scale) + lit(0.5)).cast("long")
       // per-feature gradient: g_f = Σ_docs r · c — integer, exact
-      val grads = dots.join(feat, "doc")
-        .groupBy("f").agg(sum(col("resid") * col("c")).as("g"))
+      val grads = labeled
+        .select(col("n"), col("y"), col("fs"), dot.as("dot"))
+        .select(resid.as("resid"), explode(col("fs")).as("s"))
+        .groupBy(col("s.f")).agg(sum(col("resid") * col("s.c")).as("g"))
         .collect()
         .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       // the same scalar update chain the oracle runs: lr·g/N, floored
