@@ -150,8 +150,12 @@ object Curation {
       idCol: String, textCol: String, cfg: Config): DataFrame =
     if (!cfg.classifierFilter) survivors
     else {
-      val slim = survivors.select(col(idCol), col(textCol))
-      val w = QualityClassifier.trainWeights(slim, idCol, textCol)
+      // survivors already carry quality_score (stage 1 computed it with
+      // the identical expression) — reuse it for the seed labels
+      // instead of re-tokenizing and re-scoring the corpus
+      val slim = survivors.select(col(idCol), col(textCol), col("quality_score"))
+      val w = QualityClassifier.trainWeights(slim, idCol, textCol,
+        seedScoreCol = Some("quality_score"))
       val scored = QualityClassifier.scoreWithWeights(slim, idCol, textCol, w)
         .select(col(idCol), col("clf_prob"))
       survivors.join(scored, Seq(idCol), "left")
@@ -182,15 +186,22 @@ object Curation {
     else {
       require(cfg.perplexityKeepPercent >= 1 && cfg.perplexityKeepPercent <= 100,
         "perplexityKeepPercent must be in [1, 100]")
+      // the (id, perplexity) frame is consumed three times (threshold
+      // histogram, total, join-back) and its lineage is the full
+      // LM train+score pipeline — materialize it once (lazy, tiny:
+      // two narrow columns per surviving doc)
       val perp = TextAnalysis.bigramPerplexity(
         survivors.select(col(idCol), col(textCol)), idCol, textCol, cfg.lmAlpha)
         .select(col(idCol), col("perplexity"))
+        .localCheckpoint(false)
       val byVal = perp.groupBy("perplexity").agg(count(lit(1)).as("__c"))
       val win = org.apache.spark.sql.expressions.Window
         .orderBy("perplexity")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val tot = perp.agg(count(lit(1)).as("__ntot"))
+      // total from the distinct-value histogram — never a second global
+      // pass over the scoring pipeline
+      val tot = byVal.agg(sum("__c").as("__ntot"))
       val thr = byVal.withColumn("__cum", sum("__c").over(win))
         .crossJoin(broadcast(tot))
         .filter(col("__cum") >=

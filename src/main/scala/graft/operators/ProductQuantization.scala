@@ -403,7 +403,7 @@ object ProductQuantization {
       .select(reconstructionErr(books).as("e"))
       .agg(avg("e")).head.getDouble(0)
     val model = IvfPqModel(dim, cents, books, Some(trainErr))
-    IvfPqModel.save(model, path)
+    IvfPqModel.save(model, path, corpus.sparkSession)
     model
   }
 
@@ -430,7 +430,7 @@ object ProductQuantization {
   def appendToIvfPqIndex(
       delta: DataFrame, idCol: String, vecCol: String, path: String): IvfPqModel = {
     graft.GraftExtensions.register(delta.sparkSession)
-    val model = IvfPqModel.load(path)
+    val model = IvfPqModel.load(path, delta.sparkSession)
     val m = model.codebooks.size
     val sub = model.dim / m
     delta
@@ -474,7 +474,7 @@ object ProductQuantization {
     require(driftFactor > 0, "driftFactor must be positive")
     val spark = delta.sparkSession
     graft.GraftExtensions.register(spark)
-    val model = IvfPqModel.load(indexPath)
+    val model = IvfPqModel.load(indexPath, spark)
     val m = model.codebooks.size
     val sub = model.dim / m
     val occ = spark.read.schema(IndexReadSchema).parquet(indexPath)
@@ -525,7 +525,7 @@ object ProductQuantization {
     require(nProbe >= 1, "nProbe must be >= 1")
     val spark = corpus.sparkSession
     graft.GraftExtensions.register(spark)
-    val mdl = model.getOrElse(IvfPqModel.load(indexPath))
+    val mdl = model.getOrElse(IvfPqModel.load(indexPath, spark))
     val qRows = query.select(asDoubles(col("qvec")).as("q")).take(1)
     require(qRows.nonEmpty,
       "ivfPqTopKFromIndex needs a 1-row query DataFrame with column qvec")
@@ -574,7 +574,9 @@ object IvfPqModel {
     * lands on the same scheme as the index parquet it describes —
     * file:// in tests, hdfs://-or-s3a:// on a cluster — instead of
     * silently requiring a driver-local index path. */
-  def save(model: IvfPqModel, indexPath: String): Unit = {
+  def save(model: IvfPqModel, indexPath: String,
+      spark: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Unit = {
     val sb = new StringBuilder
     sb.append("dim ").append(model.dim).append('\n')
     model.trainQuantErr.foreach(e => sb.append("qerr ").append(e).append('\n'))
@@ -588,14 +590,14 @@ object IvfPqModel {
           .append(v.map(_.toString).mkString(",")).append('\n')
       }
     }
-    graft.store.Storage.writeTextFile(
-      org.apache.spark.sql.SparkSession.active, s"$indexPath/$FileName",
+    graft.store.Storage.writeTextFile(spark, s"$indexPath/$FileName",
       sb.toString)
   }
 
-  def load(indexPath: String): IvfPqModel = {
-    val lines = graft.store.Storage.readTextFile(
-      org.apache.spark.sql.SparkSession.active, s"$indexPath/$FileName")
+  def load(indexPath: String,
+      spark: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): IvfPqModel = {
+    val lines = graft.store.Storage.readTextFile(spark, s"$indexPath/$FileName")
       .split('\n').iterator.filter(_.nonEmpty)
     var dim = 0
     var qerr: Option[Double] = None

@@ -99,15 +99,23 @@ object QualityClassifier {
       exp(-(col("dot").cast("double") / (lit(Scale) * col("n").cast("double")))))
 
   /** The in-plan seed labels: (doc, y) from the heuristic quality
-    * score's extremes. */
+    * score's extremes. `scoreCol` lets callers that ALREADY carry the
+    * quality score (Curation survivors — stage 1 computed it with the
+    * identical expression) skip the re-tokenize/re-score pass. */
   private def seedLabels(
       docs: DataFrame, idCol: String, textCol: String,
-      lowQ: Double, highQ: Double): DataFrame =
-    TextAnalysis.qualityScore(docs, idCol, textCol)
+      lowQ: Double, highQ: Double,
+      scoreCol: Option[String] = None): DataFrame = {
+    val scored = scoreCol match {
+      case Some(c) => docs.select(col(idCol), col(c).as("quality_score"))
+      case None => TextAnalysis.qualityScore(docs, idCol, textCol)
+    }
+    scored
       .select(col(idCol).as("doc"),
         when(col("quality_score") >= highQ, lit(1L))
           .when(col("quality_score") <= lowQ, lit(0L)).as("y"))
       .filter(col("y").isNotNull)
+  }
 
   /** Train the fixed-point weight vector (length `nf + 3`). Driver
     * state per round: the collected gradient (nf + 3 longs) — bounded
@@ -116,7 +124,8 @@ object QualityClassifier {
       docs: DataFrame, idCol: String, textCol: String,
       nf: Int = DefaultNumFeatures, iters: Int = DefaultIters,
       lr: Double = DefaultLearningRate,
-      lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ): Array[Long] = {
+      lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ,
+      seedScoreCol: Option[String] = None): Array[Long] = {
     require(nf >= 1 && iters >= 1)
     // ONE materialized row per labeled doc carrying its whole (bounded,
     // ≤ n+3 entries) feature vector: the per-round residual is then an
@@ -130,11 +139,23 @@ object QualityClassifier {
     val labeled = featureTable(docs, idCol, textCol, nf)
       .groupBy("doc", "n")
       .agg(collect_list(struct(col("f"), col("c"))).as("fs"))
-      .join(seedLabels(docs, idCol, textCol, lowQ, highQ), "doc")
+      .join(seedLabels(docs, idCol, textCol, lowQ, highQ, seedScoreCol), "doc")
       .select(col("n"), col("y"), col("fs"))
       .localCheckpoint(false)
-    val nTrain = labeled.count()
-    require(nTrain > 0, "no documents fall in the seed-label extremes")
+    val counts = labeled.agg(
+      count(lit(1)).as("n"), sum("y").as("pos")).head
+    val nTrain = counts.getLong(0)
+    val nPos = Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // BOTH classes must exist: an all-negative seed set trains a
+    // drop-everything model (every residual positive, weights pushed
+    // uniformly negative) and an all-positive one a keep-everything
+    // no-op — either silently, which for a curation caller means an
+    // emptied or unfiltered corpus with no error. Fail loudly; the
+    // thresholds are the knobs to adjust.
+    require(nTrain > 0 && nPos > 0 && nPos < nTrain,
+      s"seed labels must contain both classes (got $nPos positive of " +
+        s"$nTrain labeled docs) — adjust lowQ/highQ to the corpus's " +
+        "quality distribution")
     var w = Array.fill(nf + 3)(0L)
     for (_ <- 1 to iters) {
       val wLit = typedLit(w.toSeq)
@@ -194,6 +215,13 @@ object QualityClassifier {
       weights: Array[Long]): DataFrame = {
     val nf = weights.length - 3
     require(nf >= 1, "weights must cover the 3 engineered features")
+    // reserved output/scratch names — a clash (e.g. re-scoring an
+    // already-scored frame) would surface later as an opaque
+    // AMBIGUOUS_REFERENCE; fail fast (the qualityLangFilter convention)
+    val reserved = Seq("n_tokens", "dot", "clf_prob", "clf_label", "__t")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"scoreRowWise input must not carry reserved column(s) ${clash.mkString(", ")}")
     val wLit = typedLit(weights.toSeq)
     val t = col("__t")
     val n = size(t).cast("long")

@@ -91,17 +91,26 @@ object StreamingCuration {
       idCol: String,
       cfg: Curation.Config = Curation.Config(),
       textCol: String = "text"): DataFrame = {
-    val kept0 = candidates.join(
+    val keptRaw = candidates.join(
       notices.select(col("doc_id").cast(candidates.schema(idCol).dataType).as(idCol)),
       Seq(idCol), "left_anti")
+    // the batch pipeline's multi-consumer materialization discipline
+    // (Curation.curate): each later stage fans out over the previous
+    // stage's survivors several times, so checkpoint at the same
+    // fan-out points — lazily, nothing runs until the first action
+    val multiConsumer = cfg.trimSpans || cfg.perplexityFilter || cfg.classifierFilter
+    val kept0 = if (multiConsumer) keptRaw.localCheckpoint(false) else keptRaw
     // stages 4c/4d — the SAME LM-perplexity and trained-classifier cuts
     // the batch pipeline runs (Curation.withPerplexityFilter /
     // withClassifierFilter), over the post-dedup survivors;
     // finalization is batch-side, so the stages compose with zero
     // semantic delta
-    val kept = Curation.withClassifierFilter(
-      Curation.withPerplexityFilter(kept0, idCol, textCol, cfg),
-      idCol, textCol, cfg)
+    val kept1raw = Curation.withPerplexityFilter(kept0, idCol, textCol, cfg)
+    val kept1 = if (cfg.perplexityFilter && (cfg.classifierFilter || cfg.trimSpans))
+      kept1raw.localCheckpoint(false) else kept1raw
+    val kept2 = Curation.withClassifierFilter(kept1, idCol, textCol, cfg)
+    val kept = if (cfg.classifierFilter && cfg.trimSpans)
+      kept2.localCheckpoint(false) else kept2
     val outCols =
       Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
         (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil) ++

@@ -164,8 +164,22 @@ class StreamingCurationSpec extends SparkSpecBase {
       s"streamed ${curated.toSeq.sortBy(_._1)} vs batch ${expected.toSeq.sortBy(_._1)}")
   }
 
+  /** Survivors whose quality lands in (0.8, 0.9] — above the curation
+    * floor but inside the classifier's NEGATIVE seed band (the base
+    * corpus's survivors all score ≈1.16, and the both-classes training
+    * guard rightly rejects a one-class seed set): n=30 tokens, 17
+    * distinct, one stopword → quality = 17/30 + 0.3 − 1/30 ≈ 0.833. */
+  private def lowQualitySurvivor(id: Long, tag: String, ts: String): (Long, String, String) = {
+    val distinct = Seq("the", "of") ++ (0 until 15).map(i => s"${tag}_$i")
+    val repeats = (0 until 13).map(i => s"${tag}_$i")
+    (id, (distinct ++ repeats).mkString(" "), ts)
+  }
+
   test("classifier-on finalization equals Curation.curate with the clf stage on") {
-    val batch = corpus.toDF("doc_id", "text", "ts")
+    val batch = (corpus ++ Seq(
+      lowQualitySurvivor(3000L, "la", "2024-01-01T11:20:00"),
+      lowQualitySurvivor(3001L, "lb", "2024-01-01T11:21:00")))
+      .toDF("doc_id", "text", "ts")
     val cfg = Curation.Config(classifierFilter = true)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
@@ -218,7 +232,10 @@ class StreamingCurationSpec extends SparkSpecBase {
         "2024-01-01T11:10:00"),
       (2001L, (passage ++ (0 until 26).map(i => s"yb_$i")).mkString(" "),
         "2024-01-01T11:11:00"))
-    val batch = (corpus ++ extra).toDF("doc_id", "text", "ts")
+    val batch = (corpus ++ extra ++ Seq(
+      lowQualitySurvivor(3100L, "lc", "2024-01-01T11:30:00"),
+      lowQualitySurvivor(3101L, "ld", "2024-01-01T11:31:00")))
+      .toDF("doc_id", "text", "ts")
     val cfg = Curation.Config(trimSpans = true, perplexityFilter = true,
       perplexityKeepPercent = 85, classifierFilter = true, clfMinProb = 0.000001)
     def key(r: org.apache.spark.sql.Row) =
