@@ -483,6 +483,18 @@ object Dedup {
         .withColumn("bb", bandKey),
       table, "bb", nBuckets)
 
+  /** [[appendToMinhashBandIndexBucketed]]'s SimHash twin — same frozen
+    * cap contract, same preserved layout. */
+  def appendToSimhashBandIndexBucketed(
+      batch: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int,
+      bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
+      minTokens: Int = 1): Unit =
+    graft.store.Bucketing.appendBucketed(
+      simhashBanded(batch, idCol, textCol, bits, bands, minTokens)
+        .withColumn("bb", bandKey),
+      table, "bb", nBuckets)
+
   /** Key-stable per-(band, bkey) occupancy cap on a banded index — the
     * incremental twins' version of the full paths' candidate-pool
     * guard: a hot bucket's members are sampled to `cap` by

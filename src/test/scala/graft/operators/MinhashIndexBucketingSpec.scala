@@ -110,4 +110,32 @@ class MinhashIndexBucketingSpec extends SparkSpecBase {
       assertDeltaOnlyExchange(viaBucketed)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("simhash append preserves layout and equals the union-of-band-rows contract") {
+    val base = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val table = "sh_idx_append_spec"
+    val path = Files.createTempDirectory("graft-sh-aidx").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.writeSimhashBandIndexBucketed(
+      base, "doc_id", "text", table, nBuckets = 4, path = Some(path))
+    Dedup.appendToSimhashBandIndexBucketed(
+      batch, "doc_id", "text", table, nBuckets = 4)
+    withNoBroadcast {
+      val viaAppended = Dedup.simhashPairsIncrementalFromIndex(
+        delta, spark.table(table), "doc_id", "text")
+        .orderBy("delta_id", "corpus_id")
+      val reference = Dedup.simhashPairsIncrementalFromIndex(
+        delta,
+        Dedup.simhashBandIndex(base, "doc_id", "text")
+          .unionByName(Dedup.simhashBandIndex(
+            batch, "doc_id", "text", maxBucket = None)),
+        "doc_id", "text")
+        .orderBy("delta_id", "corpus_id")
+      val got = viaAppended.collect().toSeq
+      assert(got.nonEmpty && got === reference.collect().toSeq)
+      assertDeltaOnlyExchange(viaAppended)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
