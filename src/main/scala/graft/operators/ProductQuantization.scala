@@ -543,6 +543,88 @@ object ProductQuantization {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(topK)
   }
+
+  /** MULTI-QUERY search of the persisted index — the SERVING shape: a
+    * bounded batch of queries (an API tick, a streaming micro-batch —
+    * thousands, not a corpus) answered in ONE pruned pass instead of
+    * per-query jobs. Per query the result is row-for-row identical to
+    * [[ivfPqTopKFromIndex]] at the same knobs (same probe ranking, same
+    * ADC expression, same (score DESC, vec_id ASC) total order —
+    * ProductQuantizationSpec asserts the equality query-by-query).
+    *
+    * Shape: the batch's (query, probed-cells) routing is computed
+    * driver-side with the SAME [[probeCells]] ranking the single-query
+    * path uses (bounded state: batch × nProbe longs + batch × dim
+    * doubles — the collected-centroids convention, NOT a corpus
+    * collect), and the UNION of probed cells becomes one
+    * `cell.isin(...)` PartitionFilter — the index scan lists and ADC-
+    * scores only partitions some query probed, once, shared by every
+    * query probing them. Queries ride back in as a broadcast (qid, q,
+    * cell) routing table joined on `cell`, so a code row is scored only
+    * against the queries that probed its cell. Per-query pools and the
+    * final top-k reduce through [[graft.functions.TopKAggregator]] —
+    * partial map-side heaps, shuffle carries ≤ rerank·queries rows, no
+    * per-query window over the scan. The payload is (score, −vec_id):
+    * the aggregator keeps the k LARGEST pairs, so negating the id makes
+    * its score-tie prefer the SMALLER vec_id — the single-query plan's
+    * TakeOrdered order, kept bit-compatible.
+    *
+    * Output: (qid, vec_id, cos, rank) with rank 1 = best, one block of
+    * ≤ topK rows per query; a query whose probed cells hold no vectors
+    * returns no rows (the single-query path's empty result). */
+  def ivfPqTopKBatchFromIndex(
+      indexPath: String, corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nProbe: Int = 4, rerank: Int = 100, topK: Int = 10,
+      model: Option[IvfPqModel] = None): DataFrame = {
+    require(rerank >= topK, s"rerank pool $rerank must cover topK $topK")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val mdl = model.getOrElse(IvfPqModel.load(indexPath, spark))
+    // driver-side routing: the serving batch is the bounded unit
+    val qRows = queries
+      .select(col(qidCol).cast("long"), asDoubles(col(qvecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      s"ivfPqTopKBatchFromIndex: duplicate $qidCol in the query batch")
+    if (qRows.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("vec_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val routing = qRows.flatMap { case (qid, qv) =>
+      probeCells(mdl.centroids, qv, nProbe).map(c => (qid, c, qv.toSeq))
+    }.toSeq.toDF("qid", "cell", "q")
+    val probedUnion = routing.select("cell").as[Long].collect().distinct.toSeq
+    // one pruned scan, shared by all queries probing each cell;
+    // topKPerVector's pairs contract is (group, score, member)
+    val poolPairs = spark.read.schema(IndexReadSchema).parquet(indexPath)
+      .filter(col("cell").isin(probedUnion: _*))
+      .join(broadcast(routing), "cell")
+      .select(col("qid"),
+        dot(col("q"), xhatFromCodes(mdl.codebooks)).as("score"), col("vec_id"))
+    val pool = SimilaritySearch.topKPerVector(poolPairs, rerank)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("vec_id"))
+    // exact re-rank: pool is ≤ queries·rerank rows — it broadcasts into
+    // the corpus vector fetch, then reduces to the per-query top-k
+    val qvecs = qRows.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "q")
+    val rePairs = corpus
+      .select(col(idCol).cast("long").as("vec_id"), asDoubles(col(vecCol)).as("v"))
+      .join(broadcast(pool), "vec_id")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), cosine(col("v"), col("q")).as("cos"), col("vec_id"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    SimilaritySearch.topKPerVector(rePairs, topK)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("vec_id"), col("cos"))
+      // rank runs over the ≤ queries·topK FINAL rows, never the scan
+      .withColumn("rank", row_number().over(win))
+  }
 }
 
 /** The trained state of a persisted IVF-PQ index: the coarse-quantizer

@@ -156,6 +156,19 @@ object QualityClassifier {
       s"seed labels must contain both classes (got $nPos positive of " +
         s"$nTrain labeled docs) — adjust lowQ/highQ to the corpus's " +
         "quality distribution")
+    // Size-adaptive round parallelism: the loop below launches `iters`
+    // SEQUENTIAL jobs over the checkpointed table, so at small corpora
+    // the wall-clock is pure task-scheduling overhead (k rounds ×
+    // partitions × 2 stages), not work. nTrain is in hand — narrow-
+    // coalesce the rounds' input to ~8k labeled docs per task (never
+    // above the checkpoint's own partitioning, so a 100 TB corpus keeps
+    // full parallelism). Integer gradient sums are order-independent,
+    // so layout cannot change a bit of the learned weights.
+    val perRound = {
+      val have = labeled.rdd.getNumPartitions
+      val want = math.max(1L, math.min(have.toLong, (nTrain + 7999) / 8000)).toInt
+      if (want < have) labeled.coalesce(want) else labeled
+    }
     var w = Array.fill(nf + 3)(0L)
     for (_ <- 1 to iters) {
       val wLit = typedLit(w.toSeq)
@@ -166,7 +179,7 @@ object QualityClassifier {
       val resid = floor((sigmoidOfDot - col("y").cast("double")) /
         col("n").cast("double") * lit(Scale) + lit(0.5)).cast("long")
       // per-feature gradient: g_f = Σ_docs r · c — integer, exact
-      val grads = labeled
+      val grads = perRound
         .select(col("n"), col("y"), col("fs"), dot.as("dot"))
         .select(resid.as("resid"), explode(col("fs")).as("s"))
         .groupBy(col("s.f")).agg(sum(col("resid") * col("s.c")).as("g"))
@@ -248,14 +261,20 @@ object QualityClassifier {
   }
 
   /** Train-then-score in one call — the gated composition
-    * (ta_quality_clf). */
+    * (ta_quality_clf). Scoring goes through the IN-ROW twin
+    * ([[scoreRowWise]] — bit-identical to the aggregated path,
+    * QualityClassifierSpec) so the corpus-wide scoring pass is a pure
+    * shuffle-free projection; [[scoreWithWeights]] remains the shape
+    * for callers that already carry a feature table. */
   def classify(
       docs: DataFrame, idCol: String, textCol: String,
       nf: Int = DefaultNumFeatures, iters: Int = DefaultIters,
       lr: Double = DefaultLearningRate,
-      lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ): DataFrame =
-    scoreWithWeights(docs, idCol, textCol,
-      trainWeights(docs, idCol, textCol, nf, iters, lr, lowQ, highQ))
+      lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ): DataFrame = {
+    val w = trainWeights(docs, idCol, textCol, nf, iters, lr, lowQ, highQ)
+    scoreRowWise(docs.select(col(idCol), col(textCol)), idCol, textCol, w)
+      .select(col(idCol), col("n_tokens"), col("clf_prob"), col("clf_label"))
+  }
 
   // ------------------------------------------------------------------
   // Driver-side reference (differential testing only, the

@@ -195,4 +195,94 @@ object Sampling {
       .filter(col("n_copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
   }
+
+  /** Token-budget mixture fill — the unit a mixture is actually
+    * specified in: "this training run takes N_g TOKENS of domain g",
+    * not a document count or an epoch rate ([[mixtureEpochs]] covers
+    * rates; THIS fills absolute token budgets). Per group, documents
+    * are taken in the key-stable md5 order until the group's budget is
+    * crossed: a document is kept iff the tokens BEFORE it (exclusive
+    * prefix sum in that order) are still under the budget — so the
+    * boundary-crossing document is included and the filled volume lands
+    * in [budget, budget + one document). Groups absent from `budgets`
+    * are dropped (the stratifiedSampleByKey convention). The kept set
+    * is a pure function of (key, salt, budgets): reruns, retries and
+    * any partitioning reproduce it, and raising a budget only ever ADDS
+    * documents (prefix-stability — the property that lets a mixture be
+    * grown without resampling what a previous run already took).
+    *
+    * Scale — the running sum is the textbook sequential trap, so it is
+    * decomposed as a DISTRIBUTED TWO-PHASE PREFIX SUM: the 60-bit order
+    * key h is range-split into `strata` contiguous buckets (stratum =
+    * h >> k, monotone in h, so (stratum, h, key) order ≡ (h, key)
+    * order); phase 1 computes per-(group, stratum) token sums — one
+    * map-side-combinable aggregation collapsing the corpus to
+    * ≤ groups·strata rows — and turns them into per-stratum base
+    * offsets with a window over that TINY table; phase 2 computes the
+    * within-stratum exclusive cumsum with a window partitioned by
+    * (group, stratum) — corpus/strata rows per partition, a task, not a
+    * group — and broadcast-joins the base offsets back. Exactly two
+    * corpus-sized exchanges, no group-sized window anywhere; `strata`
+    * sizes the parallel unit (256 suits memory-scale groups; a 100 TB
+    * group wants 2^14+ so each stratum is a few GB).
+    *
+    * Output: the input columns plus `tokens_before` (the exclusive
+    * prefix — the number a packing/budget auditor reconciles against).
+    * `tokenCol` must be non-NULL and ≥ 0 — NULL poisons every prefix
+    * after it and a negative count un-crosses a crossed boundary, both
+    * corpus bugs, both rejected loudly in-plan (the weightedSampleByKey
+    * guard pattern). `keyCol` must be unique (it is the order
+    * tiebreak — duplicate keys would make the prefix sums themselves
+    * order-dependent). */
+  def tokenBudgetFill(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, budgets: Seq[(String, Long)],
+      salt: String = "budget", strata: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0))
+    require(strata >= 1 && (strata & (strata - 1)) == 0 && strata <= (1 << 30),
+      "strata must be a power of two (the 60-bit order key is range-split " +
+        "by a right shift)")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(strata)
+    val reserved = Seq("__h", "__st", "__base", "__budget", "tokens_before")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"tokenBudgetFill input must not carry reserved column(s) ${clash.mkString(", ")}")
+    val tok = col(tokenCol).cast("long")
+    val guardedTok = when(tok.isNull || tok < 0,
+      raise_error(concat(
+        lit(s"tokenBudgetFill: token count '$tokenCol' must be non-NULL and >= 0 for key "),
+        col(keyCol).cast("string"))))
+      .otherwise(tok)
+    val budget = budgets.foldLeft(lit(null).cast("long"): Column) {
+      case (acc, (g, b)) => when(col(groupCol) === g, b).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("__h", TextFunctions.shingleKey(
+        concat(col(keyCol).cast("string"), lit(salt))))
+      .withColumn("__st", shiftright(col("__h"), shift))
+      .withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull)
+    // phase 1: per-(group, stratum) sums → exclusive base offsets; the
+    // window runs over ≤ groups·strata rows, never the corpus
+    val bases = keyed
+      .groupBy(col(groupCol), col("__st"))
+      .agg(sum(guardedTok).as("__stsum"))
+      .withColumn("__base", coalesce(sum(col("__stsum")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__st"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__stsum")
+    // phase 2: within-stratum exclusive cumsum + broadcast base join;
+    // (stratum, h, key) order ≡ (h, key) order because stratum = h >> k
+    val withPrefix = keyed
+      .join(broadcast(bases), Seq(groupCol, "__st"))
+      .withColumn("tokens_before",
+        col("__base") + coalesce(sum(guardedTok).over(
+          Window.partitionBy(col(groupCol), col("__st"))
+            .orderBy(col("__h"), col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // restore the caller's column order (the join fronts its keys)
+    withPrefix
+      .filter(col("tokens_before") < col("__budget"))
+      .select(df.columns.map(col).toSeq :+ col("tokens_before"): _*)
+  }
 }

@@ -500,6 +500,21 @@ object TextAnalysis {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
       .localCheckpoint(false)
+    // Size-adaptive round parallelism (the trainWeights convention):
+    // the loop is `rounds` SEQUENTIAL jobs over the distinct-word
+    // table, which Heaps' law keeps orders of magnitude smaller than
+    // the corpus — at small scale the wall-clock is task scheduling,
+    // not work. Aim ~100k words per task, never above the aggregate's
+    // own partitioning (a 100 TB vocabulary keeps its parallelism);
+    // re-checkpoints inherit the narrow layout. Pair counts are
+    // integer sums and the argmax a total order — layout cannot
+    // change the learned merges.
+    val havePartitions = words.rdd.getNumPartitions
+    val nWords = words.count()
+    val wantPartitions =
+      math.max(1L, math.min(havePartitions.toLong, (nWords + 99999) / 100000)).toInt
+    if (wantPartitions < havePartitions)
+      words = words.coalesce(wantPartitions).localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false

@@ -608,8 +608,10 @@ object TrainingDataQueries {
     val docs = Tables.documents(s, dir)
     val w = graft.operators.QualityClassifier.trainWeights(
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
-    graft.operators.QualityClassifier.scoreWithWeights(
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", w)
+    graft.operators.QualityClassifier.scoreRowWise(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text")), "doc_id", "text", w)
+      .select(col("doc_id"), col("n_tokens"), col("clf_prob"), col("clf_label"))
       .orderBy("doc_id")
   }
 
@@ -3039,6 +3041,50 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ds_token_budget — token-budget mixture fill (Sampling
+    * .tokenBudgetFill): the unit a training mixture is actually
+    * specified in — absolute TOKENS per domain, not doc counts or
+    * epoch rates. Each source fills in the key-stable md5 order until
+    * its budget is crossed (the crossing document is kept; sources
+    * without a budget — src19 here — are dropped). The Spark side runs
+    * the scale shape — a distributed two-phase prefix sum (per-stratum
+    * sums + base-offset broadcast, no group-sized window) — while the
+    * oracle states the SEMANTICS as the single global window it
+    * decomposes; hash-equality of the two is exactly the
+    * decomposition's correctness proof. */
+  private val TokenBudgets: Seq[(String, Long)] =
+    (0 until 19).map(i => s"src$i" -> (300L + 60L * (i % 5)))
+
+  val dsTokenBudget: Q = (s, dir) =>
+    graft.operators.Sampling.tokenBudgetFill(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens")),
+      "doc_id", "source", "n_tokens", TokenBudgets)
+      .orderBy("doc_id")
+
+  val dsTokenBudgetOracle: String = {
+    val values = TokenBudgets
+      .map { case (g, b) => s"('$g', ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 15))::BIGINT AS h
+       |  FROM documents
+       |), b(source, budget) AS (VALUES $values),
+       |c AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    CAST(COALESCE(SUM(t.n_tokens) OVER (
+       |      PARTITION BY t.source ORDER BY t.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tokens_before
+       |  FROM t JOIN b USING (source))
+       |SELECT doc_id, source, n_tokens, tokens_before
+       |FROM c WHERE tokens_before < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** tp_chunk — context-window chunking (Packing.chunkDocuments):
     * `ChunkC`-token chunks, `ChunkOv` tokens of overlap. Pure integer
     * arithmetic + slicing — hash-exact cross-engine. */
@@ -3165,6 +3211,7 @@ object TrainingDataQueries {
     "op_zorder" -> opZorder,
     "op_zorder3" -> opZorder3,
     "ds_cap_per_group" -> dsCapPerGroup,
+    "ds_token_budget" -> dsTokenBudget,
     "ds_weighted" -> dsWeighted,
     "ds_semantic_cap" -> dsSemanticCap,
     "ft_normalize" -> ftNormalize,
@@ -3244,6 +3291,7 @@ object TrainingDataQueries {
     "op_zorder" -> opZorderOracle,
     "op_zorder3" -> opZorder3Oracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
+    "ds_token_budget" -> dsTokenBudgetOracle,
     "ds_weighted" -> dsWeightedOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
     "ft_normalize" -> ftNormalizeOracle,

@@ -210,4 +210,49 @@ class IvfPqIndexSpec extends SparkSpecBase {
       s"shifted-distribution append must flag drift: $bad")
     assert(bad.getAs[Double]("delta_qerr") > 2 * bad.getAs[Double]("train_qerr"))
   }
+
+  test("multi-query batch search equals the single-query search, query by query") {
+    val (path, model) = buildIndex()
+    val queries = emb.filter(col("vec_id") === 0 || col("vec_id") === 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = ProductQuantization.ivfPqTopKBatchFromIndex(
+      path, corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      nProbe = 4, rerank = 100, topK = 10, model = Some(model))
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    Seq(0L, 5L).foreach { qid =>
+      val one = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val single = ProductQuantization.ivfPqTopKFromIndex(
+        path, corpus, "vec_id", "embedding", one,
+        nProbe = 4, rerank = 100, topK = 10, model = Some(model))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === single, s"qid $qid")
+    }
+    // the serving plan keeps the index properties: probed-cells-only at
+    // the partition-pruning layer, all small sides broadcast
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+    val indexScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(path)).toSeq
+    assert(indexScans.nonEmpty, s"no scan over the index path in:\n$plan")
+    indexScans.foreach { l =>
+      assert("""PartitionFilters: \[cell#\d+L IN \(""".r.findFirstIn(l).isDefined,
+        s"probe restriction must prune partitions in the batch plan:\n$l")
+    }
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("an empty query batch returns an empty, correctly-shaped result") {
+    val (path, model) = buildIndex()
+    val none = emb.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = ProductQuantization.ivfPqTopKBatchFromIndex(
+      path, corpus, "vec_id", "embedding", none, "qid", "qvec",
+      model = Some(model))
+    assert(out.columns.toSeq === Seq("qid", "vec_id", "cos", "rank"))
+    assert(out.count() === 0)
+  }
 }

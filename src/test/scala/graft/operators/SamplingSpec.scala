@@ -110,4 +110,95 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(out("b") - 200.0) < 60, out)
     assert(!out.contains("c"))
   }
+
+  // ------------------------------------------------------------------
+  // tokenBudgetFill — the distributed two-phase prefix sum
+  // ------------------------------------------------------------------
+
+  /** Driver-side reference: the single sequential prefix sum the
+    * two-phase decomposition must equal. */
+  private def budgetReference(
+      rows: Seq[(Long, String, Long)], budgets: Map[String, Long],
+      salt: String = "budget"): Map[Long, Long] = {
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((id.toString + salt).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    rows.filter(r => budgets.contains(r._2)).groupBy(_._2).flatMap {
+      case (g, members) =>
+        var cum = 0L
+        members.sortBy(r => (h(r._1), r._1)).flatMap { case (id, _, n) =>
+          val before = cum
+          cum += n
+          if (before < budgets(g)) Some(id -> before) else None
+        }
+    }
+  }
+
+  private def budgetFixture = {
+    // deliberately skewed: group "big" has 40× the docs of "tiny"
+    ((1L to 800L).map(i => (i, "big", 5L + i % 17)) ++
+      (1001L to 1100L).map(i => (i, "mid", 30L + i % 7)) ++
+      (2001L to 2020L).map(i => (i, "tiny", 50L)) ++
+      (3001L to 3050L).map(i => (i, "unbudgeted", 10L)))
+      .toDF("id", "grp", "n_tok")
+  }
+
+  test("tokenBudgetFill equals the sequential prefix-sum reference; unbudgeted groups drop") {
+    val budgets = Seq("big" -> 900L, "mid" -> 400L, "tiny" -> 5000L)
+    val rows = budgetFixture.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = Sampling.tokenBudgetFill(budgetFixture, "id", "grp", "n_tok", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    val want = budgetReference(rows, budgets.toMap)
+    assert(got.map(t => t._1 -> t._3).toMap === want)
+    assert(!got.exists(_._2 == "unbudgeted"))
+    // a budget larger than the group keeps the whole group
+    assert(got.count(_._2 == "tiny") === 20)
+    // the filled volume crosses the budget by at most one document
+    val keptIds = got.filter(_._2 == "big").map(_._1).toSet
+    val bigTotal = rows.filter(r => r._2 == "big" && keptIds(r._1)).map(_._3).sum
+    assert(bigTotal >= 900L && bigTotal < 900L + 22L, bigTotal)
+  }
+
+  test("tokenBudgetFill: strata count and partitioning are invisible; budgets grow monotonically") {
+    val budgets = Seq("big" -> 900L, "mid" -> 400L, "tiny" -> 5000L)
+    def run(df: org.apache.spark.sql.DataFrame, strata: Int,
+        bs: Seq[(String, Long)] = budgets): Map[Long, Long] =
+      Sampling.tokenBudgetFill(df, "id", "grp", "n_tok", bs, strata = strata)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val base = run(budgetFixture, 256)
+    assert(run(budgetFixture, 1) === base,
+      "strata=1 (the fully sequential layout) must agree")
+    assert(run(budgetFixture, 1024) === base)
+    assert(run(budgetFixture.repartition(13), 256) === base)
+    // raising a budget only ever ADDS documents, with identical prefixes
+    val grown = run(budgetFixture, 256, Seq("big" -> 1800L, "mid" -> 400L, "tiny" -> 5000L))
+    assert(base.forall { case (k, v) => grown.get(k).contains(v) })
+    assert(grown.size > base.size)
+  }
+
+  test("tokenBudgetFill: two corpus exchanges + one broadcast; invalid token counts fail loudly") {
+    val budgets = Seq("big" -> 900L, "mid" -> 400L, "tiny" -> 5000L)
+    val plan = Sampling.tokenBudgetFill(
+      budgetFixture, "id", "grp", "n_tok", budgets)
+      .queryExecution.executedPlan.toString
+    // 3 hash exchanges total: the phase-1 aggregate and the phase-2
+    // window move the CORPUS; the base-offset window moves only the
+    // ≤ groups·strata summary. Nothing else may shuffle, and the base
+    // join must broadcast, never shuffle.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val bad = Seq((1L, "big", 5L), (2L, "big", -1L)).toDF("id", "grp", "n_tok")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetFill(bad, "id", "grp", "n_tok", budgets).collect()
+    }
+    def chainMessage(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chainMessage(e).contains("tokenBudgetFill"), chainMessage(e))
+  }
 }
