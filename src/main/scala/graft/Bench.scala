@@ -250,8 +250,13 @@ object Bench {
     val failures = scala.collection.mutable.Map.empty[String, String]
     def reasonOf(e: Throwable): String =
       s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}"
+    // local-iteration subset: SPARK_GRAFT_BENCH_ONLY=a,b,c times just
+    // those headline queries (the driver never sets it — full suite)
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet)
     val names = headline.filter(n =>
-      SparkEntry.queries.contains(n) || benchOnly.contains(n))
+      (SparkEntry.queries.contains(n) || benchOnly.contains(n)) &&
+        onlySet.forall(_.contains(n)))
     names.foreach { n =>
       try exec(n, sfDir)
       catch { case e: Throwable =>

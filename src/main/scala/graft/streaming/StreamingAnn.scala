@@ -55,6 +55,28 @@ object StreamingAnn {
       }
   }
 
+  /** The LSH-index sibling of [[serve]] — same serving contract over
+    * `SimilaritySearch.lshTopKBatchFromIndex` (multiprobe routing per
+    * micro-batch, probed-buckets-only PartitionFilter, per-query
+    * equality with the single-query search proven in LshIndexSpec).
+    * Stateless for the same reason: the index is frozen, answers are
+    * pure. */
+  def serveLsh(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      indexPath: String, dim: Int, nBits: Int,
+      sink: (DataFrame, Long) => Unit,
+      k: Int = 10, probeBits: Int = 1): DataStreamWriter[Row] = {
+    require(queries.isStreaming, "serveLsh expects a streaming query frame")
+    val spark = queries.sparkSession
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val answered = graft.operators.SimilaritySearch.lshTopKBatchFromIndex(
+          spark, indexPath, batch, qidCol, qvecCol,
+          dim = dim, nBits = nBits, k = k, probeBits = probeBits)
+        sink(answered, batchId)
+      }
+  }
+
   /** One-shot convenience for bounded replays (tests, backfills): run
     * the serving query over everything currently in the source with
     * AvailableNow and block until drained. */

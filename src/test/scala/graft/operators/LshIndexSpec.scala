@@ -121,4 +121,36 @@ class LshIndexSpec extends SparkSpecBase {
       spark, path, query, dim = dim, nBits = nBits, k = 10).collect().toSeq
     assert(after === before)
   }
+
+  test("multi-query batch search equals the single-query search, query by query") {
+    val path = buildIndex()
+    val queries = emb.filter(col("vec_id") === 0 || col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = SimilaritySearch.lshTopKBatchFromIndex(
+      spark, path, queries, "qid", "qvec", dim = dim, nBits = nBits, k = 10)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    Seq(0L, 7L).foreach { qid =>
+      val one = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qvec"))
+      val single = SimilaritySearch.lshTopKFromIndex(
+        spark, path, one, dim = dim, nBits = nBits, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === single, s"qid $qid")
+    }
+    // the serving plan keeps the index property: probed-buckets-only at
+    // the partition-pruning layer
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+    val indexScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(path)).toSeq
+    assert(indexScans.nonEmpty, s"no scan over the index path in:\n$plan")
+    indexScans.foreach { l =>
+      assert("""PartitionFilters: \[bucket#\d+ IN \(""".r.findFirstIn(l).isDefined,
+        s"probe restriction must prune partitions in the batch plan:\n$l")
+    }
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

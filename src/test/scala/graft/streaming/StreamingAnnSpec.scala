@@ -81,4 +81,42 @@ class StreamingAnnSpec extends SparkSpecBase {
       assert(got === expected(qid), s"qid $qid")
     }
   }
+
+  test("LSH serving twin: streamed answers equal the single-query bucket-index search") {
+    val nBits = 4
+    val path = Files.createTempDirectory("graft-sann-lsh").toString
+    graft.operators.SimilaritySearch.buildLshBucketIndex(
+      corpus, "vec_id", "embedding", path, dim = dim, nBits = nBits)
+    val expected = (0L until 5L).map { qid =>
+      val one = queriesDf.filter(col("qid") === qid).select(col("qvec"))
+      qid -> graft.operators.SimilaritySearch.lshTopKFromIndex(
+        spark, path, one, dim = dim, nBits = nBits, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }.toMap
+
+    val src = Files.createTempDirectory("graft-sann-lsh-src").toString
+    queriesDf.coalesce(1).write.mode("append").json(s"$src/f0")
+    val qSchema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("qvec", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(qSchema).json(s"$src/f*")
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Int)]
+    val q = StreamingAnn.serveLsh(
+      stream, "qid", "qvec", path, dim, nBits,
+      (batch, _) => collected.synchronized {
+        collected ++= batch.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      })
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sann-lsh-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (0L until 5L).foreach { qid =>
+      val got = collected.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3)).toSeq
+      assert(got === expected(qid), s"qid $qid")
+    }
+  }
 }
