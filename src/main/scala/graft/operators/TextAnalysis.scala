@@ -382,8 +382,19 @@ object TextAnalysis {
   def bigramPerplexity(
       df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, roundDp: Int = 6): DataFrame = {
-    val (uni, bi) = bigramLmModel(df, textCol)
-    bigramPerplexityFromModel(df, idCol, textCol, uni, bi, alpha, roundDp)
+    // Self-scoring materializes the tokenized projection ONCE (lazy
+    // localCheckpoint — the positionalPosting single-scan fix): the
+    // composed plan otherwise runs THREE full tokenize branches (the
+    // unigram count, the bigram count, and the per-doc scoring pass)
+    // because the count aggregates sit below their exchanges, where
+    // reuse can never unify them. Batch-only composition — the
+    // streaming path goes through [[bigramPerplexityFromModel]], which
+    // stays checkpoint-free (checkpoints are illegal on streams).
+    val toks = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .localCheckpoint(false)
+    val (uni, bi) = bigramLmModelFromToks(toks.select(col("t")))
+    scoreTokenized(toks, Seq(idCol), uni, bi, alpha, roundDp)
   }
 
   /** The trained LM state as two PERSISTABLE count tables — unigram
@@ -391,8 +402,10 @@ object TextAnalysis {
     * re-readable as parquet like every other incremental index here —
     * so a production loop trains once per corpus version and every
     * ingest batch scores against the frozen tables. */
-  def bigramLmModel(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
-    val toks = df.select(tokens(col(textCol)).as("t"))
+  def bigramLmModel(df: DataFrame, textCol: String): (DataFrame, DataFrame) =
+    bigramLmModelFromToks(df.select(tokens(col(textCol)).as("t")))
+
+  private def bigramLmModelFromToks(toks: DataFrame): (DataFrame, DataFrame) = {
     val uni = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
     val bi = toks
@@ -423,12 +436,23 @@ object TextAnalysis {
       // callers leave it empty and the plan is unchanged
       carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed zeros have log -inf)")
+    scoreTokenized(
+      df.select(col(idCol) +: carry.map { case (n, c) => c.as(n) } :+
+        tokens(col(textCol)).as("t"): _*),
+      idCol +: carry.map(_._1), uni, bi, alpha, roundDp)
+  }
+
+  /** The scoring body shared by [[bigramPerplexity]] (pre-tokenized,
+    * checkpointed self-scoring) and [[bigramPerplexityFromModel]]
+    * (streaming-legal): `keyed` carries the key columns plus the
+    * materialized token array `t`. */
+  private def scoreTokenized(
+      keyed: DataFrame, keyNames: Seq[String],
+      uni: DataFrame, bi: DataFrame,
+      alpha: Double, roundDp: Int): DataFrame = {
     val v = uni.select(count(lit(1)).as("v"))
-    val carryNames = carry.map(_._1)
-    val keyCols = col(idCol) +: carryNames.map(col)
-    val docBi = df
-      .select(col(idCol) +: carry.map { case (n, c) => c.as(n) } :+
-        tokens(col(textCol)).as("t"): _*)
+    val keyCols = keyNames.map(col)
+    val docBi = keyed
       .filter(size(col("t")) >= 2)
       .select(keyCols :+ explode(expr(
         "transform(sequence(0, size(t) - 2), i -> " +
