@@ -514,17 +514,26 @@ object TextAnalysis {
     * freq, syms), the trained vocabulary's segmentation of every
     * corpus word). */
   private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainLoopFromWordFreq(
+      df.select(explode(regexp_extract_all(
+          col(textCol), lit(BpePattern), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      rounds)
+
+  /** The loop over a precomputed (word, freq) table — lets
+    * [[bpeEncodeCounts]] derive training frequencies from the SAME
+    * per-doc posting materialization it encodes with (one corpus
+    * extraction pass, not two). */
+  private def bpeTrainLoopFromWordFreq(wordFreq: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
-    val spark = df.sparkSession
+    val spark = wordFreq.sparkSession
     import spark.implicits._
     // The ONLY corpus-sized pass stays declarative SQL: pre-tokenize,
     // compress to (word, freq), split to code-point symbols (substring
     // slices by code point — a supplementary-plane emoji is ONE symbol).
-    val wordsDf = df
-      .select(explode(regexp_extract_all(
-        col(textCol), lit(BpePattern), lit(0))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val wordsDf = wordFreq
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
@@ -626,12 +635,23 @@ object TextAnalysis {
     * tokens and no row. */
   def bpeEncodeCounts(
       df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
-    val (_, words) = bpeTrainLoop(df, textCol, rounds)
-    val vocab = words.select(col("word"),
-      size(col("syms")).cast("long").as("n_syms"))
-    df.select(col(idCol), explode(regexp_extract_all(
+    // ONE corpus extraction pass: the per-doc (doc, word, cnt) posting
+    // materializes lazily and serves BOTH sides — training frequencies
+    // are its word-marginal (the same counts the direct corpus
+    // aggregation computes, associativity of count), and encoding joins
+    // it against the learned segment lengths. Before this the train
+    // loop and the encode side each ran their own full
+    // tokenize→regex→explode scan.
+    val posting = df
+      .select(col(idCol), explode(regexp_extract_all(
         col(textCol), lit(BpePattern), lit(0))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val (_, words) = bpeTrainLoopFromWordFreq(
+      posting.groupBy("word").agg(sum("cnt").as("freq")), rounds)
+    val vocab = words.select(col("word"),
+      size(col("syms")).cast("long").as("n_syms"))
+    posting
       .join(vocab, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt") *
