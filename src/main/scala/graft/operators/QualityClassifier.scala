@@ -134,24 +134,28 @@ object QualityClassifier {
         seedScoreCol.toSeq.map(col): _*)
       .select(col("doc"), col("t"), yExpr.as("y"))
       .filter(col("y").isNotNull)
+    // The engineered features are CONSTANT per doc, so they ride the
+    // hashed aggregation as extra grouping keys (nd = distinct-token
+    // count) and append to the feature list in-row AFTER the
+    // collect_list — no union branch, which would scan (and re-tokenize)
+    // toksY a second time. Same multiset of (f, c) entries per doc.
     val n = size(col("t")).cast("long")
-    val hashed = toksY
-      .select(col("doc"), col("y"), n.as("n"), explode(col("t")).as("w"))
-      .groupBy(col("doc"), col("y"), col("n"),
+    val labeled = toksY
+      .select(col("doc"), col("y"), n.as("n"),
+        size(array_distinct(col("t"))).cast("long").as("nd"),
+        explode(col("t")).as("w"))
+      .groupBy(col("doc"), col("y"), col("n"), col("nd"),
         pmod(TextFunctions.shingleKey(col("w")), lit(nf.toLong)).as("f"))
       .agg(count(lit(1)).as("c"))
-    val eng = toksY.select(col("doc"), col("y"), n.as("n"),
-      explode(array(
-        struct(lit(nf.toLong).as("f"),
-          size(array_distinct(col("t"))).cast("long").as("c")),
-        struct(lit(nf.toLong + 1).as("f"),
-          floor(least(n * n / lit(100.0), n.cast("double"))).cast("long").as("c")),
-        struct(lit(nf.toLong + 2).as("f"), n.as("c")))).as("fc"))
-      .select(col("doc"), col("y"), col("n"), col("fc.f").as("f"), col("fc.c").as("c"))
-    val labeled = hashed.unionByName(eng)
-      .groupBy("doc", "y", "n")
+      .groupBy("doc", "y", "n", "nd")
       .agg(collect_list(struct(col("f"), col("c"))).as("fs"))
-      .select(col("n"), col("y"), col("fs"))
+      .select(col("n"), col("y"),
+        concat(col("fs"), array(
+          struct(lit(nf.toLong).as("f"), col("nd").as("c")),
+          struct(lit(nf.toLong + 1).as("f"),
+            floor(least(col("n") * col("n") / lit(100.0),
+              col("n").cast("double"))).cast("long").as("c")),
+          struct(lit(nf.toLong + 2).as("f"), col("n").as("c")))).as("fs"))
       .localCheckpoint(false)
     val counts = labeled.agg(
       count(lit(1)).as("n"), sum("y").as("pos")).head
