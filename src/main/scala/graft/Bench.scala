@@ -48,7 +48,8 @@ object Bench {
     "cl_kmeans", "ta_tfidf", "ss_bm25",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
-    "ft_normalize", "tp_chunk", "ds_weighted", "ds_token_budget")
+    "ft_normalize", "tp_chunk", "ds_weighted", "ds_token_budget",
+    "ds_token_budget_incremental")
 
   /** The queries whose committed artifact must carry the cross-SF
     * scaling defense by default (no env var): the set graded `weak` by

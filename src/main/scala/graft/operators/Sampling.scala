@@ -236,7 +236,34 @@ object Sampling {
     * order-dependent). */
   def tokenBudgetFill(df: DataFrame, keyCol: String, groupCol: String,
       tokenCol: String, budgets: Seq[(String, Long)],
-      salt: String = "budget", strata: Int = 256): DataFrame = {
+      salt: String = "budget", strata: Int = 256): DataFrame =
+    tokenBudgetFillImpl(df, keyCol, groupCol, tokenCol, budgets, salt,
+      strata, priorTaken = None)
+
+  /** The O(Δ)-per-ingest twin of [[tokenBudgetFill]] — the production
+    * behavior when a mixture GROWS: the prior fill is IMMUTABLE (its
+    * documents are already in the written training mix), so an
+    * arriving delta fills only each group's REMAINING budget, in the
+    * delta's own key-stable order, never displacing a taken document
+    * (a from-scratch refill over corpus ∪ delta would — new documents
+    * hash anywhere in the order). `taken` is the prior fill's output
+    * (or any frame carrying `groupCol` + `tokenCol` for the already-
+    * taken documents): only its per-group token totals enter the plan
+    * — one tiny aggregation, broadcast as the groups' base offsets —
+    * so ingest cost is O(Δ), independent of everything taken before.
+    * `tokens_before` continues the GLOBAL accounting (taken total +
+    * delta prefix); a group whose budget the prior fill already
+    * crossed admits nothing. */
+  def tokenBudgetFillIncremental(delta: DataFrame, keyCol: String,
+      groupCol: String, tokenCol: String, budgets: Seq[(String, Long)],
+      taken: DataFrame, salt: String = "budget",
+      strata: Int = 256): DataFrame =
+    tokenBudgetFillImpl(delta, keyCol, groupCol, tokenCol, budgets, salt,
+      strata, priorTaken = Some(taken))
+
+  private def tokenBudgetFillImpl(df: DataFrame, keyCol: String,
+      groupCol: String, tokenCol: String, budgets: Seq[(String, Long)],
+      salt: String, strata: Int, priorTaken: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0))
     require(strata >= 1 && (strata & (strata - 1)) == 0 && strata <= (1 << 30),
@@ -263,14 +290,35 @@ object Sampling {
       .withColumn("__budget", budget)
       .filter(col("__budget").isNotNull)
     // phase 1: per-(group, stratum) sums → exclusive base offsets; the
-    // window runs over ≤ groups·strata rows, never the corpus
-    val bases = keyed
+    // window runs over ≤ groups·strata rows, never the corpus. In the
+    // incremental shape the prior fill's per-group totals join in as an
+    // additive base-0 — the delta's prefixes then CONTINUE the global
+    // accounting, and a group whose budget is already crossed keeps
+    // every delta prefix ≥ budget (admits nothing).
+    val base0 = priorTaken.map { tk =>
+      val takenTok = col(tokenCol).cast("long")
+      val guardedTaken = when(takenTok.isNull || takenTok < 0,
+        raise_error(concat(
+          lit(s"tokenBudgetFillIncremental: taken token count '$tokenCol' " +
+            "must be non-NULL and >= 0 in group "),
+          col(groupCol).cast("string"))))
+        .otherwise(takenTok)
+      tk.groupBy(col(groupCol)).agg(sum(guardedTaken).as("__base0"))
+    }
+    val bases0 = keyed
       .groupBy(col(groupCol), col("__st"))
       .agg(sum(guardedTok).as("__stsum"))
       .withColumn("__base", coalesce(sum(col("__stsum")).over(
         Window.partitionBy(col(groupCol)).orderBy(col("__st"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__stsum")
+    val bases = base0 match {
+      case None => bases0
+      case Some(b0) => bases0
+        .join(b0, Seq(groupCol), "left")
+        .withColumn("__base", col("__base") + coalesce(col("__base0"), lit(0L)))
+        .drop("__base0")
+    }
     // phase 2: within-stratum exclusive cumsum + broadcast base join;
     // (stratum, h, key) order ≡ (h, key) order because stratum = h >> k
     val withPrefix = keyed

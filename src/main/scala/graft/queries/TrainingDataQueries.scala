@@ -3085,6 +3085,65 @@ object TrainingDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ds_token_budget_incremental — the O(Δ) ingest twin
+    * (Sampling.tokenBudgetFillIncremental): the standing corpus
+    * (id%5 ≠ 0) fills first and its fill is FROZEN (those documents
+    * are already in the written mix); the arriving delta (id%5 = 0)
+    * fills only each source's REMAINING budget in its own key-stable
+    * order — never displacing a taken document, which a from-scratch
+    * refill would. Budgets sit near the corpus totals at sf0.01 so the
+    * three regimes all occur: sources with headroom admit part of the
+    * delta, sources whose budget the corpus already crossed admit
+    * none. Only the prior fill's per-source totals enter the plan. */
+  private val TokenBudgetsInc: Seq[(String, Long)] =
+    (0 until 19).map(i => s"src$i" -> (1050L + 90L * (i % 5)))
+
+  val dsTokenBudgetIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+    val taken = graft.operators.Sampling.tokenBudgetFill(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "source", "n_tokens", TokenBudgetsInc)
+    graft.operators.Sampling.tokenBudgetFillIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "source", "n_tokens", TokenBudgetsInc,
+      taken.select(col("source"), col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val dsTokenBudgetIncrementalOracle: String = {
+    val values = TokenBudgetsInc
+      .map { case (g, b) => s"('$g', ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 15))::BIGINT AS h
+       |  FROM documents
+       |), b(source, budget) AS (VALUES $values),
+       |cc AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    CAST(COALESCE(SUM(t.n_tokens) OVER (
+       |      PARTITION BY t.source ORDER BY t.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM t JOIN b USING (source) WHERE t.doc_id % 5 <> 0),
+       |taken AS (
+       |  SELECT source, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tk
+       |  FROM cc WHERE cum < budget GROUP BY source),
+       |dc AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    CAST(COALESCE(tk, 0) AS BIGINT) AS tk,
+       |    CAST(COALESCE(SUM(t.n_tokens) OVER (
+       |      PARTITION BY t.source ORDER BY t.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+       |  FROM t JOIN b USING (source) LEFT JOIN taken USING (source)
+       |  WHERE t.doc_id % 5 = 0)
+       |SELECT doc_id, source, n_tokens, CAST(tk + p AS BIGINT) AS tokens_before
+       |FROM dc WHERE tk + p < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** tp_chunk — context-window chunking (Packing.chunkDocuments):
     * `ChunkC`-token chunks, `ChunkOv` tokens of overlap. Pure integer
     * arithmetic + slicing — hash-exact cross-engine. */
@@ -3212,6 +3271,7 @@ object TrainingDataQueries {
     "op_zorder3" -> opZorder3,
     "ds_cap_per_group" -> dsCapPerGroup,
     "ds_token_budget" -> dsTokenBudget,
+    "ds_token_budget_incremental" -> dsTokenBudgetIncremental,
     "ds_weighted" -> dsWeighted,
     "ds_semantic_cap" -> dsSemanticCap,
     "ft_normalize" -> ftNormalize,
@@ -3292,6 +3352,7 @@ object TrainingDataQueries {
     "op_zorder3" -> opZorder3Oracle,
     "ds_cap_per_group" -> dsCapPerGroupOracle,
     "ds_token_budget" -> dsTokenBudgetOracle,
+    "ds_token_budget_incremental" -> dsTokenBudgetIncrementalOracle,
     "ds_weighted" -> dsWeightedOracle,
     "ds_semantic_cap" -> dsSemanticCapOracle,
     "ft_normalize" -> ftNormalizeOracle,

@@ -180,6 +180,56 @@ class SamplingSpec extends SparkSpecBase {
     assert(grown.size > base.size)
   }
 
+  test("tokenBudgetFillIncremental: frozen prior fill, delta fills only the remainder") {
+    val budgets = Seq("big" -> 900L, "mid" -> 400L, "tiny" -> 5000L)
+    val taken = Sampling.tokenBudgetFill(budgetFixture, "id", "grp", "n_tok", budgets)
+    val takenRows = taken.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val takenTotals = takenRows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // delta: new docs in every group, ids disjoint from the fixture
+    val delta = ((5001L to 5100L).map(i => (i, "big", 7L)) ++
+      (6001L to 6020L).map(i => (i, "mid", 11L)) ++
+      (7001L to 7005L).map(i => (i, "tiny", 50L))).toDF("id", "grp", "n_tok")
+    val got = Sampling.tokenBudgetFillIncremental(
+      delta, "id", "grp", "n_tok", budgets,
+      taken.select(col("grp"), col("n_tok")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the sequential reference over the delta, offset by the taken totals
+    val want = delta.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .filter(r => budgets.toMap.contains(r._2)).groupBy(_._2).flatMap {
+        case (g, members) =>
+          var cum = takenTotals.getOrElse(g, 0L)
+          members.sortBy { case (id, _, _) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest((id.toString + "budget").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.substring(0, 15)
+            (java.lang.Long.parseLong(hex, 16), id)
+          }.flatMap { case (id, _, n) =>
+            val before = cum
+            cum += n
+            if (before < budgets.toMap.apply(g)) Some(id -> before) else None
+          }
+      }
+    assert(got.map(t => t._1 -> t._4).toMap === want)
+    // the prior fill crossed big's and mid's budgets — no delta doc
+    // enters them; tiny has headroom and admits its whole delta with
+    // prefixes CONTINUING the taken total
+    assert(!got.exists(_._2 == "big"))
+    assert(!got.exists(_._2 == "mid"))
+    val tinyGot = got.filter(_._2 == "tiny")
+    assert(tinyGot.length === 5)
+    assert(tinyGot.map(_._4).min === takenTotals("tiny"))
+    // immutability: nothing previously taken is touched, and a
+    // from-scratch refill over corpus ∪ delta would NOT preserve the
+    // taken set (displacement) — the incremental fill must
+    val refill = Sampling.tokenBudgetFill(
+      budgetFixture.unionByName(delta), "id", "grp", "n_tok", budgets)
+      .collect().map(_.getLong(0)).toSet
+    assert(!takenRows.map(_._1).forall(refill.contains),
+      "fixture must exhibit displacement for the immutability claim to bite")
+  }
+
   test("tokenBudgetFill: two corpus exchanges + one broadcast; invalid token counts fail loudly") {
     val budgets = Seq("big" -> 900L, "mid" -> 400L, "tiny" -> 5000L)
     val plan = Sampling.tokenBudgetFill(
