@@ -354,4 +354,53 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
       assert(got(id)._2 === cover(intervals(id)), s"doc $id coverage")
     }
   }
+
+  test("tokenBudgetFill equals the naive sequential fill on random corpora, and chained incremental fills equal stream-order admission") {
+    val rnd = new scala.util.Random(0xB0D6E7)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((id.toString + "budget").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val groups = Seq("a", "b", "c", "d")
+    val rows = (1L to 1500L).map(i =>
+      (i, groups(rnd.nextInt(groups.length)), 1L + rnd.nextInt(40)))
+    val budgets = groups.map(g => g -> (50L + rnd.nextInt(4000)))
+    def naive(members: Seq[(Long, String, Long)], base: Map[String, Long]): Map[Long, Long] =
+      members.filter(r => budgets.toMap.contains(r._2)).groupBy(_._2).flatMap {
+        case (g, ms) =>
+          var cum = base.getOrElse(g, 0L)
+          ms.sortBy(r => (h(r._1), r._1)).flatMap { case (id, _, n) =>
+            val before = cum; cum += n
+            if (before < budgets.toMap.apply(g)) Some(id -> before) else None
+          }
+      }
+    val full = Sampling.tokenBudgetFill(
+      rows.toDF("id", "grp", "n"), "id", "grp", "n", budgets)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full === naive(rows, Map.empty))
+    // chained incremental over a random 3-way arrival split == naive
+    // admission with carried totals — the streaming twin's contract
+    val arrival = rows.map(r => (r, rnd.nextInt(3)))
+    var totals = Map.empty[String, Long].withDefaultValue(0L)
+    var wantAll = Map.empty[Long, Long]
+    var gotAll = Map.empty[Long, Long]
+    (0 until 3).foreach { b =>
+      val batch = arrival.filter(_._2 == b).map(_._1)
+      val takenDf = totals.toSeq.toDF("grp", "n")
+      val got = Sampling.tokenBudgetFillIncremental(
+        batch.toDF("id", "grp", "n"), "id", "grp", "n", budgets, takenDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = naive(batch, totals)
+      assert(got === want, s"batch $b")
+      val admitted = batch.filter(r => got.contains(r._1))
+      admitted.groupBy(_._2).foreach { case (g, ms) =>
+        totals = totals.updated(g, totals(g) + ms.map(_._3).sum)
+      }
+      wantAll ++= want; gotAll ++= got
+    }
+    assert(gotAll === wantAll)
+    assert(gotAll.nonEmpty)
+  }
 }
