@@ -45,6 +45,7 @@ object Bench {
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled", "ss_ann_ivf_pq_search",
+    "ss_ann_serve_batch",
     "cl_kmeans", "ta_tfidf", "ss_bm25",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
@@ -62,7 +63,7 @@ object Bench {
     "q07_ordinal_having", "q23_percentiles", "q24_cube", "q28_window_suite",
     "ss_ann_pq", "dd_span_decontaminate", "dd_spans", "ta_dup_fraction",
     "tp_trim_spans", "ta_bpe_train", "ta_bpe_encode", "ta_perplexity",
-    "ta_quality_clf")
+    "ta_quality_clf", "ds_token_budget", "ds_token_budget_incremental")
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine
@@ -112,6 +113,31 @@ object Bench {
         ProductQuantization.ivfPqTopKFromIndex(
           idx, corpus, "vec_id", "embedding",
           emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          nProbe = 4, rerank = 100, topK = 10, model = Some(model))
+      }),
+      // SERVING amortization: 8 queries answered in ONE batched pass
+      // over the memoized index (ivfPqTopKBatchFromIndex — union-of-
+      // probes PartitionFilter, shared scan, per-query TopK reduction).
+      // Compare per-query cost against ss_ann_ivf_pq_search's
+      // one-query-one-plan time: the batch pays the probe routing and
+      // pruned scan once for every query that shares a cell.
+      "ss_ann_serve_batch" -> ((s, dir) => {
+        import graft.operators.ProductQuantization
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val (idx, model) = ivfPqIndexCache.getOrElseUpdate(dir + "#serve", {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-bench-serve").toString
+          val m = ProductQuantization.buildIvfPqIndex(
+            corpus, "vec_id", "embedding", p, dim = 64,
+            nCells = 16, coarseIters = 2, m = 8, k = 16, iters = 1)
+          (p, m)
+        })
+        ProductQuantization.ivfPqTopKBatchFromIndex(
+          idx, corpus, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec",
           nProbe = 4, rerank = 100, topK = 10, model = Some(model))
       }),
       // IVF with centroids scaled to the corpus (the production posture;
