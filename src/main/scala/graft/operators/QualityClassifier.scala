@@ -101,7 +101,8 @@ object QualityClassifier {
       exp(-(col("dot").cast("double") / (lit(Scale) * col("n").cast("double")))))
 
   /** Train the fixed-point weight vector (length `nf + 3`). Driver
-    * state per round: the collected gradient (nf + 3 longs) — bounded
+    * state per round: ≤ numPartitions partial gradients of nf + 3
+    * longs, summed into one (nf + 3)-long gradient — bounded
     * model state, the kmeans-centroid convention. */
   def trainWeights(
       docs: DataFrame, idCol: String, textCol: String,

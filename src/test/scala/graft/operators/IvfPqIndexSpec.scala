@@ -255,4 +255,15 @@ class IvfPqIndexSpec extends SparkSpecBase {
     assert(out.columns.toSeq === Seq("qid", "vec_id", "cos", "rank"))
     assert(out.count() === 0)
   }
+
+  test("duplicate qids in a serving batch fail loudly (ambiguous routing)") {
+    val (path, model) = buildIndex()
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    intercept[IllegalArgumentException] {
+      ProductQuantization.ivfPqTopKBatchFromIndex(
+        path, corpus, "vec_id", "embedding", dup.unionByName(dup),
+        "qid", "qvec", model = Some(model))
+    }
+  }
 }
