@@ -1,0 +1,155 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Exact heavy hitters over word n-gram phrases via the two-phase
+  * sketch-then-verify pattern: a bounded-memory Misra–Gries candidate
+  * pass, then an exact count of ONLY the candidates. The output is
+  * EXACTLY the set of n-grams with true count ≥ ⌈φ·N⌉ (N = total
+  * n-gram occurrences) with their exact counts — the sketch bounds
+  * memory and shuffle, never the answer, which is why the gate can be
+  * hash-compared against a plain GROUP-BY/HAVING oracle.
+  *
+  * Why not one big `groupBy(gram).count()`? For UNIGRAMS over a
+  * bounded vocabulary that IS the right plan (map-side partial
+  * aggregation collapses hot keys before the exchange). But the
+  * n-gram key space grows with the corpus (5-grams over 100 TB ≈ one
+  * distinct key per occurrence), so the full aggregate shuffles and
+  * materializes a corpus-sized distinct-key table to report what is,
+  * by definition, a tiny result. The two-phase plan shuffles:
+  *
+  *   - phase 1: one summary row per input partition — ≤ `capacity`
+  *     grams plus a local total. Shuffle: O(partitions × capacity).
+  *   - phase 2: only occurrences of CANDIDATE grams survive the
+  *     broadcast semi-join below the exact-count aggregate, so the
+  *     exchange carries ≤ capacity × partitions distinct keys however
+  *     large the corpus is.
+  *
+  * Two corpus scans total (candidates, then verification) — the
+  * classic trade: at 100 TB a re-scan is strictly cheaper than
+  * materializing every distinct n-gram through an exchange.
+  *
+  * Correctness of the candidate superset (the property the
+  * verification phase turns into exactness): Misra–Gries with
+  * `capacity` counters over a partition of n_p items retains every
+  * item with local count > n_p/capacity. For any gram g with global
+  * count ≥ φ·N, some partition has count_p(g)/n_p ≥ count(g)/N ≥ φ
+  * (an average is ≤ its max), so g survives in that partition
+  * whenever capacity > 1/φ. `heavyHitters` enforces
+  * capacity ≥ 2/φ (defense ×2) and the union of per-partition
+  * survivors is therefore a superset of the true answer; phase 2
+  * discards the false positives with exact counts.
+  * HeavyHittersSpec drives the compress path with tiny capacities and
+  * randomized skewed streams and checks both the per-partition bound
+  * and end-to-end equality with the exact aggregate.
+  *
+  * Reference anchor: the reference engine exposes only exact GROUP BY
+  * aggregation (notebooks' top-N value counts); this operator is the
+  * scale path for the same question, per the LLM-pipeline brief.
+  */
+object HeavyHitters {
+
+  /** One Misra–Gries summary per input partition: the local occurrence
+    * total plus the surviving (gram, lower-bound count) pairs. Arrays,
+    * not maps: product-encodable, and the decrement credit is not
+    * carried — phase 2 recounts exactly, so only KEY survival matters. */
+  private[operators] case class MgSummary(
+      total: Long, grams: Array[String], counts: Array[Long])
+
+  /** Misra–Gries over one iterator with `capacity` counters. Classic
+    * frequent-items step: increment a held counter, else occupy a free
+    * slot, else decrement ALL counters (batched here: subtract the
+    * running minimum lazily by evicting zero-count keys only when the
+    * map is full — amortized O(1) per item, O(capacity) memory). */
+  private[operators] def misraGries(
+      it: Iterator[String], capacity: Int): MgSummary = {
+    val m = new mutable.HashMap[String, Long]()
+    var total = 0L
+    while (it.hasNext) {
+      val g = it.next()
+      total += 1L
+      val held = m.getOrElse(g, -1L)
+      if (held >= 0L) m.update(g, held + 1L)
+      else if (m.size < capacity) m.update(g, 1L)
+      else {
+        // decrement step: every counter loses 1; zeros evict. This is
+        // the O(capacity) amortized branch — each eviction pays back
+        // `capacity` prior increments.
+        val dead = mutable.ArrayBuffer.empty[String]
+        m.mapValuesInPlace { (k, v) => if (v == 1L) { dead += k; 0L } else v - 1L }
+        dead.foreach(m.remove)
+      }
+    }
+    val kept = m.toArray
+    MgSummary(total, kept.map(_._1), kept.map(_._2))
+  }
+
+  /** Candidate phase as a DataFrame of one MgSummary row per partition
+    * of `grams`. mapPartitions is the honest tool here — Misra–Gries
+    * IS per-partition imperative state; no composition of relational
+    * operators expresses "k counters with global decrement". */
+  private[operators] def mgSummaries(
+      grams: Dataset[String], capacity: Int): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    grams.mapPartitions(it => Iterator.single(misraGries(it, capacity))).toDF()
+  }
+
+  /** Word n-grams of `textCol` as a Dataset[String], space-joined —
+    * the same tokenize → positional-shingle pipeline the span/dedup
+    * family uses (tokens then sliding window), kept as plain columns
+    * so the scan is codegen'd end to end. */
+  private def gramStream(
+      df: DataFrame, textCol: String, n: Int): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(explode(TextFunctions.positionalShingles(col("toks"), n)).as("gram"))
+      .as[String]
+  }
+
+  /** Exact heavy hitters: every word `n`-gram of `textCol` whose
+    * occurrence count is ≥ ⌈φ·N⌉, with exact counts, ordered
+    * (count desc, gram) — deterministic total order.
+    *
+    * @param phi      relative frequency threshold (0 < φ < 1)
+    * @param capacity Misra–Gries counters per partition; must exceed
+    *                 2/φ for the superset guarantee (defaulted from φ)
+    */
+  def heavyHitters(
+      df: DataFrame, textCol: String, n: Int = 2, phi: Double = 0.001,
+      capacity: Int = 0): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val cap = if (capacity > 0) capacity else math.ceil(2.0 / phi).toInt
+    require(cap > 1.0 / phi,
+      s"capacity $cap breaks the superset guarantee for phi=$phi (needs > ${1 / phi})")
+
+    val grams = gramStream(df, textCol, n)
+    // phase 1 — one bounded summary row per partition. Materialized
+    // ONCE (lazy localCheckpoint, the posting convention): both the
+    // 1-row total and the candidate list read it, and it is tiny
+    // (partitions × capacity rows) however large the corpus is.
+    val summaries = mgSummaries(grams, cap).localCheckpoint(false)
+    val totalDf = summaries.agg(sum(col("total")).as("n_total"))
+    val candidates = summaries
+      .select(explode(col("grams")).as("gram")).distinct()
+
+    // phase 2 — exact verification: re-scan, keep only candidate
+    // occurrences (broadcast semi-join BELOW the aggregate, so the
+    // exchange carries candidate keys only), count exactly, threshold
+    // against the global total.
+    grams.toDF()
+      .join(broadcast(candidates), "gram")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totalDf))
+      .filter(col("cnt") >= ceil(lit(phi) * col("n_total")))
+      .select(col("gram"), col("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+}

@@ -2464,6 +2464,68 @@ object TrainingDataQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** sk_heavy_hitters — exact frequent word bigrams via the two-phase
+    * Misra–Gries-then-verify plan (operators.HeavyHitters): bounded
+    * per-partition candidate sketches, then exact counts of candidates
+    * only, thresholded at ⌈φ·N⌉ occurrences. The sketch is a superset
+    * filter, never the answer, so the output hash-matches the plain
+    * GROUP-BY/HAVING oracle exactly — the same sketch-internals-free
+    * gating stance as sk_sketches, made stronger here because the
+    * verified answer needs no tolerance booleans at all. */
+  val skHeavyHitters: Q = (s, dir) =>
+    graft.operators.HeavyHitters.heavyHitters(
+      Tables.documents(s, dir), "text", n = 2, phi = 0.001)
+
+  val skHeavyHittersOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |tot AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n FROM t),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+      |  FROM t WHERE len(t) >= 2)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM g, tot
+      |GROUP BY gram, tot.n
+      |HAVING count(*) >= ceil(0.001 * tot.n)
+      |ORDER BY cnt DESC, gram""".stripMargin
+
+  /** op_sessionize — gap-based sessionization of the events stream
+    * (30-minute silence closes a session), the batch twin of the
+    * streaming flatMapGroupsWithState sessionizer
+    * (streaming.StreamingIngest — StreamingIngestSpec asserts the two
+    * agree on a replayed fixture). Session bounds emitted as epoch
+    * MICROS bigints, the q21_asof_join cross-engine timestamp
+    * convention. One shuffle: the lag window and the running
+    * session-number sum share the (user_id, event_time) sort, and the
+    * session aggregate groups within the same partitioning. */
+  val opSessionize: Q = (s, dir) =>
+    graft.streaming.StreamingIngest
+      .sessionizeEvents(Tables.events(s, dir), "ts", gapMinutes = 30)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
+  val opSessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM f)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sess_no
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** cl_kmeans — deterministic Lloyd's k-means over embeddings
     * (operators.Clustering): seed centroids = the k lowest vec_ids,
     * assignment = argmax(v·c − ½|c|²) with cid tiebreak, component
@@ -3284,9 +3346,11 @@ object TrainingDataQueries {
     "tp_shuffle" -> tpShuffle,
     "tp_mixture" -> tpMixture,
     "op_merge_scd2" -> opMergeScd2,
+    "op_sessionize" -> opSessionize,
     "mm_features" -> mmFeatures,
     "mm_features_img" -> mmFeaturesImg,
     "sk_sketches" -> skSketches,
+    "sk_heavy_hitters" -> skHeavyHitters,
     "dd_embedding" -> ddEmbedding,
     "dd_embedding_incremental" -> ddEmbeddingIncremental,
     "dd_embedding_idx_bucketed" -> ddEmbeddingIdxBucketed,
@@ -3365,9 +3429,11 @@ object TrainingDataQueries {
     "tp_shuffle" -> tpShuffleOracle,
     "tp_mixture" -> tpMixtureOracle,
     "op_merge_scd2" -> opMergeScd2Oracle,
+    "op_sessionize" -> opSessionizeOracle,
     "mm_features" -> mmFeaturesOracle,
     "mm_features_img" -> mmFeaturesImgOracle,
     "sk_sketches" -> skSketchesOracle,
+    "sk_heavy_hitters" -> skHeavyHittersOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,

@@ -109,13 +109,33 @@ object StreamingIngest {
     * stateful flatMapGroupsWithState logic to a closed-form definition:
     * the streaming output must equal this batch result minus each user's
     * final session (which the stream correctly holds open in state). */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionizeCore(
+      events.withColumn("event_time", to_timestamp(col("timestamp")))
+        .select(col("user_id"), col("event_time")),
+      gapMinutes)
+
+  /** `sessionizeBatch` over a timestamp-TYPED time column (the events
+    * parquet shape) — same core, no string parse. Oracle-gated as
+    * `op_sessionize`. */
+  def sessionizeEvents(events: DataFrame, tsCol: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionizeCore(
+      events.select(col("user_id"), col(tsCol).cast("timestamp").as("event_time")),
+      gapMinutes)
+
+  /** Gap-based sessions via lag + a running sum of session-start flags
+    * over (user_id, event_time). Deterministic under timestamp TIES
+    * without a tiebreak column: tied rows compute the same gap to the
+    * group's predecessor whichever of them the window visits first
+    * (equal event_time ⇒ equal lag diff), so the per-session
+    * (start, end, count) aggregate is tie-order invariant even though
+    * individual lag values are not. */
+  private def sessionizeCore(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapMs = gapMinutes * 60 * 1000L
     val w = Window.partitionBy("user_id").orderBy("event_time")
     events
-      .withColumn("event_time", to_timestamp(col("timestamp")))
-      .select(col("user_id"), col("event_time"))
       .withColumn("prev", lag("event_time", 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull ||
