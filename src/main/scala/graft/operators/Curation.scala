@@ -151,12 +151,20 @@ object Curation {
     if (!cfg.classifierFilter) survivors
     else {
       // survivors already carry quality_score (stage 1 computed it with
-      // the identical expression) — reuse it for the seed labels
-      // instead of re-tokenizing and re-scoring the corpus
+      // the identical expression) — reuse it for the seed labels, and
+      // build the feature rows ONCE for training and scoring (the
+      // classify fusion: one tokenize+hash pass, zero shuffles)
       val slim = survivors.select(col(idCol), col(textCol), col("quality_score"))
-      val w = QualityClassifier.trainWeights(slim, idCol, textCol,
-        seedScoreCol = Some("quality_score"))
-      val scored = QualityClassifier.scoreWithWeights(slim, idCol, textCol, w)
+      val rows = QualityClassifier.featureRows(slim, idCol, textCol,
+        QualityClassifier.DefaultNumFeatures,
+        QualityClassifier.DefaultLowQ, QualityClassifier.DefaultHighQ,
+        seedScoreCol = Some("quality_score"), labeledOnly = false)
+        .localCheckpoint(false)
+      val w = QualityClassifier.trainWeightsFromRows(
+        rows.filter(col("y").isNotNull),
+        QualityClassifier.DefaultNumFeatures,
+        QualityClassifier.DefaultIters, QualityClassifier.DefaultLearningRate)
+      val scored = QualityClassifier.scoreFromRows(rows, idCol, w)
         .select(col(idCol), col("clf_prob"))
       survivors.join(scored, Seq(idCol), "left")
         .filter(col("clf_prob").isNull || col("clf_prob") >= cfg.clfMinProb)

@@ -109,19 +109,31 @@ object QualityClassifier {
       nf: Int = DefaultNumFeatures, iters: Int = DefaultIters,
       lr: Double = DefaultLearningRate,
       lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ,
-      seedScoreCol: Option[String] = None): Array[Long] = {
-    require(nf >= 1 && iters >= 1)
-    // ONE materialized row per labeled doc carrying its whole (bounded,
-    // ≤ n+3 entries) feature vector. The seed label is computed IN-ROW
-    // on the same tokenize projection the features use
-    // (qualityScoreCol is a pure column expression; a caller-provided
-    // seed score is just a column) — one corpus scan, no join, no
-    // second tokenize branch, and the only shuffle is the per-doc
-    // feature aggregation. Same rows as the historical
-    // featureTable-join-seedLabels formulation (ids are unique; the
-    // join kept exactly the label-non-null docs this filter keeps), so
-    // the learned weights are unchanged — hash-equal to the oracle's
-    // join-based formulation.
+      seedScoreCol: Option[String] = None): Array[Long] =
+    trainWeightsFromRows(
+      featureRows(docs, idCol, textCol, nf, lowQ, highQ, seedScoreCol,
+        labeledOnly = true),
+      nf, iters, lr)
+
+  /** The (doc, y, n, fs) feature-row projection — ONE corpus scan, one
+    * tokenize, one md5 pass: fs is the doc's whole bounded sparse
+    * feature vector (hashed counts + the three engineered entries,
+    * ≤ min(n, nf) + 3 structs), y the seed label (null = unlabeled —
+    * only emitted when `labeledOnly = false`, the classify fusion that
+    * lets training and scoring share this single pass instead of
+    * re-hashing the corpus). The seed label is computed IN-ROW on the
+    * same tokenize projection the features use (qualityScoreCol is a
+    * pure column expression; a caller-provided seed score is just a
+    * column) — no join, no second tokenize branch, and the only
+    * shuffle is the per-doc feature aggregation. Same per-doc (f, c)
+    * multiset as the historical featureTable-join-seedLabels
+    * formulation, so learned weights and scores are unchanged —
+    * hash-equal to the oracle's join-based formulation. */
+  private[operators] def featureRows(
+      docs: DataFrame, idCol: String, textCol: String, nf: Int,
+      lowQ: Double, highQ: Double, seedScoreCol: Option[String],
+      labeledOnly: Boolean): DataFrame = {
+    require(nf >= 1)
     val yExpr = seedScoreCol match {
       case Some(c) =>
         when(col(c) >= highQ, lit(1L)).when(col(c) <= lowQ, lit(0L))
@@ -134,29 +146,59 @@ object QualityClassifier {
         TextFunctions.tokens(col(textCol)).as("t") +:
         seedScoreCol.toSeq.map(col): _*)
       .select(col("doc"), col("t"), yExpr.as("y"))
-      .filter(col("y").isNotNull)
-    // The engineered features are CONSTANT per doc, so they ride the
-    // hashed aggregation as extra grouping keys (nd = distinct-token
-    // count) and append to the feature list in-row AFTER the
-    // collect_list — no union branch, which would scan (and re-tokenize)
-    // toksY a second time. Same multiset of (f, c) entries per doc.
+    val kept = if (labeledOnly) toksY.filter(col("y").isNotNull) else toksY
+    // The hashed counts build IN-ROW — sort the per-token bucket ids,
+    // then run-length-fold the sorted array into (f, c) structs (the
+    // spanIslands fold shape): a pure projection, versus the former
+    // explode → groupBy(doc…f) → groupBy(doc) collect_list, whose two
+    // corpus-sized exchanges were ~60% of the operator's wall time at
+    // gate scale and whose shuffle would dominate at 100 TB. Engineered
+    // features append after the fold. Same per-doc (f, c) MULTISET as
+    // the aggregation (runs of a sorted array ARE the bucket counts;
+    // every consumer folds fs order-independently), so weights, scores
+    // and the oracle hash are unchanged.
     val n = size(col("t")).cast("long")
-    val labeled = toksY
-      .select(col("doc"), col("y"), n.as("n"),
-        size(array_distinct(col("t"))).cast("long").as("nd"),
-        explode(col("t")).as("w"))
-      .groupBy(col("doc"), col("y"), col("n"), col("nd"),
-        pmod(TextFunctions.shingleKey(col("w")), lit(nf.toLong)).as("f"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc", "y", "n", "nd")
-      .agg(collect_list(struct(col("f"), col("c"))).as("fs"))
-      .select(col("n"), col("y"),
-        concat(col("fs"), array(
-          struct(lit(nf.toLong).as("f"), col("nd").as("c")),
+    def close(done: Column, cf: Column, cc: Column): Column =
+      when(cc === 0L, done)
+        .otherwise(concat(done, array(struct(cf.as("f"), cc.as("c")))))
+    val acc0 = struct(
+      typedLit(Seq.empty[(Long, Long)])
+        .cast("array<struct<f:bigint,c:bigint>>").as("done"),
+      lit(-1L).as("cf"), lit(0L).as("cc"))
+    val hs = array_sort(transform(col("t"),
+      w => pmod(TextFunctions.shingleKey(w), lit(nf.toLong))))
+    val runs = aggregate(
+      hs, acc0,
+      (a, x) =>
+        when(x === a.getField("cf"), struct(
+          a.getField("done").as("done"),
+          a.getField("cf").as("cf"), (a.getField("cc") + 1L).as("cc")))
+          .otherwise(struct(
+            close(a.getField("done"), a.getField("cf"), a.getField("cc"))
+              .as("done"),
+            x.as("cf"), lit(1L).as("cc"))),
+      a => close(a.getField("done"), a.getField("cf"), a.getField("cc")))
+    kept
+      .select(col("doc"), n.as("n"), col("y"),
+        concat(runs, array(
+          struct(lit(nf.toLong).as("f"),
+            size(array_distinct(col("t"))).cast("long").as("c")),
           struct(lit(nf.toLong + 1).as("f"),
-            floor(least(col("n") * col("n") / lit(100.0),
-              col("n").cast("double"))).cast("long").as("c")),
-          struct(lit(nf.toLong + 2).as("f"), col("n").as("c")))).as("fs"))
+            floor(least(n * n / lit(100.0),
+              n.cast("double"))).cast("long").as("c")),
+          struct(lit(nf.toLong + 2).as("f"), n.as("c")))).as("fs"))
+  }
+
+  /** Gradient rounds over pre-built feature rows ((n, y, fs) columns;
+    * every row labeled). The rows materialize ONCE here (lazy
+    * localCheckpoint — rounds re-read pinned blocks, and when the
+    * caller hands a filtered view of an already-checkpointed frame
+    * this second checkpoint is a cheap column-pruned copy that keeps
+    * the per-round scans labeled-rows-only). */
+  private[operators] def trainWeightsFromRows(
+      rows: DataFrame, nf: Int, iters: Int, lr: Double): Array[Long] = {
+    require(nf >= 1 && iters >= 1)
+    val labeled = rows.select(col("n"), col("y"), col("fs"))
       .localCheckpoint(false)
     val counts = labeled.agg(
       count(lit(1)).as("n"), sum("y").as("pos")).head
@@ -179,7 +221,7 @@ object QualityClassifier {
     // task (never above the checkpoint's own partitioning, so a 100 TB
     // corpus keeps full parallelism). Integer gradient sums are
     // order-independent, so layout cannot change a bit.
-    val sess = docs.sparkSession
+    val sess = rows.sparkSession
     import sess.implicits._
     val perRound = {
       val have = labeled.rdd.getNumPartitions
@@ -301,20 +343,47 @@ object QualityClassifier {
       .withColumn("clf_label", (col("clf_prob") >= 0.5).cast("int"))
   }
 
+  /** Score pre-built feature rows ((doc, n, fs) columns) under a
+    * weight vector: the dot product folds each row's OWN sparse
+    * feature list — no re-tokenize, no re-hash, no shuffle. Sums the
+    * same multiset of longs as [[scoreWithWeights]]/[[scoreRowWise]]
+    * (integer addition is order-independent), so the probabilities are
+    * bit-identical (QualityClassifierSpec pins all three paths). */
+  private[operators] def scoreFromRows(
+      rows: DataFrame, idCol: String, weights: Array[Long]): DataFrame = {
+    val wLit = typedLit(weights.toSeq)
+    rows
+      .select(col("doc"), col("n"),
+        aggregate(col("fs"), lit(0L), (acc, x) =>
+          acc + element_at(wLit, (x.getField("f") + 1L).cast("int")) *
+            x.getField("c")).as("dot"))
+      .select(
+        col("doc").as(idCol), col("n").as("n_tokens"),
+        roundFixed(sigmoidOfDot, 6).as("clf_prob"))
+      .withColumn("clf_label", (col("clf_prob") >= 0.5).cast("int"))
+  }
+
   /** Train-then-score in one call — the gated composition
-    * (ta_quality_clf). Scoring goes through the IN-ROW twin
-    * ([[scoreRowWise]] — bit-identical to the aggregated path,
-    * QualityClassifierSpec) so the corpus-wide scoring pass is a pure
-    * shuffle-free projection; [[scoreWithWeights]] remains the shape
-    * for callers that already carry a feature table. */
+    * (ta_quality_clf). The corpus is tokenized and md5-hashed exactly
+    * ONCE: [[featureRows]] over every doc (labels carried as nullable
+    * y) materializes via lazy localCheckpoint, training reads its
+    * labeled subset, and scoring folds the same rows' feature lists
+    * under the learned weights ([[scoreFromRows]]) — at 100 TB the
+    * hash pass is the dominant term, so the fusion halves it versus
+    * the former train-then-re-scan shape. [[scoreRowWise]] remains the
+    * single-pass projection for frozen-weight callers (streaming, the
+    * incremental gate); [[scoreWithWeights]] the shape for callers
+    * that already carry a feature table. */
   def classify(
       docs: DataFrame, idCol: String, textCol: String,
       nf: Int = DefaultNumFeatures, iters: Int = DefaultIters,
       lr: Double = DefaultLearningRate,
       lowQ: Double = DefaultLowQ, highQ: Double = DefaultHighQ): DataFrame = {
-    val w = trainWeights(docs, idCol, textCol, nf, iters, lr, lowQ, highQ)
-    scoreRowWise(docs.select(col(idCol), col(textCol)), idCol, textCol, w)
-      .select(col(idCol), col("n_tokens"), col("clf_prob"), col("clf_label"))
+    val all = featureRows(docs, idCol, textCol, nf, lowQ, highQ,
+      seedScoreCol = None, labeledOnly = false).localCheckpoint(false)
+    val w = trainWeightsFromRows(
+      all.filter(col("y").isNotNull), nf, iters, lr)
+    scoreFromRows(all, idCol, w)
   }
 
   // ------------------------------------------------------------------
