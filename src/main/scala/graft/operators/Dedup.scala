@@ -770,7 +770,18 @@ object Dedup {
     * gaps-and-islands window partitions by (pair, diagonal) — bounded by
     * the shorter document's length, never corpus-sized — and the final
     * per-pair argmax is a map-side-combinable struct `max`, not a second
-    * window. */
+    * window.
+    *
+    * Residual-cost note (round-10 profile at sf0.1, warmed JVM): the
+    * posting projection alone — tokenize → positional shingles → md5
+    * shingle keys, before ANY join or fold — measures ~0.7 s of
+    * dd_spans' ~1.9 s wall (tokenize without hashing: 0.13 s; raw scan:
+    * 0.17 s), i.e. ~40% of the gate is the cross-engine md5 term, and
+    * the query sits at ~2.0× DuckDB with sublinear 10× scaling. That
+    * term is the deliberate verifiability trade documented at
+    * [[graft.functions.TextFunctions.baseHash]]; production corpora
+    * without a DuckDB gate should pass `fast = true` (xxhash64, ≈10×
+    * cheaper per shingle), which removes most of it. */
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
