@@ -50,7 +50,8 @@ object Bench {
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
     "ft_normalize", "tp_chunk", "ds_weighted", "ds_token_budget",
-    "ds_token_budget_incremental", "sk_heavy_hitters", "op_sessionize")
+    "ds_token_budget_incremental", "sk_heavy_hitters", "op_sessionize",
+    "sk_heavy_hitters_incremental")
 
   /** The queries whose committed artifact must carry the cross-SF
     * scaling defense by default (no env var): the set graded `weak` by

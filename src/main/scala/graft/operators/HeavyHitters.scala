@@ -104,7 +104,7 @@ object HeavyHitters {
     * the same tokenize → positional-shingle pipeline the span/dedup
     * family uses (tokens then sliding window), kept as plain columns
     * so the scan is codegen'd end to end. */
-  private def gramStream(
+  private[operators] def gramStream(
       df: DataFrame, textCol: String, n: Int): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -150,6 +150,143 @@ object HeavyHitters {
       .crossJoin(broadcast(totalDf))
       .filter(col("cnt") >= ceil(lit(phi) * col("n_total")))
       .select(col("gram"), col("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted candidate index + exact O(Δ)-ingest incremental search —
+  // the frozen-contract posture the MinHash/SimHash/span/IVF-PQ
+  // families use: build once over the corpus, serve thresholds from
+  // the index alone, ingest deltas without re-counting the corpus.
+  // ------------------------------------------------------------------
+
+  /** Index layout: `candidates/` parquet (gram, cnt) — EXACT corpus
+    * counts for the full Misra–Gries candidate superset (every gram
+    * with corpus count > N/capacity is present; phase 2 counted them
+    * exactly, the threshold is NOT applied at build time) — plus a
+    * `_hh_meta.txt` sidecar (gramN, capacity, total). The sidecar is
+    * load-bearing, not documentation: a reader supplying its own
+    * n/capacity/φ could silently search under a weaker guarantee than
+    * the index was built with (the `_lsh_meta.txt` lesson), so every
+    * consumer derives them from the index and VALIDATES φ against the
+    * built capacity. */
+  private val MetaFile = "_hh_meta.txt"
+
+  private[operators] case class HhMeta(gramN: Int, capacity: Int, total: Long)
+
+  private def writeMeta(spark: SparkSession, path: String, m: HhMeta): Unit =
+    graft.store.Storage.writeTextFile(spark, s"$path/$MetaFile",
+      s"gramN ${m.gramN}\ncapacity ${m.capacity}\ntotal ${m.total}\n")
+
+  private[operators] def readMeta(spark: SparkSession, path: String): HhMeta = {
+    val kv = graft.store.Storage.readTextFile(spark, s"$path/$MetaFile")
+      .linesIterator.filter(_.nonEmpty)
+      .map { l => val Array(k, v) = l.split(" ", 2); k -> v }.toMap
+    HhMeta(kv("gramN").toInt, kv("capacity").toInt, kv("total").toLong)
+  }
+
+  /** Build the persisted candidate index over `df`. Same two scans as
+    * [[heavyHitters]]; the only difference is that the exact candidate
+    * counts persist UNTHRESHOLDED, so any φ with capacity > 1/φ can be
+    * served later from the index alone. */
+  def buildIndex(
+      df: DataFrame, textCol: String, indexPath: String, n: Int = 2,
+      capacity: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    val grams = gramStream(df, textCol, n)
+    val summaries = mgSummaries(grams, capacity).localCheckpoint(false)
+    val total = summaries.agg(sum(col("total"))).head.getLong(0)
+    val candidates = summaries.select(explode(col("grams")).as("gram")).distinct()
+    grams.toDF()
+      .join(broadcast(candidates), "gram")
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$indexPath/candidates")
+    writeMeta(spark, indexPath, HhMeta(n, capacity, total))
+    spark.read.parquet(s"$indexPath/candidates")
+  }
+
+  /** Serve exact heavy hitters at `phi` from the index ALONE — no
+    * corpus access at all (the threshold read is why the index stores
+    * the unthresholded superset). Requires capacity > 1/φ, validated
+    * against the sidecar. */
+  def heavyHittersFromIndex(
+      spark: SparkSession, indexPath: String, phi: Double): DataFrame = {
+    val m = readMeta(spark, indexPath)
+    require(phi > 0 && phi < 1 && m.capacity > 1.0 / phi,
+      s"index built with capacity ${m.capacity} cannot serve phi=$phi " +
+        s"exactly (needs capacity > ${1 / phi})")
+    spark.read.parquet(s"$indexPath/candidates")
+      .filter(col("cnt") >= math.ceil(phi * m.total).toLong)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  /** Exact heavy hitters over corpus ∪ delta, touching the corpus text
+    * only for grams that PROVABLY might newly cross the threshold —
+    * usually none, making ingest O(Δ):
+    *
+    *   - indexed grams: exact corpus count from the index + one exact
+    *     delta count — no corpus access;
+    *   - non-indexed grams have corpus count ≤ ⌊N/capacity⌋ (the MG
+    *     bound), so a gram can newly cross T′ = ⌈φ·(N+M)⌉ only if its
+    *     exact delta count ≥ T′ − ⌊N/capacity⌋. The candidates for
+    *     that test come from the delta's OWN MG pass (anything
+    *     crossing needs delta frequency ≥ φ > 1/capacity, so the
+    *     delta sketch retains it); the survivors — a bounded set,
+    *     collected like IVF probe ids — trigger ONE corpus re-count
+    *     restricted to exactly those grams, skipped entirely when the
+    *     set is empty (HeavyHittersSpec plants both postures).
+    *
+    * The union of the three exact sources then thresholds at T′ — the
+    * output equals the from-scratch [[heavyHitters]] over
+    * corpus ∪ delta row for row (the gate shares the plain oracle). */
+  def heavyHittersIncremental(
+      corpus: DataFrame, delta: DataFrame, textCol: String,
+      indexPath: String, phi: Double): DataFrame = {
+    val spark = delta.sparkSession
+    val m = readMeta(spark, indexPath)
+    require(phi > 0 && phi < 1 && m.capacity > 1.0 / phi,
+      s"index built with capacity ${m.capacity} cannot serve phi=$phi " +
+        s"exactly (needs capacity > ${1 / phi})")
+    val idx = spark.read.parquet(s"$indexPath/candidates")
+
+    val dGrams = gramStream(delta, textCol, m.gramN)
+    val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)
+    val dTotal = dSumm.agg(sum(col("total"))).head.getLong(0)
+    val thr = math.ceil(phi * (m.total + dTotal)).toLong
+    val bound = m.total / m.capacity
+
+    // one delta scan counts BOTH the indexed grams and the delta's own
+    // candidates exactly (their union is the complete crosser superset)
+    val dCand = dSumm.select(explode(col("grams")).as("gram")).distinct()
+    val allCand = idx.select("gram").union(dCand).distinct()
+    val dCounts = dGrams.toDF()
+      .join(broadcast(allCand), "gram")
+      .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
+      .localCheckpoint(false)
+
+    // fresh possible crossers: bounded (≤ the delta sketch size), so
+    // the collect is model-state-sized — and empty means NO corpus job
+    val fresh = dCounts.join(idx.select("gram"), Seq("gram"), "left_anti")
+      .filter(col("d_cnt") + lit(bound) >= thr)
+      .select("gram").collect().map(_.getString(0))
+    val corpusCounts =
+      if (fresh.isEmpty) idx
+      else {
+        import spark.implicits._
+        val freshDf = fresh.toSeq.toDF("gram")
+        val recount = gramStream(corpus, textCol, m.gramN).toDF()
+          .join(broadcast(freshDf), "gram")
+          .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        // grams absent from the corpus entirely still need a row so the
+        // delta count below can carry them over the threshold alone
+        idx.unionByName(freshDf.join(recount, Seq("gram"), "left")
+          .select(col("gram"), coalesce(col("cnt"), lit(0L)).as("cnt")))
+      }
+
+    corpusCounts.join(dCounts, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("cnt") + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") >= thr)
       .orderBy(col("cnt").desc, col("gram"))
   }
 }

@@ -2488,6 +2488,30 @@ object TrainingDataQueries {
       |HAVING count(*) >= ceil(0.001 * tot.n)
       |ORDER BY cnt DESC, gram""".stripMargin
 
+  /** sk_heavy_hitters_incremental — exact frequent bigrams over
+    * corpus ∪ delta where the corpus (doc_id%5 ≠ 0) is served from the
+    * persisted UNTHRESHOLDED candidate index
+    * (HeavyHitters.buildIndex — exact counts for the Misra–Gries
+    * superset + a validated `_hh_meta.txt` sidecar) and only the delta
+    * (doc_id%5 = 0) is scanned; the corpus text is re-read only for
+    * provably-possible fresh crossers, an empty set on this fixture
+    * (HeavyHittersSpec plants the non-empty posture). Exactness is
+    * unconditional, so the gate shares the from-scratch oracle over
+    * all documents verbatim. */
+  val skHeavyHittersIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"hhidx:${System.identityHashCode(s)}:$dir", {
+      graft.operators.HeavyHitters.buildIndex(corpus, "text", path)
+      path
+    })
+    graft.operators.HeavyHitters.heavyHittersIncremental(
+      corpus, docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "text", path, phi = 0.001)
+  }
+
   /** op_sessionize — gap-based sessionization of the events stream
     * (30-minute silence closes a session), the batch twin of the
     * streaming flatMapGroupsWithState sessionizer
@@ -3351,6 +3375,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImg,
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
+    "sk_heavy_hitters_incremental" -> skHeavyHittersIncremental,
     "dd_embedding" -> ddEmbedding,
     "dd_embedding_incremental" -> ddEmbeddingIncremental,
     "dd_embedding_idx_bucketed" -> ddEmbeddingIdxBucketed,
@@ -3434,6 +3459,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImgOracle,
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,
+    "sk_heavy_hitters_incremental" -> skHeavyHittersOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,

@@ -84,6 +84,63 @@ class HeavyHittersSpec extends SparkSpecBase {
     }
   }
 
+  private def exactHh(docs: Seq[(Long, String)], phi: Double): Seq[(String, Long)] = {
+    val grams = docs.flatMap(_._2.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val thr = math.ceil(phi * grams.size).toLong
+    grams.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .filter(_._2 >= thr).toSeq.sortBy { case (g, c) => (-c, g) }
+  }
+
+  test("index: from-index serving equals from-scratch for any served phi") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(7)
+    val docs = Seq.tabulate(80)(i => (i.toLong, skewedStream(rnd, 25, 30).mkString(" ")))
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val path = java.nio.file.Files.createTempDirectory("hh-idx").toString
+    HeavyHitters.buildIndex(df, "text", path, n = 2, capacity = 64)
+    for (phi <- Seq(0.02, 0.05)) {
+      val got = HeavyHitters.heavyHittersFromIndex(spark, path, phi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exactHh(docs, phi), s"phi=$phi")
+    }
+    // the sidecar guards the guarantee: a phi finer than the built
+    // capacity must be refused, not silently under-served
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHittersFromIndex(spark, path, 0.01)
+    }
+  }
+
+  test("incremental: exact over corpus ∪ delta, fresh-crosser recount both dormant and active") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(11)
+    val corpus = Seq.tabulate(100)(i => (i.toLong, skewedStream(rnd, 25, 30).mkString(" ")))
+    val cdf = corpus.toDF("doc_id", "text").repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("hh-idx-inc").toString
+    HeavyHitters.buildIndex(cdf, "text", path, n = 2, capacity = 64)
+
+    // dormant posture: delta drawn from the same distribution — every
+    // heavy gram is already an indexed candidate, no corpus re-read
+    val delta1 = Seq.tabulate(20)(i => (1000L + i, skewedStream(rnd, 25, 30).mkString(" ")))
+    val got1 = HeavyHitters.heavyHittersIncremental(
+        cdf, delta1.toDF("doc_id", "text"), "text", path, phi = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got1 == exactHh(corpus ++ delta1, 0.05))
+
+    // active posture: the delta hammers a gram ABSENT from the corpus
+    // ("zz qq" repeated), which must newly cross via the recount path —
+    // and its corpus count (zero) must come back exact
+    val delta2 = delta1 ++ Seq.tabulate(10)(i =>
+      (2000L + i, Seq.fill(30)("zz qq").mkString(" ").split(" ").mkString(" ")))
+    val got2 = HeavyHitters.heavyHittersIncremental(
+        cdf, delta2.toDF("doc_id", "text"), "text", path, phi = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want2 = exactHh(corpus ++ delta2, 0.05)
+    assert(got2 == want2)
+    assert(want2.exists(_._1 == "zz qq"), "fixture must exercise a fresh crosser")
+  }
+
   test("short and empty documents contribute no n-grams") {
     val spark2 = spark
     import spark2.implicits._
