@@ -61,14 +61,17 @@ object HeavyHitters {
   private[operators] case class MgSummary(
       total: Long, grams: Array[String], counts: Array[Long])
 
-  /** Misra–Gries over one iterator with `capacity` counters. Classic
-    * frequent-items step: increment a held counter, else occupy a free
-    * slot, else decrement ALL counters (batched here: subtract the
-    * running minimum lazily by evicting zero-count keys only when the
-    * map is full — amortized O(1) per item, O(capacity) memory). */
-  private[operators] def misraGries(
-      it: Iterator[String], capacity: Int): MgSummary = {
-    val m = new mutable.HashMap[String, Long]()
+  /** The Misra–Gries fold: consume `it` into the live counter map `m`
+    * (≤ `capacity` entries on exit), returning the number of items
+    * consumed. Classic frequent-items step: increment a held counter,
+    * else occupy a free slot, else decrement ALL counters (zeros
+    * evict — amortized O(1) per item, O(capacity) memory). Shared by
+    * the per-partition batch pass below and the streaming twin's
+    * per-shard state update (StreamingHeavyHitters), so the two
+    * postures run the identical algorithm by construction. */
+  private[graft] def mgUpdate(
+      m: mutable.HashMap[String, Long], it: Iterator[String],
+      capacity: Int): Long = {
     var total = 0L
     while (it.hasNext) {
       val g = it.next()
@@ -85,6 +88,13 @@ object HeavyHitters {
         dead.foreach(m.remove)
       }
     }
+    total
+  }
+
+  private[operators] def misraGries(
+      it: Iterator[String], capacity: Int): MgSummary = {
+    val m = new mutable.HashMap[String, Long]()
+    val total = mgUpdate(m, it, capacity)
     val kept = m.toArray
     MgSummary(total, kept.map(_._1), kept.map(_._2))
   }
@@ -104,7 +114,7 @@ object HeavyHitters {
     * the same tokenize → positional-shingle pipeline the span/dedup
     * family uses (tokens then sliding window), kept as plain columns
     * so the scan is codegen'd end to end. */
-  private[operators] def gramStream(
+  private[graft] def gramStream(
       df: DataFrame, textCol: String, n: Int): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -138,11 +148,17 @@ object HeavyHitters {
     val totalDf = summaries.agg(sum(col("total")).as("n_total"))
     val candidates = summaries
       .select(explode(col("grams")).as("gram")).distinct()
+    verifyExact(grams, candidates, totalDf, phi)
+  }
 
-    // phase 2 — exact verification: re-scan, keep only candidate
-    // occurrences (broadcast semi-join BELOW the aggregate, so the
-    // exchange carries candidate keys only), count exactly, threshold
-    // against the global total.
+  /** Phase 2 — exact verification: re-scan the gram stream, keep only
+    * candidate occurrences (broadcast semi-join BELOW the aggregate,
+    * so the exchange carries candidate keys only), count exactly,
+    * threshold against the global total. Shared with the streaming
+    * twin's finalization (StreamingHeavyHitters). */
+  private[graft] def verifyExact(
+      grams: Dataset[String], candidates: DataFrame, totalDf: DataFrame,
+      phi: Double): DataFrame =
     grams.toDF()
       .join(broadcast(candidates), "gram")
       .groupBy("gram")
@@ -151,7 +167,6 @@ object HeavyHitters {
       .filter(col("cnt") >= ceil(lit(phi) * col("n_total")))
       .select(col("gram"), col("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
-  }
 
   // ------------------------------------------------------------------
   // Persisted candidate index + exact O(Δ)-ingest incremental search —
