@@ -2512,6 +2512,24 @@ object TrainingDataQueries {
       "text", path, phi = 0.001)
   }
 
+  /** sk_heavy_hitters_idx — the SERVE path: exact heavy hitters read
+    * from the persisted unthresholded candidate index ALONE (no corpus
+    * access at all — any φ coarser than the built capacity's guarantee
+    * thresholds directly on the indexed exact counts). Index built
+    * once per (session, dir) over the full corpus; shares the
+    * from-scratch oracle verbatim, so the layout and sidecar cannot
+    * change results. */
+  val skHeavyHittersIdx: Q = (s, dir) => {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_full_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"hhidxfull:${System.identityHashCode(s)}:$dir", {
+      graft.operators.HeavyHitters.buildIndex(
+        Tables.documents(s, dir), "text", path)
+      path
+    })
+    graft.operators.HeavyHitters.heavyHittersFromIndex(s, path, phi = 0.001)
+  }
+
   /** op_sessionize — gap-based sessionization of the events stream
     * (30-minute silence closes a session), the batch twin of the
     * streaming flatMapGroupsWithState sessionizer
@@ -3376,6 +3394,7 @@ object TrainingDataQueries {
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
     "sk_heavy_hitters_incremental" -> skHeavyHittersIncremental,
+    "sk_heavy_hitters_idx" -> skHeavyHittersIdx,
     "dd_embedding" -> ddEmbedding,
     "dd_embedding_incremental" -> ddEmbeddingIncremental,
     "dd_embedding_idx_bucketed" -> ddEmbeddingIdxBucketed,
@@ -3460,6 +3479,7 @@ object TrainingDataQueries {
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,
     "sk_heavy_hitters_incremental" -> skHeavyHittersOracle,
+    "sk_heavy_hitters_idx" -> skHeavyHittersOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
     "dd_keep_best" -> ddKeepBestOracle,

@@ -141,6 +141,32 @@ class HeavyHittersSpec extends SparkSpecBase {
     assert(want2.exists(_._1 == "zz qq"), "fixture must exercise a fresh crosser")
   }
 
+  test("incremental dormant posture provably never opens the corpus (physical deletion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(23)
+    val corpus = Seq.tabulate(60)(i => (i.toLong, skewedStream(rnd, 25, 30).mkString(" ")))
+    val corpusDir = java.nio.file.Files.createTempDirectory("hh-corpus").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpusDf = spark.read.parquet(corpusDir)
+    val path = java.nio.file.Files.createTempDirectory("hh-idx-del").toString
+    HeavyHitters.buildIndex(corpusDf, "text", path, n = 2, capacity = 64)
+
+    // the LshIndexSpec convention: delete the corpus files outright —
+    // if the dormant ingest touched them at all it would throw, so a
+    // green run PROVES the O(Δ) claim physically, not just in-plan
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(corpusDir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.delete)
+
+    val delta = Seq.tabulate(15)(i => (500L + i, skewedStream(rnd, 25, 30).mkString(" ")))
+    val got = HeavyHitters.heavyHittersIncremental(
+        corpusDf, delta.toDF("doc_id", "text"), "text", path, phi = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exactHh(corpus ++ delta, 0.05))
+    assert(got.nonEmpty)
+  }
+
   test("short and empty documents contribute no n-grams") {
     val spark2 = spark
     import spark2.implicits._
