@@ -46,7 +46,7 @@ object Bench {
     "ta_langid", "ta_repetition", "tp_pack",
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled", "ss_ann_ivf_pq_search",
     "ss_ann_serve_batch",
-    "cl_kmeans", "ta_tfidf", "ss_bm25",
+    "cl_kmeans", "ta_tfidf", "ss_bm25", "ss_hybrid_rrf",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
     "ft_normalize", "tp_chunk", "ds_weighted", "ds_token_budget",

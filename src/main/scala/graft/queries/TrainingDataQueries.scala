@@ -2936,36 +2936,111 @@ object TrainingDataQueries {
       Bm25Terms, k1 = Bm25K1, b = Bm25B, roundDp = Bm25Round)
       .orderBy("doc_id")
 
-  val ssBm25Oracle: String = {
-    def tfSql(t: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
-    val tfCols = Bm25Terms.zipWithIndex
-      .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
-    val dfCols = Bm25Terms.indices
-      .map(i => s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
-      .mkString(", ")
-    // written-order sum, op-for-op the Spark expression tree
-    val termScores = Bm25Terms.indices.map { i =>
-      s"(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)) * " +
-        s"((CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0}) / (CAST(tf_$i AS DOUBLE) + " +
-        s"$Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) / " +
-        s"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
-    }.mkString(" + ")
-    val matched = Bm25Terms.indices
-      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    val anyMatch = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
-    s"""WITH t AS (
+  // BM25 oracle fragments, shared by ss_bm25 and ss_hybrid_rrf so the
+  // SQL twin of TextAnalysis.bm25 has exactly one source.
+  private def bm25TfSql(t: String) =
+    s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+  private val Bm25TfCols = Bm25Terms.zipWithIndex
+    .map { case (t, i) => s"${bm25TfSql(t)} AS tf_$i" }.mkString(",\n    ")
+  private val Bm25DfCols = Bm25Terms.indices
+    .map(i => s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+    .mkString(", ")
+  // written-order sum, op-for-op the Spark expression tree
+  private val Bm25TermScores = Bm25Terms.indices.map { i =>
+    s"(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)) * " +
+      s"((CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0}) / (CAST(tf_$i AS DOUBLE) + " +
+      s"$Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) / " +
+      s"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+  }.mkString(" + ")
+  private val Bm25AnyMatch = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+  /** `t`/`st` CTE bodies (tokenize + per-term tf, then corpus stats) —
+    * the WITH prefix both BM25-scoring oracles open with. */
+  private val Bm25Ctes =
+    s"""t AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |    $tfCols
+       |    $Bm25TfCols
        |  FROM documents
        |), st AS (
-       |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM t
-       |)
+       |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $Bm25DfCols FROM t
+       |)""".stripMargin
+
+  val ssBm25Oracle: String = {
+    val matched = Bm25Terms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $Bm25Ctes
        |SELECT doc_id,
-       |  floor(($termScores) * 1000000.0 + 0.5) / 1000000.0 AS bm25,
+       |  floor(($Bm25TermScores) * 1000000.0 + 0.5) / 1000000.0 AS bm25,
        |  CAST($matched AS BIGINT) AS n_matched
        |FROM t CROSS JOIN st
-       |WHERE $anyMatch
+       |WHERE $Bm25AnyMatch
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** ss_hybrid_rrf — hybrid retrieval (Retrieval.hybridRrf): BM25
+    * sparse ranking and exact-cosine dense ranking against vec_id=0's
+    * embedding, each truncated to 50 candidates, fused by
+    * reciprocal-rank fusion with k₀=60, top-10 served. Both ranks
+    * order by fixed-point scores with an id tiebreak, so rank
+    * assignment — and therefore the fused score — is a total order
+    * DuckDB reproduces exactly. */
+  private val HybridN = 50
+  private val HybridRrfK = 60
+  private val HybridTopK = 10
+  private val HybridCosRound = 9
+
+  val ssHybridRrf: Q = (s, dir) =>
+    graft.operators.Retrieval.hybridRrf(
+      Tables.documents(s, dir), "doc_id", "text",
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")),
+      Bm25Terms, nDense = HybridN, nSparse = HybridN,
+      rrfK = HybridRrfK, topK = HybridTopK,
+      k1 = Bm25K1, b = Bm25B,
+      bm25RoundDp = Bm25Round, cosRoundDp = HybridCosRound,
+      excludeVecIds = Seq(0L))
+
+  val ssHybridRrfOracle: String = {
+    // Rank-all-then-filter is equivalent to the Spark side's
+    // top-N-then-rank because both order by the same total order
+    // (rounded score DESC, doc_id ASC).
+    s"""WITH $Bm25Ctes,
+       |bm AS (
+       |  SELECT doc_id,
+       |    floor(($Bm25TermScores) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+       |  FROM t CROSS JOIN st
+       |  WHERE $Bm25AnyMatch
+       |), sp AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rs
+       |  FROM bm
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), qv AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+       |), c AS (
+       |  SELECT vec_id AS doc_id,
+       |    floor((list_dot_product(v, q) /
+       |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))))
+       |      * 1000000000.0 + 0.5) / 1000000000.0 AS cos
+       |  FROM e CROSS JOIN qv WHERE vec_id <> 0
+       |), de AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rd
+       |  FROM c
+       |), f AS (
+       |  SELECT COALESCE(d.ddoc, s.sdoc) AS doc_id, d.rd, s.rs
+       |  FROM (SELECT doc_id AS ddoc, rd FROM de WHERE rd <= $HybridN) d
+       |  FULL OUTER JOIN (SELECT doc_id AS sdoc, rs FROM sp WHERE rs <= $HybridN) s
+       |    ON d.ddoc = s.sdoc
+       |)
+       |SELECT doc_id,
+       |  floor((COALESCE(CAST(1 AS DOUBLE) / ($HybridRrfK + CAST(rd AS DOUBLE)), 0)
+       |       + COALESCE(CAST(1 AS DOUBLE) / ($HybridRrfK + CAST(rs AS DOUBLE)), 0))
+       |    * 1000000000.0 + 0.5) / 1000000000.0 AS rrf,
+       |  CAST(COALESCE(rd, -1) AS BIGINT) AS r_dense,
+       |  CAST(COALESCE(rs, -1) AS BIGINT) AS r_sparse
+       |FROM f
+       |ORDER BY rrf DESC, doc_id ASC
+       |LIMIT $HybridTopK""".stripMargin
   }
 
   /** tp_shuffle — deterministic global shuffle + shard assignment
@@ -3385,6 +3460,7 @@ object TrainingDataQueries {
     "cl_kmeans_native" -> clKmeansNative,
     "ta_tfidf" -> taTfidf,
     "ss_bm25" -> ssBm25,
+    "ss_hybrid_rrf" -> ssHybridRrf,
     "tp_shuffle" -> tpShuffle,
     "tp_mixture" -> tpMixture,
     "op_merge_scd2" -> opMergeScd2,
@@ -3470,6 +3546,7 @@ object TrainingDataQueries {
     "cl_kmeans_native" -> clKmeansOracle,
     "ta_tfidf" -> taTfidfOracle,
     "ss_bm25" -> ssBm25Oracle,
+    "ss_hybrid_rrf" -> ssHybridRrfOracle,
     "tp_shuffle" -> tpShuffleOracle,
     "tp_mixture" -> tpMixtureOracle,
     "op_merge_scd2" -> opMergeScd2Oracle,
