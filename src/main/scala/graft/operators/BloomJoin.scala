@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join reduction — the classic shuffle-reduction
+  * technique for a selective join at cluster scale: a 100 TB fact side
+  * joined to a dimension subset touching 1% of its keys still shuffles
+  * ALL 100 TB under a plain shuffle join, because Spark only knows the
+  * join is selective after the probe. A Bloom filter of the dimension
+  * keys — kilobytes for millions of keys — rides into the fact scan as
+  * a plan-literal filter and drops non-matching rows BEFORE the
+  * exchange, shrinking the shuffle to matches + the false-positive
+  * residue (≤ (1-e^{-kn/m})^k of the rest, ~1% at the defaults here).
+  *
+  * Spark's own runtime row-level filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does this
+  * opportunistically for some plan shapes; this operator makes it an
+  * explicit, deterministic, composable building block: the filter is an
+  * `Array[Long]` of plain bits, buildable once and reusable across
+  * queries / batches (the persisted-index pattern of the dedup family
+  * applies — the bitset is just columns of longs).
+  *
+  * Exactness contract: a Bloom filter has NO false negatives, so
+  * `bloomPrunedJoin` ≡ the plain join row-for-row — which is exactly
+  * what the op_bloom_join gate proves against DuckDB's un-pruned join.
+  * False positives cost only wasted shuffle bytes; the equi-join
+  * eliminates them.
+  *
+  * Determinism: probe positions are `xxhash64(key, probe_i) mod m` —
+  * Spark-side-only arithmetic (the oracle never hashes; it runs the
+  * un-pruned join), fixed seed, no RNG state, so the filter bits are a
+  * pure function of the key set and (m, k).
+  *
+  * Scale shape: the build is one scan of the dimension keys → k
+  * exploded positions → a `bit_or` aggregation over ≤ m/64 word groups
+  * — the ONLY driver collect is those ≤ m/64 = 1024 masked longs at the
+  * default m = 2^16 (bounded model state, like centroids/codebooks).
+  * The probe is a pure projection: k codegen'd hash-and-bit-tests
+  * against an array literal, inside whole-stage codegen, no join, no
+  * broadcast variable plumbing.
+  */
+object BloomJoin {
+
+  /** Build the filter bits over `keys[keyCol]` (need not be distinct —
+    * duplicates OR into the same bits). `mBits` must be a multiple of
+    * 64; sizing rule of thumb: m ≈ 10·n_distinct_keys bits gives ~1%
+    * false positives at k = 4. NULL keys set no bits (an equi-join
+    * never matches NULL anyway). */
+  def buildBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 16,
+      k: Int = 4): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = (0 until k).map(i => pmod(xxhash64(col(keyCol), lit(i)), lit(mBits.toLong)))
+    val words = keys
+      .select(explode(array(pos: _*)).as("p"))
+      .where(col("p").isNotNull)
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
+      .groupBy("w")
+      .agg(bit_or(col("m")).as("mask"))
+      .collect() // bounded: ≤ mBits/64 rows of (int, long)
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    bits
+  }
+
+  /** Membership probe as a pure Column: true iff all k probe bits of
+    * `key` are set in `bits`. NULL key → NULL (filters drop it, matching
+    * equi-join semantics). All built-ins — stays in whole-stage codegen. */
+  def mightContain(key: Column, bits: Array[Long], k: Int = 4): Column = {
+    val m = bits.length * 64L
+    val bitsLit = lit(bits)
+    (0 until k).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(m))
+      val word = element_at(bitsLit, (p / 64).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** The composed rewrite: filter `fact` through a Bloom filter of
+    * `dim[dimKey]`'s distinct keys, then inner-join on
+    * fact[factKey] = dim[dimKey]. Row-for-row equal to the plain join;
+    * the fact side shuffles (or probes the broadcast) only for rows
+    * passing the filter. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val bits = buildBits(dim.select(col(dimKey)).distinct(), dimKey, mBits, k)
+    prunedFact(fact, factKey, bits, k)
+      .join(dim, col(factKey) === dim(dimKey))
+  }
+
+  /** Just the pruned fact side — for callers composing their own join
+    * (or reusing one persisted filter across many queries). */
+  def prunedFact(fact: DataFrame, factKey: String, bits: Array[Long],
+      k: Int = 4): DataFrame =
+    fact.filter(mightContain(col(factKey), bits, k))
+}

@@ -1632,6 +1632,42 @@ object TrainingDataQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** op_bloom_join — Bloom-pruned selective join (operators.BloomJoin):
+    * lineitem (fact) joined to the p_size = 1 slice of part (~2% of
+    * keys). The Bloom filter of the dim keys rides into the fact scan as
+    * a plan-literal projection filter, so non-matching fact rows die
+    * BEFORE the exchange. The gate is the exactness contract itself: a
+    * Bloom filter has no false negatives and the equi-join eliminates
+    * false positives, so the oracle is the plain UN-pruned join — the
+    * rewrite must be row-for-row invisible. Sums go through decimal so
+    * partial-merge order cannot shift values cross-engine. */
+  val opBloomJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = Tables.part(s, dir)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"))
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    graft.operators.BloomJoin.bloomPrunedJoin(fact, dim, "l_partkey", "p_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val opBloomJoinOracle: String =
+    """SELECT p_brand,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** tp_curate — the END-TO-END curation pipeline (operators.Curation):
     * quality floor → language filter → exact dedup → near-dup cluster
     * representatives → key-stable split assignment. The oracle chains
@@ -3505,6 +3541,7 @@ object TrainingDataQueries {
     "tp_curate_lm" -> tpCurateLm,
     "tp_curate_clf" -> tpCurateClf,
     "op_salted_agg" -> opSaltedAgg,
+    "op_bloom_join" -> opBloomJoin,
     "ta_repetition" -> taRepetition,
     "tx_redact" -> txRedact,
     "tp_pack" -> tpPack,
@@ -3588,6 +3625,7 @@ object TrainingDataQueries {
     "tp_curate_lm" -> tpCurateLmOracle,
     "tp_curate_clf" -> tpCurateClfOracle,
     "op_salted_agg" -> opSaltedAggOracle,
+    "op_bloom_join" -> opBloomJoinOracle,
     "ta_repetition" -> taRepetitionOracle,
     "tx_redact" -> txRedactOracle,
     "tp_pack" -> tpPackOracle,
