@@ -41,11 +41,11 @@ object Bench {
     "ta_quality_clf", "dd_minhash_idx_bucketed",
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "tp_trim_spans",
-    "dd_exact", "dd_minhash", "dd_minhash_xx",
+    "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_phash",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled", "ss_ann_ivf_pq_search",
-    "ss_ann_serve_batch",
+    "ss_ann_serve_batch", "ss_ann_serve_batch_lsh",
     "cl_kmeans", "ta_tfidf", "ss_bm25", "ss_hybrid_rrf",
     "tp_shuffle", "tp_mixture", "op_merge_scd2",
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
@@ -141,6 +141,27 @@ object Bench {
           "qid", "qvec",
           nProbe = 4, rerank = 100, topK = 10, model = Some(model))
       }),
+      // the LSH serving twin of ss_ann_serve_batch: 8 queries in one
+      // batched pass over the memoized hyperplane bucket index
+      // (lshTopKBatchFromIndex — union-of-multiprobes PartitionFilter,
+      // shared pruned scan, per-query TopK reduction)
+      "ss_ann_serve_batch_lsh" -> ((s, dir) => {
+        import graft.operators.SimilaritySearch
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        val idx = lshIndexCache.getOrElseUpdate(dir, {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-bench-lsh-serve").toString
+          SimilaritySearch.buildLshBucketIndex(
+            emb.filter(col("vec_id") >= 8), "vec_id", "embedding", p,
+            dim = 64, nBits = 8)
+          p
+        })
+        SimilaritySearch.lshTopKBatchFromIndex(
+          s, idx,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", dim = 64, nBits = 8, k = 10)
+      }),
       // IVF with centroids scaled to the corpus (the production posture;
       // the gated ss_ann_ivf fixes nCentroids=16 for its cross-engine
       // oracle, which over-fills cells at larger SF)
@@ -160,6 +181,7 @@ object Bench {
   private val corpusCount = scala.collection.mutable.Map.empty[String, Long]
   private val ivfPqIndexCache =
     scala.collection.mutable.Map.empty[String, (String, graft.operators.IvfPqModel)]
+  private val lshIndexCache = scala.collection.mutable.Map.empty[String, String]
 
   /** Untimed retrieval-quality metadata appended to the bench line: the
     * parity oracle proves the approximate operators compute what they
@@ -423,11 +445,21 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","scaling":{"alt_sf":${jstr(altDir)},"main_sf":${jstr(sfDir)},"queries":$entries}"""
     }.getOrElse("")
-    // COMPACT stdout line (totals + medians + bench-only flags): this is
-    // what the driver tail-captures, and full-precision ~6 KB lines have
-    // been truncated mid-JSON every round since 5
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"sf":"$sfDir"}"""
+    // MINIMAL stdout line — the ONLY stdout output. The driver
+    // tail-captures stdout and has truncated every per-query line that
+    // outgrew ~2.3 KB (rounds 5, 7, 10 — at 81 queries the compact line
+    // hit 2.6 KB and came back parsed:null). The stdout line keeps the
+    // contract's "queries" key but bounds it to the FIXED relational
+    // headline set (q01..q30 — ~0.7 KB, does not grow as training-data
+    // gates are added); per-query medians for EVERY gate plus
+    // dispersion, failures, recall, and scaling live in bench_out.json
+    // (self-contained, committed per round). Full line → stderr.
+    val qsBounded = results.filter(_._1.startsWith("q"))
+      .map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsBounded,"n_queries":${names.size},"reps":$reps,"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)
+    System.err.println(s"""[bench] {"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"sf":"$sfDir"}""")
     // the FULL artifact — dispersion, failure reasons, recall, scaling —
     // goes to the self-contained file copy, committed per round
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"recall":$recall$scalingJson,"sf":"$sfDir"}"""

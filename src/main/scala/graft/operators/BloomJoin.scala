@@ -3,6 +3,47 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** A built Bloom filter: the bit words plus the probe count `k` used to
+  * build them. Bundled in one value so build and probe can never
+  * diverge — probing with a larger `k` than the build used would yield
+  * FALSE NEGATIVES (silently dropped join rows), which is the one
+  * failure mode a Bloom filter must never have. `m` is implied:
+  * `bits.length * 64`.
+  */
+final case class BloomFilter(bits: Array[Long], k: Int) {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(bits.nonEmpty, "bits must be non-empty")
+  def mBits: Long = bits.length * 64L
+
+  /** Membership probe as a pure Column: true iff all k probe bits of
+    * `key` are set. NULL key → NULL explicitly (three-valued logic, the
+    * same answer an equi-join membership test gives): the key is gated
+    * through `when(key.isNull, null)` because Spark's `xxhash64` is
+    * NON-nullable — it silently skips NULL children, so an unguarded
+    * probe of NULL would hash the seed literals alone and return a real
+    * (meaningless) boolean. All built-ins — stays in whole-stage
+    * codegen. */
+  def mightContain(key: Column): Column = {
+    val m = mBits
+    val bitsLit = lit(bits)
+    val probe = (0 until k).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(m))
+      val word = element_at(bitsLit, (p / 64).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+    when(key.isNull, lit(null).cast("boolean")).otherwise(probe)
+  }
+
+  /** Just the pruned fact side — for callers composing their own join
+    * (or reusing one persisted filter across many queries). NULL-key
+    * rows are dropped (mightContain(NULL) is NULL and filters drop
+    * NULL), matching inner-equi-join semantics; callers composing an
+    * OUTER join must re-union the NULL-key rows themselves. */
+  def prunedFact(fact: DataFrame, factKey: String): DataFrame =
+    fact.filter(mightContain(col(factKey)))
+}
+
 /** Bloom-filter semi-join reduction — the classic shuffle-reduction
   * technique for a selective join at cluster scale: a 100 TB fact side
   * joined to a dimension subset touching 1% of its keys still shuffles
@@ -27,6 +68,12 @@ import org.apache.spark.sql.functions._
   * False positives cost only wasted shuffle bytes; the equi-join
   * eliminates them.
   *
+  * NULL semantics (explicit, because Spark's xxhash64 IGNORES null
+  * children rather than returning null): build drops NULL keys before
+  * hashing, probe gates NULL keys to NULL before hashing. Net effect:
+  * NULL never sets a bit and never passes a filter — the equi-join
+  * answer.
+  *
   * Determinism: probe positions are `xxhash64(key, probe_i) mod m` —
   * Spark-side-only arithmetic (the oracle never hashes; it runs the
   * un-pruned join), fixed seed, no RNG state, so the filter bits are a
@@ -42,19 +89,21 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Build the filter bits over `keys[keyCol]` (need not be distinct —
+  /** Build a filter over `keys[keyCol]` (need not be distinct —
     * duplicates OR into the same bits). `mBits` must be a multiple of
     * 64; sizing rule of thumb: m ≈ 10·n_distinct_keys bits gives ~1%
-    * false positives at k = 4. NULL keys set no bits (an equi-join
-    * never matches NULL anyway). */
-  def buildBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 16,
-      k: Int = 4): Array[Long] = {
+    * false positives at k = 4. NULL keys are dropped BEFORE hashing
+    * (xxhash64 would otherwise hash the seed alone and set k real
+    * bits for them) — NULL sets no bits, matching equi-join
+    * never-matches-NULL semantics. */
+  def build(keys: DataFrame, keyCol: String, mBits: Int = 1 << 16,
+      k: Int = 4): BloomFilter = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
     val pos = (0 until k).map(i => pmod(xxhash64(col(keyCol), lit(i)), lit(mBits.toLong)))
     val words = keys
+      .where(col(keyCol).isNotNull)
       .select(explode(array(pos: _*)).as("p"))
-      .where(col("p").isNotNull)
       .select((col("p") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
       .groupBy("w")
@@ -62,21 +111,7 @@ object BloomJoin {
       .collect() // bounded: ≤ mBits/64 rows of (int, long)
     val bits = new Array[Long](mBits / 64)
     words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-    bits
-  }
-
-  /** Membership probe as a pure Column: true iff all k probe bits of
-    * `key` are set in `bits`. NULL key → NULL (filters drop it, matching
-    * equi-join semantics). All built-ins — stays in whole-stage codegen. */
-  def mightContain(key: Column, bits: Array[Long], k: Int = 4): Column = {
-    val m = bits.length * 64L
-    val bitsLit = lit(bits)
-    (0 until k).map { i =>
-      val p = pmod(xxhash64(key, lit(i)), lit(m))
-      val word = element_at(bitsLit, (p / 64).cast("int") + 1)
-      val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
-      word.bitwiseAND(mask) =!= lit(0L)
-    }.reduce(_ && _)
+    BloomFilter(bits, k)
   }
 
   /** The composed rewrite: filter `fact` through a Bloom filter of
@@ -87,14 +122,8 @@ object BloomJoin {
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
-    val bits = buildBits(dim.select(col(dimKey)).distinct(), dimKey, mBits, k)
-    prunedFact(fact, factKey, bits, k)
+    val filter = build(dim.select(col(dimKey)).distinct(), dimKey, mBits, k)
+    filter.prunedFact(fact, factKey)
       .join(dim, col(factKey) === dim(dimKey))
   }
-
-  /** Just the pruned fact side — for callers composing their own join
-    * (or reusing one persisted filter across many queries). */
-  def prunedFact(fact: DataFrame, factKey: String, bits: Array[Long],
-      k: Int = 4): DataFrame =
-    fact.filter(mightContain(col(factKey), bits, k))
 }

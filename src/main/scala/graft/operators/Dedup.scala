@@ -593,6 +593,64 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Band-explode a PRECOMPUTED signature table (`idCol`, `sigCol` an
+    * equal-length bit/component array) into the family's (doc, sig,
+    * band, bkey) rows — the [[simhashBanded]] projection with the
+    * signature supplied by the caller, so non-text modalities (the
+    * perceptual image hash) ride the same candidate machinery without
+    * re-deriving it. */
+  def signatureBanded(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    sigs.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+      .select(col("doc"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
+          array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
+          .as(Seq("band", "bkey")))
+  }
+
+  /** Near-duplicate pairs over a precomputed signature table — the
+    * banded LSH candidate walk ([[bucketPairs]]: one bucket pass,
+    * first-colliding-band dedup, hot-bucket cap) with a caller-supplied
+    * symmetric `score`. Output (doc_a, doc_b, score). */
+  def signaturePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, score: (Column, Column) => Column,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    bucketPairs(signatureBanded(sigs, idCol, sigCol, bits, bands),
+      bits / bands, score, maxBucket)
+
+  /** A precomputed-signature corpus as a PERSISTABLE banded index
+    * ([[simhashBandIndex]]'s shape): plain columns, occupancy cap
+    * applied at build time. */
+  def signatureBandIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    capBandBuckets(signatureBanded(sigs, idCol, sigCol, bits, bands), maxBucket)
+
+  /** O(Δ) ingest against a [[signatureBandIndex]] (possibly persisted,
+    * possibly bucketed on a stored `bb`): the delta's banded signatures
+    * equi-join the index on the fused band key, per-pair collapse by
+    * max score. Output (delta_id, corpus_id, score); the caller applies
+    * its threshold direction (≥ for similarity scores, ≤ for
+    * distances — hence no filter here). */
+  def signaturePairsIncrementalFromIndex(deltaSigs: DataFrame,
+      corpusIndex: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, score: (Column, Column) => Column): DataFrame = {
+    val bd = signatureBanded(deltaSigs, idCol, sigCol, bits, bands)
+      .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
+        bandKey.as("bb"))
+    val withBb =
+      if (corpusIndex.columns.contains("bb")) corpusIndex
+      else corpusIndex.withColumn("bb", bandKey)
+    val bc = withBb
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"), col("bb"))
+    bd.join(bc, Seq("bb"))
+      .filter(col("delta_id") =!= col("corpus_id"))
+      .groupBy("delta_id", "corpus_id")
+      .agg(max(score(col("sig_d"), col("sig_c"))).as("score"))
+  }
+
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
     * banded into `bands` contiguous slices for candidate generation (a
     * pair within `maxHamming` of each other must agree on at least one

@@ -53,7 +53,27 @@ object MediaCodec {
     le16(b, 26, 1) // planes
     le16(b, 28, 24) // bits per pixel
     le32(b, 34, pixels.length) // image size
-    System.arraycopy(pixels, 0, b, BmpHeaderSize, pixels.length)
+    // BMP stores rows BOTTOM-UP (positive height) in B,G,R channel
+    // order; write both so a conforming decoder (javax.imageio) returns
+    // EXACTLY the input array — before round 11 the rows were copied
+    // verbatim, which decodeBmp/resizeBmp24 never noticed (mean and
+    // storage-space resample are order-invariant) but made an ImageIO
+    // decode of our own BMP vertically mirrored vs a PNG of the same
+    // pixels, breaking cross-container perceptual-hash equality.
+    val rowBytes = width * 3
+    var row = 0
+    while (row < height) {
+      val src = (height - 1 - row) * rowBytes
+      val dst = BmpHeaderSize + row * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        b(dst + x) = pixels(src + x + 2) // B
+        b(dst + x + 1) = pixels(src + x + 1) // G
+        b(dst + x + 2) = pixels(src + x) // R
+        x += 3
+      }
+      row += 1
+    }
     b
   }
 
@@ -100,18 +120,23 @@ object MediaCodec {
     decodeBmp(bytes).map { info =>
       val dataOff = rd32(bytes, 10)
       val stride = (info.width * 3 + 3) / 4 * 4
+      // work in LOGICAL space (top-down rows, R,G,B): storage row s is
+      // logical row h-1-s in B,G,R — encodeBmp24 converts back, so the
+      // resample anchors at the logical top-left like every other
+      // resize in the codebase, independent of BMP's bottom-up storage
       val out = new Array[Byte](newWidth * newHeight * 3)
       var y = 0
       while (y < newHeight) {
         val sy = (y.toLong * info.height / newHeight).toInt
+        val srcRow = dataOff + (info.height - 1 - sy) * stride
         var x = 0
         while (x < newWidth) {
           val sx = (x.toLong * info.width / newWidth).toInt
-          val src = dataOff + sy * stride + sx * 3
+          val src = srcRow + sx * 3
           val dst = (y * newWidth + x) * 3
-          out(dst) = bytes(src)
-          out(dst + 1) = bytes(src + 1)
-          out(dst + 2) = bytes(src + 2)
+          out(dst) = bytes(src + 2) // R
+          out(dst + 1) = bytes(src + 1) // G
+          out(dst + 2) = bytes(src) // B
           x += 1
         }
         y += 1
@@ -174,6 +199,38 @@ object MediaCodec {
             y += 1
           }
           Some(ImageIOInfo(w, h, sum.toDouble / (3.0 * w * h)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  case class RgbImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** Decode any ImageIO-supported container to its FULL pixel grid —
+    * [[decodeImageIO]]'s sibling for consumers that need more than the
+    * mean (the perceptual hash). Same header-first decompression-bomb
+    * guard, same None-on-unreadable contract, same bulk-row read. The
+    * returned `rgb` is row-major packed 0xRRGGBB. */
+  def decodeRgb(bytes: Array[Byte]): Option[RgbImage] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+          val img = reader.read(0)
+          val rgb = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rgb, y * w, w)
+            y += 1
+          }
+          Some(RgbImage(w, h, rgb))
         } finally reader.dispose()
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** DCT perceptual hash (pHash) — the image near-duplicate modality the
+  * text/vector dedup families don't cover: two RE-ENCODED or RESIZED
+  * copies of the same picture have different bytes, different exact
+  * hashes, and (for a lossy re-encode) different pixel values, yet the
+  * SIGN PATTERN of their low-frequency DCT coefficients is nearly
+  * identical. The classic recipe (Zauner 2010, "Implementation and
+  * Benchmarking of Perceptual Image Hash Functions"): grayscale,
+  * downsample to 32×32, 2-D DCT-II, keep the 8×8 low-frequency block,
+  * threshold each AC coefficient against the block median → a 63-bit
+  * signature compared by Hamming distance.
+  *
+  * Everything after decode is INTEGER arithmetic, chosen so a second
+  * engine reproduces the hash bit-for-bit (the dd_phash oracle recomputes
+  * it in DuckDB SQL from the same source bytes):
+  *   - grayscale = r+g+b (no division — the sum preserves order, which
+  *     is all the DCT sign structure needs),
+  *   - downsample = nearest-neighbor at integer indices
+  *     (src_y = j·h/32, src_x = i·w/32, floor division),
+  *   - DCT = fixed-point with a SHARED literal coefficient table
+  *     T[u][x] = round(cos((2x+1)uπ/64)·2^14) — the table is generated
+  *     once here and inlined as integers into the oracle SQL (the
+  *     hyperplane-LSH convention: both engines run identical integer
+  *     sums, no libm in the hot path),
+  *   - threshold = strict > against the LOWER MEDIAN (32nd smallest of
+  *     the 63 AC values) — a total-order integer comparison, no
+  *     half-ulp ties.
+  *
+  * Scale shape: the hash is a per-row map over the media partition
+  * iterator (decode is CPU-bound JVM work — the mapPartitions contract
+  * of [[Multimodal]]); each image collapses to 63 ints BEFORE any
+  * shuffle, so candidate search moves signatures, never pixels. Pairing
+  * rides the SAME banded machinery as SimHash ([[Dedup.signaturePairs]]):
+  * 9 bands × 7 bits — a pair within Hamming ≤ 8 must collide in some
+  * band (pigeonhole), so the default ≤ 3 search is lossless.
+  */
+object PerceptualHash {
+
+  /** Downsample side: every image is reduced to Size×Size. */
+  val Size = 32
+
+  /** Low-frequency block side: the hash keeps an 8×8 DCT corner. */
+  val HashSide = 8
+
+  /** Fixed-point scale for the DCT coefficient table (2^14: products
+    * stay far inside Long — |C| ≤ 32²·765·2^28 ≈ 2.1e14). */
+  val Scale: Long = 1L << 14
+
+  /** Signature length: the 8×8 block minus the DC coefficient. */
+  val PhashBits: Int = HashSide * HashSide - 1 // 63
+
+  /** 63 = 9 bands × 7 bits: a pair differing in ≤ 8 bits leaves ≥ 1 of
+    * the 9 bands untouched (pigeonhole), so banded candidate generation
+    * is LOSSLESS for any maxHamming ≤ 8 — and 8 is the default: pHash
+    * near-dup practice puts the same-image threshold near 8–10 of 64
+    * bits (re-encodes land ≤ ~4, distinct images ≥ ~20), so the default
+    * uses the full lossless range rather than SimHash's text-tuned 3. */
+  val DefaultPhashBands = 9
+  val DefaultMaxHamming = 8
+
+  /** The shared fixed-point DCT-II row table: T(u)(x) =
+    * round(cos((2x+1)uπ/64) · 2^14), u < 8, x < 32. Generated once from
+    * libm and INLINED as integer literals into the oracle SQL, so both
+    * engines use the identical table and never re-derive it. */
+  lazy val dctTable: Array[Array[Long]] = Array.tabulate(HashSide, Size) {
+    (u, x) => math.round(math.cos(((2 * x + 1) * u * math.Pi) / (2.0 * Size)) * Scale)
+  }
+
+  /** The table as a DuckDB list-of-lists literal, for oracle SQL. */
+  def dctTableSql: String =
+    dctTable.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** 63-bit pHash of a decoded image. Integer-exact given the pixel
+    * grid; None only upstream (decode failures never reach here). */
+  def phashOfRgb(img: MediaCodec.RgbImage): Array[Int] = {
+    val w = img.width; val h = img.height
+    // nearest-neighbor 32×32 grayscale (gray = r+g+b)
+    val g = Array.ofDim[Long](Size, Size)
+    var j = 0
+    while (j < Size) {
+      val sy = j * h / Size
+      var i = 0
+      while (i < Size) {
+        val rgb = img.rgb(sy * w + i * w / Size)
+        g(j)(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        i += 1
+      }
+      j += 1
+    }
+    // separable DCT: R(y)(v) = Σ_x g(y)(x)·T(v)(x); C(u)(v) = Σ_y T(u)(y)·R(y)(v)
+    val t = dctTable
+    val r = Array.ofDim[Long](Size, HashSide)
+    var y = 0
+    while (y < Size) {
+      var v = 0
+      while (v < HashSide) {
+        var s = 0L
+        var x = 0
+        while (x < Size) { s += g(y)(x) * t(v)(x); x += 1 }
+        r(y)(v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val ac = new Array[Long](PhashBits)
+    var u = 0
+    while (u < HashSide) {
+      var v = 0
+      while (v < HashSide) {
+        if (u != 0 || v != 0) {
+          var s = 0L
+          var yy = 0
+          while (yy < Size) { s += t(u)(yy) * r(yy)(v); yy += 1 }
+          ac(u * HashSide + v - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val med = { val sorted = ac.clone(); java.util.Arrays.sort(sorted); sorted(31) }
+    ac.map(c => if (c > med) 1 else 0)
+  }
+
+  /** Per-image signatures from a media table: (media_id, sig) for every
+    * DECODABLE row — undecodable payloads drop (the corrupt-member
+    * contract), they can never near-duplicate anything. One
+    * mapPartitions pass; 63 ints per image leave the stage. */
+  def phashSignatures(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
+        .map(img => (m.media_id, phashOfRgb(img)))
+    }).toDF("media_id", "sig")
+  }
+
+  /** Image near-duplicate pairs: banded Hamming search over the pHash
+    * signatures — [[Dedup.simhashPairs]]'s posture with the signature
+    * swapped for the perceptual one. Output (doc_a, doc_b, hamming). */
+  def phashPairs(media: Dataset[Multimodal.MediaRow],
+      bands: Int = DefaultPhashBands,
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+    Dedup.signaturePairs(
+      phashSignatures(media), "media_id", "sig", PhashBits, bands,
+      graft.functions.TextFunctions.hamming, maxBucket)
+      .filter(col("score") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+
+  /** INCREMENTAL pHash dedup — each new image batch against the
+    * existing corpus's persistable signature index, the O(Δ) ingest
+    * family contract ([[Dedup.simhashPairsIncremental]]'s shape). */
+  def phashPairsIncremental(delta: Dataset[Multimodal.MediaRow],
+      corpusIndex: DataFrame,
+      bands: Int = DefaultPhashBands,
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    Dedup.signaturePairsIncrementalFromIndex(
+      phashSignatures(delta), corpusIndex, "media_id", "sig", PhashBits, bands,
+      graft.functions.TextFunctions.hamming)
+      .filter(col("score") <= maxHamming)
+      .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
+
+  /** The corpus side of [[phashPairsIncremental]] as a persistable
+    * banded index (plain (doc, sig, band, bkey) columns — parquet
+    * round-trippable like [[Dedup.simhashBandIndex]]). */
+  def phashBandIndex(corpus: Dataset[Multimodal.MediaRow],
+      bands: Int = DefaultPhashBands,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+    Dedup.signatureBandIndex(
+      phashSignatures(corpus), "media_id", "sig", PhashBits, bands, maxBucket)
+}

@@ -54,6 +54,16 @@ object Retrieval {
       excludeVecIds: Seq[Long] = Seq.empty): DataFrame = {
     require(nDense >= 1 && nSparse >= 1 && topK >= 1, "candidate/topK sizes must be >= 1")
     require(rrfK >= 1, "RRF k0 must be >= 1 (60 is the published default)")
+    // Single-query contract, enforced at plan-build time: a multi-row
+    // `query` would cross-join each doc to EVERY query vector —
+    // duplicate doc_ids with nondeterministic dense ranks and duplicate
+    // doc_ids in the fused output. The check is a bounded head(2) on
+    // the (tiny, broadcastable) query frame, not a corpus action.
+    val nQuery = query.limit(2).count()
+    require(nQuery == 1,
+      s"hybridRrf fuses rankings for exactly ONE query vector; got ${
+        if (nQuery == 0) "0 rows" else ">=2 rows"} in `query` — " +
+        "batch serving goes through the multi-query index paths instead")
     graft.GraftExtensions.register(docs.sparkSession)
 
     // Dense candidates: distributed top-nDense by rounded cosine, then

@@ -2356,6 +2356,80 @@ object TrainingDataQueries {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  /** dd_phash — IMAGE near-duplicate pairs by DCT perceptual hash
+    * (operators.PerceptualHash): the PNG rows of the synthetic image
+    * corpus (id%3 = 0 — PNG is lossless, so the decoded pixel grid is
+    * exactly the source text bytes and DuckDB can recompute the hash
+    * without a codec) are decoded, 63-bit-pHashed (integer grayscale →
+    * nearest-neighbor 32×32 → fixed-point DCT with the SHARED literal
+    * coefficient table → lower-median threshold), and paired by banded
+    * Hamming search (9 bands × 7 bits — lossless for Hamming ≤ 8). The
+    * oracle runs the identical integer chain in SQL: same table
+    * literals, same floor-division downsample indices, same lower
+    * median, same band keys. JPEG invariance (re-encode/resize copies
+    * hashing within maxHamming) is PerceptualHashSpec's job — a lossy
+    * decode is real but not oracle-recomputable. */
+  val ddPhash: Q = (s, dir) =>
+    graft.operators.PerceptualHash.phashPairs(
+      Multimodal.syntheticImagesFromText(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  val ddPhashOracle: String = {
+    import graft.operators.PerceptualHash.{dctTableSql, DefaultMaxHamming => MaxHam}
+    s"""WITH d AS (
+      |  SELECT doc_id, greatest(1, length(text) // 12) AS h,
+      |    list_transform(range(length(text)), i -> ascii(text[i+1:i+1])) AS bs
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), t AS (SELECT $dctTableSql AS tt
+      |), g AS (
+      |  -- 32×32 nearest-neighbor grayscale: p = j*32+i; src row (j*h)//32,
+      |  -- src col i//8 (width 4); gray = r+g+b with zero-padding past EOT
+      |  SELECT doc_id, list_transform(range(1024), p ->
+      |      COALESCE(bs[12*((p//32)*h//32) + 3*((p%32)//8) + 1], 0)
+      |    + COALESCE(bs[12*((p//32)*h//32) + 3*((p%32)//8) + 2], 0)
+      |    + COALESCE(bs[12*((p//32)*h//32) + 3*((p%32)//8) + 3], 0)) AS g32
+      |  FROM d
+      |), r1 AS (
+      |  -- row DCT pass: q = y*8+v → R[y][v] = Σ_x g32[y][x]·T[v][x]
+      |  SELECT doc_id, list_transform(range(256), q ->
+      |    list_sum(list_transform(range(32), x ->
+      |      g32[(q//8)*32 + x + 1] * tt[(q%8)+1][x+1]))) AS r
+      |  FROM g, t
+      |), c1 AS (
+      |  -- column pass: q = u*8+v → C[u][v] = Σ_y T[u][y]·R[y][v]
+      |  SELECT doc_id, list_transform(range(64), q ->
+      |    list_sum(list_transform(range(32), y ->
+      |      tt[(q//8)+1][y+1] * r[y*8 + (q%8) + 1]))) AS c
+      |  FROM r1, t
+      |), sigt AS (
+      |  -- 63 AC values (drop DC c[1]); lower median = 32nd smallest
+      |  SELECT doc_id, c, (list_sort(c[2:64]))[32] AS med FROM c1
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(63), i ->
+      |    CASE WHEN c[i+2] > med THEN 1 ELSE 0 END) AS sig
+      |  FROM sigt
+      |), banded AS (
+      |  SELECT doc_id, sig, r.band AS band,
+      |    array_to_string(sig[(r.band*7+1):(r.band*7+7)], '_') AS bkey
+      |  FROM sig, range(9) r(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = cand.doc_a
+      |  JOIN sig sb ON sb.doc_id = cand.doc_b
+      |)
+      |SELECT doc_a, doc_b, hamming FROM scored
+      |WHERE hamming <= $MaxHam
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
     * LSH buckets (the scale path for vector dedup — exact all-pairs
     * cosine is quadratic). Oracle-gated like ss_ann_lsh. The cosine cut
@@ -3503,6 +3577,7 @@ object TrainingDataQueries {
     "op_sessionize" -> opSessionize,
     "mm_features" -> mmFeatures,
     "mm_features_img" -> mmFeaturesImg,
+    "dd_phash" -> ddPhash,
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
     "sk_heavy_hitters_incremental" -> skHeavyHittersIncremental,
@@ -3590,6 +3665,7 @@ object TrainingDataQueries {
     "op_sessionize" -> opSessionizeOracle,
     "mm_features" -> mmFeaturesOracle,
     "mm_features_img" -> mmFeaturesImgOracle,
+    "dd_phash" -> ddPhashOracle,
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,
     "sk_heavy_hitters_incremental" -> skHeavyHittersOracle,

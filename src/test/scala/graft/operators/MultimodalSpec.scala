@@ -112,14 +112,18 @@ class MultimodalSpec extends SparkSpecBase {
     val resized = out(1L)._1.get
     val info = MediaCodec.decodeBmp(resized).get
     assert(info.width === 4 && info.height === 2)
-    // nearest-neighbor: output row y takes source row 2*y -> every output
-    // pixel byte must equal the corresponding source pixel byte
-    val got = resized.drop(MediaCodec.BmpHeaderSize)
-    val expected = Array.tabulate(4 * 2 * 3) { i =>
-      val p = i / 3; val x = p % 4; val y = p / 4
-      px(((2 * y) * 4 + x) * 3 + (i % 3))
+    // nearest-neighbor in LOGICAL space: output pixel (x,y) takes source
+    // pixel (x, 2y). Asserted through the ImageIO decode (decodeRgb), so
+    // the check is independent of BMP's bottom-up B,G,R storage — and
+    // simultaneously proves encodeBmp24 writes a BMP a conforming
+    // decoder reads back as the input array.
+    val img = MediaCodec.decodeRgb(resized).get
+    assert(img.width === 4 && img.height === 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val s = ((2 * y) * 4 + x) * 3
+      val expected = ((px(s) & 0xff) << 16) | ((px(s + 1) & 0xff) << 8) | (px(s + 2) & 0xff)
+      assert((img.rgb(y * 4 + x) & 0xffffff) === expected, s"pixel ($x,$y)")
     }
-    assert(got.toSeq === expected.toSeq)
   }
 
   test("PNG round-trips exactly through javax.imageio: dims and mean channel bit-equal") {

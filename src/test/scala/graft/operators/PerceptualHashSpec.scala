@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.operators.Multimodal.MediaRow
+
+/** Perceptual image hash: the dedup property the byte/text families
+  * can't see — a RE-ENCODED (PNG→JPEG) or RESIZED copy of an image has
+  * different bytes but a nearby pHash, while distinct images are far
+  * apart. Planted-copy tests per the family convention, plus the
+  * incremental/index round trips. */
+class PerceptualHashSpec extends SparkSpecBase {
+
+  /** A "photo-like" test image: bilinear value-noise (a deterministic
+    * random 9×9 grid interpolated up to w×h). pHash thresholds DCT sign
+    * structure against the block median, so the fixture needs ENERGY
+    * ACROSS the whole 8×8 low-frequency block — a two-sinusoid pattern
+    * leaves most coefficients near zero, where lossy re-encode noise
+    * flips signs; value-noise up to ~8 cycles keeps every hashed
+    * coefficient's magnitude far above JPEG quantization error. */
+  private def blobs(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val G = 8 // grid cells per side
+    val rng = new java.util.Random(seed)
+    val grid = Array.fill(3, G + 1, G + 1)(rng.nextInt(256))
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val gy = y.toDouble * G / h
+      val y0 = gy.toInt; val fy = gy - y0
+      var x = 0
+      while (x < w) {
+        val gx = x.toDouble * G / w
+        val x0 = gx.toInt; val fx = gx - x0
+        val i = (y * w + x) * 3
+        var c = 0
+        while (c < 3) {
+          val g = grid(c)
+          val v = g(y0)(x0) * (1 - fx) * (1 - fy) + g(y0)(x0 + 1) * fx * (1 - fy) +
+            g(y0 + 1)(x0) * (1 - fx) * fy + g(y0 + 1)(x0 + 1) * fx * fy
+          px(i + c) = v.toInt.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private val W = 64; private val H = 64
+  private val baseA = blobs(W, H, seed = 1)
+  private val baseB = blobs(W, H, seed = 5) // a DIFFERENT image
+
+  private def hashOf(bytes: Array[Byte]): Array[Int] =
+    PerceptualHash.phashOfRgb(MediaCodec.decodeRgb(bytes).get)
+
+  private def ham(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  test("re-encode invariance: PNG vs JPEG of the same pixels hash within maxHamming") {
+    val png = hashOf(MediaCodec.encodePng24(W, H, baseA))
+    val jpg = hashOf(MediaCodec.encodeJpeg24(W, H, baseA))
+    val d = ham(png, jpg)
+    assert(d <= PerceptualHash.DefaultMaxHamming,
+      s"JPEG re-encode moved the hash $d bits (> ${PerceptualHash.DefaultMaxHamming})")
+  }
+
+  test("resize invariance: a half-size copy hashes within maxHamming") {
+    val bmp = MediaCodec.encodeBmp24(W, H, baseA)
+    val small = MediaCodec.resizeBmp24(bmp, W / 2, H / 2).get
+    val d = ham(hashOf(bmp), hashOf(small))
+    assert(d <= PerceptualHash.DefaultMaxHamming,
+      s"2x downscale moved the hash $d bits")
+  }
+
+  test("distinct images are far apart (no trivial all-match hash)") {
+    val d = ham(hashOf(MediaCodec.encodePng24(W, H, baseA)),
+      hashOf(MediaCodec.encodePng24(W, H, baseB)))
+    assert(d > 2 * PerceptualHash.DefaultMaxHamming,
+      s"distinct images only $d bits apart — hash has no discrimination")
+  }
+
+  private def mediaRows: Seq[MediaRow] = Seq(
+    MediaRow(1L, "image", "png", W, H, 0L, MediaCodec.encodePng24(W, H, baseA)),
+    MediaRow(2L, "image", "jpeg", W, H, 0L, MediaCodec.encodeJpeg24(W, H, baseA)),
+    MediaRow(3L, "image", "bmp", W / 2, H / 2,
+      0L, MediaCodec.resizeBmp24(MediaCodec.encodeBmp24(W, H, baseA), W / 2, H / 2).get),
+    MediaRow(4L, "image", "png", W, H, 0L, MediaCodec.encodePng24(W, H, baseB)),
+    MediaRow(5L, "image", "bin", 0, 0, 0L, Array[Byte](1, 2, 3)))
+
+  test("phashPairs finds exactly the planted copy cluster; corrupt rows drop") {
+    import spark.implicits._
+    val pairs = PerceptualHash.phashPairs(spark.createDataset(mediaRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the {1,2,3} copy cluster, got $pairs")
+  }
+
+  test("incremental vs full: delta-vs-corpus pairs match the planted cluster") {
+    import spark.implicits._
+    val delta = spark.createDataset(mediaRows.filter(_.media_id == 2L))
+    val corpus = spark.createDataset(mediaRows.filter(_.media_id != 2L))
+    val idx = PerceptualHash.phashBandIndex(corpus)
+    val inc = PerceptualHash.phashPairsIncremental(delta, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
+  }
+
+  test("band index round-trips through parquet") {
+    import spark.implicits._
+    val corpus = spark.createDataset(mediaRows.filter(_.media_id != 2L))
+    val p = java.nio.file.Files.createTempDirectory("phash-idx").toString
+    PerceptualHash.phashBandIndex(corpus).write.mode("overwrite").parquet(p)
+    val delta = spark.createDataset(mediaRows.filter(_.media_id == 2L))
+    val inc = PerceptualHash.phashPairsIncremental(delta, spark.read.parquet(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
+  }
+}

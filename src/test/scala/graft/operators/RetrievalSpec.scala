@@ -87,14 +87,22 @@ class RetrievalSpec extends SparkSpecBase {
   }
 
   test("plan: both candidate lists are distributed top-N; no corpus-wide window") {
-    val p = gate().queryExecution.executedPlan.toString
-    // Two TakeOrderedAndProject instances (dense + sparse candidates);
-    // the unpartitioned row_number windows run strictly ABOVE them, so
-    // every Window input is bounded by the candidate-list size.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val qe = gate().queryExecution
+    // Structural per-window check (not a substring scan — a substring
+    // scan passes as long as SOME TakeOrdered appears after the FIRST
+    // Window, even if one window regressed to corpus-wide): EVERY
+    // Window node's input subtree must contain a Limit, i.e. each
+    // ranking window runs over a candidate list bounded by construction.
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"expected dense+sparse ranking windows, got ${windows.size}:\n${qe.optimizedPlan}")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
+        s"Window input is NOT bounded by a Limit — corpus-wide window:\n$w")
+    }
+    // and physically the two bounded sorts are TakeOrderedAndProject
+    // (per-partition heaps), never a global sort materialization
+    val p = qe.executedPlan.toString
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
-    assert(p.contains("Window"), p)
-    val winIdx = p.indexOf("Window")
-    assert(p.indexOf("TakeOrderedAndProject", winIdx) >= 0,
-      "a Window must sit above a TakeOrderedAndProject, never over the corpus\n" + p)
   }
 }
