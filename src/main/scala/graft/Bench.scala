@@ -454,14 +454,19 @@ object Bench {
     // gates are added); per-query medians for EVERY gate plus
     // dispersion, failures, recall, and scaling live in bench_out.json
     // (self-contained, committed per round). Full line → stderr.
-    val qsBounded = results.filter(_._1.startsWith("q"))
+    // Explicit relational-name set (q01..q30 shape), not startsWith("q"):
+    // a future training-data gate named "quality_*" must not leak in and
+    // regrow the line past the driver's capture window.
+    val qsBounded = results.filter(_._1.matches("^q\\d\\d_.*"))
       .map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsBounded,"n_queries":${names.size},"reps":$reps,"queries_full":"bench_out.json","sf":"$sfDir"}"""
-    println(line)
-    System.err.println(s"""[bench] {"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"sf":"$sfDir"}""")
     // the FULL artifact — dispersion, failure reasons, recall, scaling —
-    // goes to the self-contained file copy, committed per round
+    // goes ONLY to the self-contained file copy, committed per round.
+    // Deliberately NOT echoed to stderr: the driver merges streams in its
+    // tail capture, and a ~3 KB stderr echo printed after the minimal
+    // stdout line pushed that line out of the window in round 11
+    // (BENCH_r11.json parsed:null, 5th recurrence).
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
@@ -470,5 +475,9 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     spark.stop()
+    // The minimal stdout line is the LAST thing written to either stream
+    // so the driver's merged tail capture always ends with it intact.
+    println(line)
+    System.out.flush()
   }
 }

@@ -636,8 +636,21 @@ object Dedup {
     * distances — hence no filter here). */
   def signaturePairsIncrementalFromIndex(deltaSigs: DataFrame,
       corpusIndex: DataFrame, idCol: String, sigCol: String,
-      bits: Int, bands: Int, score: (Column, Column) => Column): DataFrame = {
-    val bd = signatureBanded(deltaSigs, idCol, sigCol, bits, bands)
+      bits: Int, bands: Int, score: (Column, Column) => Column): DataFrame =
+    bandedIncrementalJoin(
+      signatureBanded(deltaSigs, idCol, sigCol, bits, bands),
+      corpusIndex, score)
+
+  /** The ONE copy of the banded O(Δ) ingest join all the incremental
+    * signature families share (array SimHash, precomputed signatures,
+    * packed pHash): the delta's banded rows equi-join the corpus index
+    * on the fused band key, self-pairs drop, per-pair collapse by max
+    * score. A stored `bb` column (the bucketed layout) carries the
+    * scan's partitioning into the join so the corpus side shuffles
+    * nothing. */
+  private def bandedIncrementalJoin(deltaBanded: DataFrame,
+      corpusIndex: DataFrame, score: (Column, Column) => Column): DataFrame = {
+    val bd = deltaBanded
       .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
         bandKey.as("bb"))
     val withBb =
@@ -649,6 +662,109 @@ object Dedup {
       .filter(col("delta_id") =!= col("corpus_id"))
       .groupBy("delta_id", "corpus_id")
       .agg(max(score(col("sig_d"), col("sig_c"))).as("score"))
+  }
+
+  // ---- PACKED (≤ 63-bit) signature family ----------------------------
+  //
+  // A signature short enough for one long (the 63-bit perceptual hash)
+  // should never ride the array machinery: packing bit i of the
+  // signature into bit i of a LONG shrinks the shuffled payload from a
+  // ~250-byte bit-array struct to 8 bytes, turns the Hamming score into
+  // bit_count(a XOR b) (one instruction span vs a 63-element zip), and
+  // turns band keys into shift+mask integers instead of joined strings.
+  // The band-b key covers signature positions [b·r, b·r+r) — the SAME
+  // position partition as signatureBanded's array slices — so the
+  // candidate set, survivor logic, and scores are identical bit-for-bit
+  // to the array form and an oracle written against either matches.
+
+  /** [[signatureBanded]] for a signature packed into one long (`sigCol`,
+    * bit i = signature position i, `bits` ≤ 63). Output (doc, sig,
+    * band, bkey) with integer `bkey`. */
+  def packedSignatureBanded(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(bits <= 63, s"packed signatures hold at most 63 bits, got $bits")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    sigs.select(col(idCol).as("doc"), col(sigCol).cast("long").as("sig"))
+      .select(col("doc"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          call_function("shiftright", col("sig"), (b * r).cast("int"))
+            .bitwiseAND(lit(mask))))
+          .as(Seq("band", "bkey")))
+  }
+
+  /** [[signaturePairs]] over packed signatures, Hamming-scored: the
+    * banded candidate walk ([[bucketPairs]]'s semantics — one bucket
+    * pass, first-colliding-band dedup, hot-bucket cap) with slices and
+    * score fused into long bit arithmetic. Output (doc_a, doc_b, score =
+    * Hamming distance). */
+  def packedSignaturePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    packedBucketPairs(packedSignatureBanded(sigs, idCol, sigCol, bits, bands),
+      bits / bands, maxBucket)
+
+  /** [[signatureBandIndex]] over packed signatures: a persistable
+    * (doc, sig, band, bkey) index — three longs and an int per row. */
+  def packedSignatureBandIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    capBandBuckets(packedSignatureBanded(sigs, idCol, sigCol, bits, bands),
+      maxBucket)
+
+  /** O(Δ) ingest against a [[packedSignatureBandIndex]], Hamming-scored.
+    * Output (delta_id, corpus_id, score); threshold at the caller. */
+  def packedSignaturePairsIncrementalFromIndex(deltaSigs: DataFrame,
+      corpusIndex: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int): DataFrame =
+    bandedIncrementalJoin(
+      packedSignatureBanded(deltaSigs, idCol, sigCol, bits, bands),
+      corpusIndex, (a, b) => bit_count(a.bitwiseXOR(b)))
+
+  /** [[bucketPairs]] specialized to packed long signatures: band slices
+    * are shift+mask, the score is bit_count(xor). Same candidate and
+    * survivor semantics (see [[bucketPairs]]'s cap scaladoc). */
+  private def packedBucketPairs(banded: DataFrame, r: Int,
+      maxBucket: Option[Int]): DataFrame = {
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    val mask = (1L << r) - 1
+    def bandSlice(sig: Column, b: Column): Column =
+      call_function("shiftright", sig, (b * r).cast("int")).bitwiseAND(lit(mask))
+    def pair(x: Column, y: Column): Column = {
+      val keep = when(col("band") === 0, lit(true))
+        .otherwise(forall(
+          // sequence() steps DOWNWARD for an empty range, hence the
+          // band === 0 guard above
+          sequence(lit(0), col("band") - 1),
+          b => !(bandSlice(x.getField("sig"), b) === bandSlice(y.getField("sig"), b))))
+      struct(
+        least(x.getField("doc"), y.getField("doc")).as("doc_a"),
+        greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
+        bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("score"),
+        keep.as("keep"))
+    }
+    def allPairs(ms: Column): Column =
+      flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + 2, size(ms)), b => pair(a, b))))
+    val pairsCol = maxBucket match {
+      case None => allPairs(col("ms"))
+      case Some(cap) =>
+        // struct sort = doc ascending (doc is the first field), so the
+        // survivor set and the representative are order-independent
+        val sorted = array_sort(col("ms"))
+        when(size(col("ms")) <= cap, allPairs(col("ms")))
+          .otherwise(concat(
+            allPairs(slice(sorted, 1, cap)),
+            transform(slice(sorted, lit(cap + 1), size(col("ms")) - cap),
+              x => pair(element_at(sorted, 1), x))))
+    }
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.score").as("score"))
   }
 
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
@@ -709,21 +825,12 @@ object Dedup {
   def simhashPairsIncrementalFromIndex(
       delta: DataFrame, corpusIndex: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
-      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame = {
-    val bd = simhashBanded(delta, idCol, textCol, bits, bands, minTokens)
-      .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
-        bandKey.as("bb"))
-    val withBb =
-      if (corpusIndex.columns.contains("bb")) corpusIndex
-      else corpusIndex.withColumn("bb", bandKey)
-    val bc = withBb
-      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"), col("bb"))
-    bd.join(bc, Seq("bb"))
-      .filter(col("delta_id") =!= col("corpus_id"))
-      .groupBy("delta_id", "corpus_id")
-      .agg(max(hamming(col("sig_d"), col("sig_c"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame =
+    bandedIncrementalJoin(
+      simhashBanded(delta, idCol, textCol, bits, bands, minTokens),
+      corpusIndex, hamming)
+      .filter(col("score") <= maxHamming)
+      .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
 
   /** [[writeMinhashBandIndexBucketed]]'s SimHash twin: the banded
     * signature index persisted bucketed-and-sorted on the fused band

@@ -276,7 +276,29 @@ object MediaCodec {
     * encode — geometry survives exactly, sample values approximately
     * (MultimodalSpec bounds the drift). */
   def encodeJpeg24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
-    writeImage(toImage(width, height, pixels), "jpg")
+    encodeJpeg24(width, height, pixels, 0.75f)
+
+  /** JPEG at an EXPLICIT compression quality (0.75 = the long-standing
+    * JDK writer default, pinned rather than inherited: the
+    * PerceptualHashSpec re-encode-invariance bound depends on the
+    * quantization error magnitude, and an implicit default could move
+    * under a JDK upgrade and flake the suite without any code change). */
+  def encodeJpeg24(width: Int, height: Int, pixels: Array[Byte],
+      quality: Float): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, "quality must be in (0, 1]")
+    val img = toImage(width, height, pixels)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
 
   // ---- WAV ----------------------------------------------------------
   val WavHeaderSize = 44 // RIFF + fmt(16) + data header

@@ -32,11 +32,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the hash is a per-row map over the media partition
   * iterator (decode is CPU-bound JVM work — the mapPartitions contract
-  * of [[Multimodal]]); each image collapses to 63 ints BEFORE any
-  * shuffle, so candidate search moves signatures, never pixels. Pairing
-  * rides the SAME banded machinery as SimHash ([[Dedup.signaturePairs]]):
-  * 9 bands × 7 bits — a pair within Hamming ≤ 8 must collide in some
-  * band (pigeonhole), so the default ≤ 3 search is lossless.
+  * of [[Multimodal]]); each image collapses to ONE packed long (8
+  * bytes) BEFORE any shuffle, so candidate search moves 8-byte
+  * signatures, never pixels or bit arrays. Pairing rides the packed
+  * banded machinery ([[Dedup.packedSignaturePairs]] — shift+mask band
+  * keys, bit_count(xor) Hamming): 9 bands × 7 bits — a pair within
+  * Hamming ≤ 8 must collide in some band (pigeonhole), so the default
+  * ≤ 8 search is lossless. Caveat the banding does NOT fix: DCT sign
+  * bits of natural-image corpora are biased, so band keys occupy far
+  * fewer than 2^7 values and candidate volume grows near-quadratically
+  * on clustered corpora — [[phashBanded]] + Occupancy.stats is the
+  * pre-flight that detects the regime, and packing makes each surviving
+  * candidate cost one XOR+POPCNT instead of a 63-element array zip.
   */
 object PerceptualHash {
 
@@ -125,28 +132,44 @@ object PerceptualHash {
     ac.map(c => if (c > med) 1 else 0)
   }
 
-  /** Per-image signatures from a media table: (media_id, sig) for every
-    * DECODABLE row — undecodable payloads drop (the corrupt-member
-    * contract), they can never near-duplicate anything. One
-    * mapPartitions pass; 63 ints per image leave the stage. */
+  /** [[phashOfRgb]] packed into one long: bit i = AC position i. 63 bits
+    * fit with the sign bit free, so the packed form is lossless and the
+    * long's band-b slice (bits b·r … b·r+r−1) is exactly the array
+    * form's slice — [[Dedup.packedSignatureBanded]]'s contract. */
+  def phashOfRgbPacked(img: MediaCodec.RgbImage): Long = {
+    val bits = phashOfRgb(img)
+    var sig = 0L
+    var i = 0
+    while (i < bits.length) { if (bits(i) == 1) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Per-image PACKED signatures from a media table: (media_id, sig:
+    * long) for every DECODABLE row — undecodable payloads drop (the
+    * corrupt-member contract), they can never near-duplicate anything.
+    * One mapPartitions pass; 8 BYTES per image leave the stage (the
+    * round-11 form shipped a 63-int array ≈ 250 B through every band
+    * shuffle and zipped the arrays per candidate pair — packing cut
+    * dd_phash's banded walk from the suite's slowest query to long
+    * XOR + POPCNT arithmetic with identical pairs and scores). */
   def phashSignatures(media: Dataset[Multimodal.MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
       MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
-        .map(img => (m.media_id, phashOfRgb(img)))
+        .map(img => (m.media_id, phashOfRgbPacked(img)))
     }).toDF("media_id", "sig")
   }
 
-  /** Image near-duplicate pairs: banded Hamming search over the pHash
-    * signatures — [[Dedup.simhashPairs]]'s posture with the signature
-    * swapped for the perceptual one. Output (doc_a, doc_b, hamming). */
+  /** Image near-duplicate pairs: banded Hamming search over the packed
+    * pHash signatures — [[Dedup.simhashPairs]]'s posture with the
+    * signature swapped for the perceptual one and the arithmetic on
+    * longs. Output (doc_a, doc_b, hamming). */
   def phashPairs(media: Dataset[Multimodal.MediaRow],
       bands: Int = DefaultPhashBands,
       maxHamming: Int = DefaultMaxHamming,
       maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
-    Dedup.signaturePairs(
-      phashSignatures(media), "media_id", "sig", PhashBits, bands,
-      graft.functions.TextFunctions.hamming, maxBucket)
+    Dedup.packedSignaturePairs(
+      phashSignatures(media), "media_id", "sig", PhashBits, bands, maxBucket)
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 
@@ -157,18 +180,54 @@ object PerceptualHash {
       corpusIndex: DataFrame,
       bands: Int = DefaultPhashBands,
       maxHamming: Int = DefaultMaxHamming): DataFrame =
-    Dedup.signaturePairsIncrementalFromIndex(
-      phashSignatures(delta), corpusIndex, "media_id", "sig", PhashBits, bands,
-      graft.functions.TextFunctions.hamming)
+    Dedup.packedSignaturePairsIncrementalFromIndex(
+      phashSignatures(delta), corpusIndex, "media_id", "sig", PhashBits, bands)
       .filter(col("score") <= maxHamming)
       .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
 
   /** The corpus side of [[phashPairsIncremental]] as a persistable
-    * banded index (plain (doc, sig, band, bkey) columns — parquet
-    * round-trippable like [[Dedup.simhashBandIndex]]). */
+    * banded index (plain (doc, sig: long, band, bkey: long) columns —
+    * parquet round-trippable like [[Dedup.simhashBandIndex]]). */
   def phashBandIndex(corpus: Dataset[Multimodal.MediaRow],
       bands: Int = DefaultPhashBands,
       maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
-    Dedup.signatureBandIndex(
+    Dedup.packedSignatureBandIndex(
       phashSignatures(corpus), "media_id", "sig", PhashBits, bands, maxBucket)
+
+  /** [[Dedup.writeSimhashBandIndexBucketed]]'s pHash twin: the packed
+    * banded index persisted bucketed-and-sorted on the fused band key,
+    * so ingest joins shuffle only the delta. */
+  def writePhashBandIndexBucketed(corpus: Dataset[Multimodal.MediaRow],
+      table: String, nBuckets: Int, path: Option[String] = None,
+      bands: Int = DefaultPhashBands,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): Unit =
+    graft.store.Bucketing.writeBucketed(
+      phashBandIndex(corpus, bands, maxBucket)
+        .withColumn("bb", concat_ws(":", col("band"), col("bkey"))),
+      table, "bb", nBuckets, path)
+
+  /** [[Dedup.appendToSimhashBandIndexBucketed]]'s pHash twin — same
+    * frozen-cap contract (the build-time occupancy cap is not re-run on
+    * append; rebuild re-caps), same preserved bucketed layout. */
+  def appendToPhashBandIndexBucketed(batch: Dataset[Multimodal.MediaRow],
+      table: String, nBuckets: Int,
+      bands: Int = DefaultPhashBands): Unit =
+    graft.store.Bucketing.appendBucketed(
+      Dedup.packedSignatureBanded(
+        phashSignatures(batch), "media_id", "sig", PhashBits, bands)
+        .withColumn("bb", concat_ws(":", col("band"), col("bkey"))),
+      table, "bb", nBuckets)
+
+  /** The banded occupancy-observability projection for pHash
+    * ([[Dedup.simhashBanded]]'s convention — feed to Occupancy.stats):
+    * sign bits of real image corpora are heavily biased (smooth images
+    * share low-frequency structure), so the 7-bit band keys occupy far
+    * fewer than 2^7 values and this is THE projection to watch before a
+    * large run — a max/p99 far above n/(bands·2^r) means the banding is
+    * in its skewed regime and the guard cap will chain, trading pair
+    * recall for boundedness. */
+  def phashBanded(media: Dataset[Multimodal.MediaRow],
+      bands: Int = DefaultPhashBands): DataFrame =
+    Dedup.packedSignatureBanded(
+      phashSignatures(media), "media_id", "sig", PhashBits, bands)
 }

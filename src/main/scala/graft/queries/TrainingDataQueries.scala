@@ -2370,10 +2370,17 @@ object TrainingDataQueries {
     * hashing within maxHamming) is PerceptualHashSpec's job — a lossy
     * decode is real but not oracle-recomputable. */
   val ddPhash: Q = (s, dir) =>
+    // maxBucket = None: the oracle enumerates UNCAPPED band candidates,
+    // so gate parity must not depend on every bucket staying under the
+    // default cap (a batch of identical texts shares one signature
+    // bucket and would silently diverge under the cap's survivor
+    // chaining). The gated fixtures are small; production calls keep
+    // the default guard.
     graft.operators.PerceptualHash.phashPairs(
       Multimodal.syntheticImagesFromText(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
-        "doc_id", "text"))
+        "doc_id", "text"),
+      maxBucket = None)
       .orderBy("doc_a", "doc_b")
 
   val ddPhashOracle: String = {

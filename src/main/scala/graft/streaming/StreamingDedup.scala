@@ -267,4 +267,96 @@ object StreamingDedup {
           }
       }.toDF()
   }
+
+  case class PhashRow(
+      bkey: String, doc_id: Long, event_time: java.sql.Timestamp, sig: Long)
+  case class PhashBucketState(members: List[(Long, Long, Long)]) // (doc, arrivalMs, sig)
+
+  /** Streaming IMAGE near-duplicate detection — the arrival-time twin
+    * of `PerceptualHash.phashPairs`, the way `minhashDupStream` twins
+    * `Dedup.minhashPairs`: an image is flagged iff its packed 63-bit
+    * pHash is within `maxHamming` of ANY earlier in-horizon arrival it
+    * shares a band bucket with. Earlier members register whether or not
+    * they were themselves flagged (duplicate-CLUSTER greedy). Corrupt
+    * payloads drop at decode, exactly like the batch operator.
+    *
+    * Scale design, mirroring the batch operator point for point:
+    *   - decode + hash happen per-row in the stateless map BEFORE the
+    *     stateful shuffle — 8 bytes of signature move, never pixels;
+    *   - band keys are the batch path's shift+mask slices
+    *     (Dedup.packedSignatureBanded) folded into one string key, so a
+    *     single stateful operator covers all bands;
+    *   - state per bucket is the in-horizon (doc, arrival, sig) list —
+    *     24 bytes per member — pruned by event time each visit,
+    *     reclaimed whole by EventTimeTimeout, and capped at
+    *     `maxBucketState` most-recent members: pHash is the family's
+    *     KNOWN-skewed banding (biased DCT sign bits → few occupied
+    *     keys), so the streaming occupancy guard is load-bearing here
+    *     the way the batch cap is (see PerceptualHash.phashBanded).
+    * One notice per (doc, band), first matching member only —
+    * notice-presence is the drop signal. */
+  def phashDupStream(
+      spark: SparkSession, media: DataFrame, idCol: String, bytesCol: String,
+      timeCol: String = "timestamp", horizonMinutes: Int = 10,
+      bands: Int = graft.operators.PerceptualHash.DefaultPhashBands,
+      maxHamming: Int = graft.operators.PerceptualHash.DefaultMaxHamming,
+      maxBucketState: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    import graft.operators.{MediaCodec, PerceptualHash}
+    require(horizonMinutes >= 1)
+    require(PerceptualHash.PhashBits % bands == 0, "bands must divide 63")
+    require(maxBucketState >= 2, "maxBucketState must be >= 2")
+    import spark.implicits._
+    val r = PerceptualHash.PhashBits / bands
+    val mask = (1L << r) - 1
+    val horizonMs = horizonMinutes * 60 * 1000L
+
+    val banded = media
+      .select(col(idCol).cast("long"), to_timestamp(col(timeCol)),
+        col(bytesCol))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, t, bytes) =>
+        MediaCodec.decodeRgb(Option(bytes).getOrElse(Array.emptyByteArray))
+          .map(img => (id, t, PerceptualHash.phashOfRgbPacked(img)))
+      })
+      .toDF("doc_id", "event_time", "sig")
+      .withWatermark("event_time", s"$horizonMinutes minutes")
+      .select(col("doc_id"), col("event_time"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat(b.cast("string"), lit(":"),
+            call_function("shiftright", col("sig"), (b * r).cast("int"))
+              .bitwiseAND(lit(mask)).cast("string")))).as("bkey"))
+      .select(col("bkey"), col("doc_id"), col("event_time"), col("sig"))
+      .as[PhashRow]
+
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[PhashBucketState, DupNotice](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[PhashRow], state: GroupState[PhashBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // newest-first list: arrivals prepend in ascending order, so
+            // the occupancy cap keeps the most recent members
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_._2 >= wm - horizonMs)
+            val out = List.newBuilder[DupNotice]
+            rows.toSeq.sortBy(e => (e.event_time.getTime, e.doc_id)).foreach { e =>
+              val t = e.event_time.getTime
+              members.iterator
+                .find { case (d, at, s) =>
+                  d != e.doc_id && at <= t && t - at <= horizonMs &&
+                    java.lang.Long.bitCount(s ^ e.sig) <= maxHamming }
+                .foreach { case (d, _, _) => out += DupNotice(e.doc_id, e.event_time, d) }
+              members = ((e.doc_id, t, e.sig) :: members).take(maxBucketState)
+            }
+            state.update(PhashBucketState(members))
+            val newest = members.iterator.map(_._2).max
+            state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }.toDF()
+  }
 }

@@ -38,6 +38,17 @@ object OccupancyProbe {
         Dedup.minhashBanded(docs, "doc_id", "text"), dedupCap, "band", "bkey"))
       show("simhash bands", Occupancy.stats(
         Dedup.simhashBanded(docs, "doc_id", "text"), dedupCap, "band", "bkey"))
+      // the KNOWN-skewed banding: DCT sign bits are biased, so expect
+      // occupied buckets ≪ 9·2^7 and a hot head — the regime dd_phash's
+      // guard chains in at scale (see PerceptualHash.phashBanded)
+      show("phash bands", Occupancy.stats(
+        graft.operators.PerceptualHash.phashBanded(
+          graft.operators.Multimodal.syntheticImagesFromText(
+            docs.filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.lit(3)) === 0),
+            "doc_id", "text")),
+        dedupCap, "band", "bkey"))
       for (bits <- Seq(1, 4, 6, 0)) {
         val label = if (bits == 0) "lsh scaled" else s"lsh nBits=$bits"
         show(label, Occupancy.stats(

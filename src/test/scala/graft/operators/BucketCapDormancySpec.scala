@@ -59,6 +59,39 @@ class BucketCapDormancySpec extends SparkSpecBase {
     }
   }
 
+  test("phash band-bucket occupancy on the gated fixtures stays below the default cap") {
+    // dd_phash's GATE runs uncapped on both sides (oracle parity never
+    // depends on the guard), but the incremental/index family defaults
+    // the cap on — and pHash is the family's KNOWN-skewed member: DCT
+    // sign bits of image corpora are biased, so 7-bit band keys occupy
+    // far fewer than 2^7 values (measured at sf0.1: 368 of 1,152
+    // possible buckets, hottest holding ~24% of the corpus). This
+    // asserts (a) the guard stays dormant at the gate fixtures so the
+    // spec oracles stay exact, and (b) the Occupancy.stats projection
+    // actually SEES the bias regime (occupied buckets ≪ the key space)
+    // — the pre-flight signal a production run would alert on.
+    gateDirs.foreach { dir =>
+      val media = Multimodal.syntheticImagesFromText(
+        Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text")
+      val banded = PerceptualHash.phashBanded(media)
+      val stats = Occupancy.stats(banded, Dedup.DefaultMaxBucket.toLong,
+        "band", "bkey").collect().head
+      val (nBuckets, maxOcc, nOver) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(4))
+      assert(maxOcc <= Dedup.DefaultMaxBucket && nOver == 0,
+        s"$dir: max phash (band,bkey) occupancy $maxOcc breaches the cap " +
+          s"${Dedup.DefaultMaxBucket} — the phash incremental specs' " +
+          "oracles do not model the cap")
+      val keySpace =
+        PerceptualHash.DefaultPhashBands.toLong *
+          (1L << (PerceptualHash.PhashBits / PerceptualHash.DefaultPhashBands))
+      assert(nBuckets < keySpace,
+        s"$dir: $nBuckets occupied buckets >= the $keySpace-key space — " +
+          "the bias-regime observability assumption no longer holds")
+    }
+  }
+
   test("embedding LSH bucket occupancy on the gated fixtures is far below DefaultMaxBucketOccupancy") {
     gateDirs.foreach { dir =>
       val corpus = Tables.embeddings(spark, dir)

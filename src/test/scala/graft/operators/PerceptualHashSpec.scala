@@ -117,4 +117,89 @@ class PerceptualHashSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
   }
+
+  test("packed signature path equals the array form bit-for-bit") {
+    // the packed long IS the array signature: bit i = AC position i —
+    // the contract Dedup.packedSignatureBanded's band slices rely on
+    mediaRows.filter(_.format != "bin").foreach { m =>
+      val img = MediaCodec.decodeRgb(m.bytes).get
+      val arr = PerceptualHash.phashOfRgb(img)
+      val packed = PerceptualHash.phashOfRgbPacked(img)
+      (0 until PerceptualHash.PhashBits).foreach { i =>
+        assert(((packed >> i) & 1L).toInt == arr(i),
+          s"media ${m.media_id}: bit $i diverges between packed and array")
+      }
+    }
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The single-exchange bucketed-join shape (MinhashIndexBucketingSpec's
+    * assertion): one bb-exchange (the delta's) + a bucketed corpus scan. */
+  private def assertDeltaOnlyExchange(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bbExchanges = """Exchange hashpartitioning\(bb#""".r.findAllIn(plan).length
+    assert(bbExchanges === 1,
+      s"expected exactly 1 bb-exchange (delta side), got $bbExchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"corpus side must be a bucketed scan:\n$plan")
+  }
+
+  test("bucketed-index incremental phash: delta-only exchange, identical results") {
+    import spark.implicits._
+    val delta = spark.createDataset(mediaRows.filter(_.media_id == 2L))
+    val corpus = spark.createDataset(mediaRows.filter(_.media_id != 2L))
+    val table = "ph_idx_bucketed_spec"
+    val path = java.nio.file.Files.createTempDirectory("graft-ph-bidx").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    PerceptualHash.writePhashBandIndexBucketed(
+      corpus, table, nBuckets = 4, path = Some(path))
+    try withNoBroadcast {
+      val via = PerceptualHash.phashPairsIncremental(delta, spark.table(table))
+        .orderBy("delta_id", "corpus_id")
+      val direct = PerceptualHash.phashPairsIncremental(
+        delta, PerceptualHash.phashBandIndex(corpus))
+        .orderBy("delta_id", "corpus_id")
+      val got = via.collect().toSeq
+      assert(got.nonEmpty && got === direct.collect().toSeq)
+      assertDeltaOnlyExchange(via)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("phash append preserves layout and equals the union-of-band-rows contract") {
+    import spark.implicits._
+    val delta = spark.createDataset(mediaRows.filter(_.media_id == 2L))
+    // base {1, 5}, appended batch {3, 4}: post-append, delta 2 must see
+    // both its base pair (2,1) and its appended pair (2,3)
+    val base = spark.createDataset(mediaRows.filter(m => Set(1L, 5L)(m.media_id)))
+    val batch = spark.createDataset(mediaRows.filter(m => Set(3L, 4L)(m.media_id)))
+    val table = "ph_idx_append_spec"
+    val path = java.nio.file.Files.createTempDirectory("graft-ph-aidx").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    PerceptualHash.writePhashBandIndexBucketed(
+      base, table, nBuckets = 4, path = Some(path))
+    PerceptualHash.appendToPhashBandIndexBucketed(batch, table, nBuckets = 4)
+    withNoBroadcast {
+      val viaAppended = PerceptualHash.phashPairsIncremental(delta, spark.table(table))
+        .orderBy("delta_id", "corpus_id")
+      // frozen-decision reference: capped base index ∪ uncapped batch rows
+      val reference = PerceptualHash.phashPairsIncremental(
+        delta,
+        PerceptualHash.phashBandIndex(base).unionByName(
+          PerceptualHash.phashBandIndex(batch, maxBucket = None)))
+        .orderBy("delta_id", "corpus_id")
+      val got = viaAppended.collect().toSeq
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((2L, 1L), (2L, 3L)), s"got $got")
+      assert(got === reference.collect().toSeq)
+      assertDeltaOnlyExchange(viaAppended)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
