@@ -93,8 +93,20 @@ object Curation {
     * also (textCol, removed_tokens) carrying the span-trimmed text. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
+    // ONE corpus scan for the whole pipeline: `base` is consumed by
+    // three separate subtrees (the fingerprint aggregate, the survivor
+    // semi-join probe, and the near-dup shingle pass) — Spark reuses
+    // exchanges, not projection subtrees, so without materialization
+    // each consumer re-runs the file scan + the stage-1/2 tokenize
+    // lineage (CurationScanAuditSpec counts the corpus-file opens
+    // through a counting FileSystem: 3 scans unmaterialized → 1 here).
+    // Lazy checkpoint, the pipeline convention: constructing the frame
+    // stays plan-only; later stages (LM, classifier, trim) read their
+    // own checkpointed survivor sets, so the corpus file is never
+    // re-opened after this scan no matter which stages are on.
     val base = qualityLangFilter(
       docs.select(col(idCol), col(textCol)), idCol, textCol, cfg)
+      .localCheckpoint(false)
     // exact dedup: one row per content fingerprint (canonical = min id)
     val canon = base
       .select(col(idCol).as("__id"), md5(lower(trim(col(textCol)))).as("__fp"))

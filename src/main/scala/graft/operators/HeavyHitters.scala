@@ -254,6 +254,80 @@ object HeavyHitters {
     * The union of the three exact sources then thresholds at T′ — the
     * output equals the from-scratch [[heavyHitters]] over
     * corpus ∪ delta row for row (the gate shares the plain oracle). */
+  /** APPEND a delta into the persisted index under the BUILT capacity —
+    * the frozen-contract ingest every other persisted-index family has
+    * (appendToMinhashBandIndexBucketed, appendToSpanPostingIndexBucketed,
+    * appendToPhashBandIndexBucketed): after the merge, the index serves
+    * ANY φ with capacity > 1/φ exactly, same as a from-scratch
+    * [[buildIndex]] over corpus ∪ delta.
+    *
+    * Why the merged superset stays sufficient at the SAME capacity: a
+    * gram outside BOTH candidate sets has corpus count ≤ N/capacity and
+    * delta count ≤ M/capacity (the per-side MG survival bounds), so its
+    * combined count is ≤ (N+M)/capacity — below every servable
+    * threshold. Stored counts stay EXACT: indexed grams absorb one
+    * exact delta count (one delta scan over the merged candidate set);
+    * the delta's new candidates get a corpus recount RESTRICTED to
+    * exactly those grams — one bounded corpus job, skipped entirely
+    * when the delta introduces no new candidates (the dominant ingest
+    * posture; `corpus` is never otherwise touched). The sidecar total
+    * advances to N + M. Returns the reloaded merged index. */
+  def appendToIndex(
+      corpus: DataFrame, delta: DataFrame, textCol: String,
+      indexPath: String): DataFrame = {
+    val spark = delta.sparkSession
+    val m = readMeta(spark, indexPath)
+    val idx = spark.read.parquet(s"$indexPath/candidates")
+
+    val dGrams = gramStream(delta, textCol, m.gramN)
+    val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)
+    val dTotal = dSumm.agg(sum(col("total"))).head.getLong(0)
+    val dCand = dSumm.select(explode(col("grams")).as("gram")).distinct()
+
+    // one delta scan counts the union candidate set exactly
+    val allCand = idx.select("gram").union(dCand).distinct()
+    val dCounts = dGrams.toDF()
+      .join(broadcast(allCand), "gram")
+      .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
+      .localCheckpoint(false)
+
+    // New entrants need their exact corpus count (0 when absent) — the
+    // only corpus access, restricted to a candidate-sized gram set.
+    // NEVER-SERVABLE candidates drop first: an unindexed gram has
+    // corpus count ≤ N/capacity (MG bound), so unless its exact delta
+    // count exceeds M/capacity its combined count is ≤ (N+M)/capacity —
+    // below ⌈φ·(N+M)⌉ for every valid φ > 1/capacity, now and under
+    // the same invariant after any future append. Dropping them keeps
+    // the dominant same-distribution ingest corpus-free (O(Δ) — the
+    // spec proves it by physically deleting the corpus files), exactly
+    // like heavyHittersIncremental's crosser filter, while recounted
+    // survivors keep every stored count exact.
+    val freshDf = dCand.join(idx.select("gram"), Seq("gram"), "left_anti")
+      .join(dCounts, Seq("gram"))
+      .filter(col("d_cnt") * lit(m.capacity.toLong) > lit(dTotal))
+      .select("gram")
+      .localCheckpoint(false)
+    val corpusCounts =
+      if (freshDf.isEmpty) idx
+      else {
+        val recount = gramStream(corpus, textCol, m.gramN).toDF()
+          .join(broadcast(freshDf), "gram")
+          .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        idx.unionByName(freshDf.join(recount, Seq("gram"), "left")
+          .select(col("gram"), coalesce(col("cnt"), lit(0L)).as("cnt")))
+      }
+
+    val merged = corpusCounts.join(dCounts, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("cnt") + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+      // EAGER checkpoint: the merged rows must fully materialize off
+      // the old parquet files before mode("overwrite") deletes them
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$indexPath/candidates")
+    writeMeta(spark, indexPath, HhMeta(m.gramN, m.capacity, m.total + dTotal))
+    spark.read.parquet(s"$indexPath/candidates")
+  }
+
   def heavyHittersIncremental(
       corpus: DataFrame, delta: DataFrame, textCol: String,
       indexPath: String, phi: Double): DataFrame = {

@@ -24,7 +24,7 @@ import graft.functions.VectorFunctions.{asDoubles, cosine, roundFixed}
   * materialization), so the only single-partition work is ranking the
   * ≤ nDense + nSparse surviving rows: the unpartitioned `row_number`
   * windows below run on candidate lists bounded by construction, never
-  * on the corpus. The dense scan broadcasts the 1-row query; the
+  * on the corpus. The dense scan folds the collected query vector in as a literal; the
   * sparse side reuses bm25's one-scan + broadcast-stats plan. The
   * fusion join touches ≤ nDense + nSparse rows.
   *
@@ -54,16 +54,20 @@ object Retrieval {
       excludeVecIds: Seq[Long] = Seq.empty): DataFrame = {
     require(nDense >= 1 && nSparse >= 1 && topK >= 1, "candidate/topK sizes must be >= 1")
     require(rrfK >= 1, "RRF k0 must be >= 1 (60 is the published default)")
-    // Single-query contract, enforced at plan-build time: a multi-row
-    // `query` would cross-join each doc to EVERY query vector —
-    // duplicate doc_ids with nondeterministic dense ranks and duplicate
-    // doc_ids in the fused output. The check is a bounded head(2) on
-    // the (tiny, broadcastable) query frame, not a corpus action.
-    val nQuery = query.limit(2).count()
-    require(nQuery == 1,
+    // Single-query contract: a multi-row `query` would pair each doc
+    // with EVERY query vector — duplicate doc_ids with nondeterministic
+    // dense ranks in the fused output. The query row is COLLECTED once
+    // (bounded head(2) on the tiny query frame) and enters the dense
+    // scan as a literal, so the guard and the executed plan see the
+    // SAME row — one evaluation of the query lineage, no second job per
+    // call, and a nondeterministic query frame cannot pass the check
+    // yet feed the scan a different row.
+    val qRows = query.select(asDoubles(col("qvec")).as("q")).head(2)
+    require(qRows.length == 1,
       s"hybridRrf fuses rankings for exactly ONE query vector; got ${
-        if (nQuery == 0) "0 rows" else ">=2 rows"} in `query` — " +
+        if (qRows.isEmpty) "0 rows" else ">=2 rows"} in `query` — " +
         "batch serving goes through the multi-query index paths instead")
+    val qVec: Seq[Double] = qRows.head.getSeq[Double](0)
     graft.GraftExtensions.register(docs.sparkSession)
 
     // Dense candidates: distributed top-nDense by rounded cosine, then
@@ -74,8 +78,10 @@ object Retrieval {
     val denseOrder = Seq(col("cos").desc, col("doc_id").asc)
     val dense = corpus
       .select(col(vecIdCol).cast("long").as("doc_id"), asDoubles(col(vecCol)).as("v"))
-      .crossJoin(broadcast(query.select(asDoubles(col("qvec")).as("q"))))
-      .select(col("doc_id"), roundFixed(cosine(col("v"), col("q")), cosRoundDp).as("cos"))
+      // the collected query vector is a plan literal — the codegen'd
+      // scan folds it, no broadcast join node at all
+      .select(col("doc_id"),
+        roundFixed(cosine(col("v"), typedLit(qVec)), cosRoundDp).as("cos"))
       .orderBy(denseOrder: _*)
       .limit(nDense)
       .withColumn("r_dense", row_number().over(Window.orderBy(denseOrder: _*)))
