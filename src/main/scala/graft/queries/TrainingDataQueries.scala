@@ -2383,8 +2383,16 @@ object TrainingDataQueries {
       maxBucket = None)
       .orderBy("doc_a", "doc_b")
 
-  val ddPhashOracle: String = {
-    import graft.operators.PerceptualHash.{dctTableSql, DefaultMaxHamming => MaxHam}
+  /** The shared oracle CTE chain computing each PNG image's 63-bit
+    * pHash signature and its banded rows — ends with `sig (doc_id,
+    * sig)` and `banded (doc_id, sig, band, bkey)`; composed by both the
+    * full-pair and the incremental-index pHash oracles. The Spark side
+    * PACKS the same 63 bits into one long and bands by shift+mask
+    * (Dedup.packedSignatureBanded) — an identical position partition,
+    * so candidates and Hamming scores agree bit-for-bit with this
+    * list-based form. */
+  private def phashSigCtes: String = {
+    import graft.operators.PerceptualHash.dctTableSql
     s"""WITH d AS (
       |  SELECT doc_id, greatest(1, length(text) // 12) AS h,
       |    list_transform(range(length(text)), i -> ascii(text[i+1:i+1])) AS bs
@@ -2421,7 +2429,12 @@ object TrainingDataQueries {
       |  SELECT doc_id, sig, r.band AS band,
       |    array_to_string(sig[(r.band*7+1):(r.band*7+7)], '_') AS bkey
       |  FROM sig, range(9) r(band)
-      |), cand AS (
+      |)""".stripMargin
+  }
+
+  val ddPhashOracle: String = {
+    import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
+    s"""$phashSigCtes, cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -2435,6 +2448,56 @@ object TrainingDataQueries {
       |SELECT doc_a, doc_b, hamming FROM scored
       |WHERE hamming <= $MaxHam
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** dd_phash_idx_bucketed — the O(Δ) pHash ingest against the BUCKETED
+    * persisted band index (PerceptualHash.writePhashBandIndexBucketed),
+    * completing the bucketed-index family across every dedup modality
+    * (spans, MinHash, SimHash, embeddings, images): the corpus images'
+    * packed (doc, sig, band, bkey) rows are written bucketed-and-sorted
+    * on the fused band key, so the ingest join shuffles only the delta
+    * (PerceptualHashSpec asserts the delta-only-exchange plan). Split
+    * convention: the family's %5 — among the PNG rows (doc_id%3 = 0),
+    * delta = doc_id%5 = 0, corpus = the rest. maxBucket = None like the
+    * dd_phash gate (the oracle enumerates uncapped band candidates). */
+  val ddPhashIdxBucketed: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
+    val table = s"graft_ph_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"phidx:${System.identityHashCode(s)}:$dir", {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      graft.operators.PerceptualHash.writePhashBandIndexBucketed(
+        Multimodal.syntheticImagesFromText(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text"),
+        table, nBuckets = 4,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("graft-ph-idx-gate").toString),
+        maxBucket = None)
+      table
+    })
+    graft.operators.PerceptualHash.phashPairsIncremental(
+      Multimodal.syntheticImagesFromText(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text"),
+      s.table(table))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  val ddPhashIdxBucketedOracle: String = {
+    import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
+    s"""$phashSigCtes, cand AS (
+      |  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |), scored AS (
+      |  SELECT delta_id, corpus_id,
+      |    len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = cand.delta_id
+      |  JOIN sig sb ON sb.doc_id = cand.corpus_id
+      |)
+      |SELECT delta_id, corpus_id, hamming FROM scored
+      |WHERE hamming <= $MaxHam
+      |ORDER BY delta_id, corpus_id""".stripMargin
   }
 
   /** dd_embedding — embedding-cosine near-duplicate pairs via hyperplane
@@ -3585,6 +3648,7 @@ object TrainingDataQueries {
     "mm_features" -> mmFeatures,
     "mm_features_img" -> mmFeaturesImg,
     "dd_phash" -> ddPhash,
+    "dd_phash_idx_bucketed" -> ddPhashIdxBucketed,
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
     "sk_heavy_hitters_incremental" -> skHeavyHittersIncremental,
@@ -3673,6 +3737,7 @@ object TrainingDataQueries {
     "mm_features" -> mmFeaturesOracle,
     "mm_features_img" -> mmFeaturesImgOracle,
     "dd_phash" -> ddPhashOracle,
+    "dd_phash_idx_bucketed" -> ddPhashIdxBucketedOracle,
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,
     "sk_heavy_hitters_incremental" -> skHeavyHittersOracle,

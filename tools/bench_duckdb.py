@@ -1,9 +1,16 @@
 #!/usr/bin/env python3
 """DuckDB baseline timings for the oracle SQL at a given SF (the 2x
-comparison target in BASELINE.md). Usage: tools/bench_duckdb.py [sfDir]."""
-import duckdb, json, sys, time, glob, os
+comparison target in BASELINE.md). Usage:
+    tools/bench_duckdb.py [sfDir] [oracle_sql.json]
+Each query runs under a per-query wall cap (DUCK_CAP_SEC, default 60):
+a query still running at the cap is interrupted and recorded as the
+string "TIMEOUT" (the quadratic dd_minhash* oracles at sf0.1 — measured
+365s in round 8 — would otherwise dominate the run). Failures record
+null with the error on stderr."""
+import duckdb, json, sys, time, glob, os, threading
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+cap = float(os.environ.get("DUCK_CAP_SEC", "60"))
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')")
@@ -12,10 +19,23 @@ oracle = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/o
 times = {}
 for name, sql in sorted(oracle.items()):
     t0 = time.time()
+    timer = threading.Timer(cap, con.interrupt)
+    timer.start()
     try:
         con.execute(sql).fetchall()
         times[name] = round(time.time() - t0, 4)
     except Exception as e:
-        times[name] = None
-        print(f"# {name} failed: {e}", file=sys.stderr)
-print(json.dumps({"total": round(sum(t for t in times.values() if t), 3), "queries": times}))
+        if time.time() - t0 >= cap - 0.5:
+            times[name] = "TIMEOUT"
+            print(f"# {name} TIMEOUT at {cap}s", file=sys.stderr)
+        else:
+            times[name] = None
+            print(f"# {name} failed: {e}", file=sys.stderr)
+    finally:
+        timer.cancel()
+numeric = [t for t in times.values() if isinstance(t, float)]
+print(json.dumps({
+    "sf": sf, "cap_sec": cap,
+    "total": round(sum(numeric), 3),
+    "n_timeout": sum(1 for t in times.values() if t == "TIMEOUT"),
+    "queries": times}))
