@@ -84,6 +84,16 @@ object PerceptualHash {
   /** 63-bit pHash of a decoded image. Integer-exact given the pixel
     * grid; None only upstream (decode failures never reach here). */
   def phashOfRgb(img: MediaCodec.RgbImage): Array[Int] = {
+    val ac = acOfRgb(img)
+    val med = { val sorted = ac.clone(); java.util.Arrays.sort(sorted); sorted(31) }
+    ac.map(c => if (c > med) 1 else 0)
+  }
+
+  /** The 63 low-frequency AC DCT coefficients of a decoded image (the
+    * pre-threshold stage of [[phashOfRgb]]) — exposed so the DE-BIASED
+    * variant can threshold them against CORPUS medians instead of the
+    * per-image block median. Integer-exact. */
+  def acOfRgb(img: MediaCodec.RgbImage): Array[Long] = {
     val w = img.width; val h = img.height
     // nearest-neighbor 32×32 grayscale (gray = r+g+b)
     val g = Array.ofDim[Long](Size, Size)
@@ -128,8 +138,7 @@ object PerceptualHash {
       }
       u += 1
     }
-    val med = { val sorted = ac.clone(); java.util.Arrays.sort(sorted); sorted(31) }
-    ac.map(c => if (c > med) 1 else 0)
+    ac
   }
 
   /** [[phashOfRgb]] packed into one long: bit i = AC position i. 63 bits
@@ -230,4 +239,99 @@ object PerceptualHash {
       bands: Int = DefaultPhashBands): DataFrame =
     Dedup.packedSignatureBanded(
       phashSignatures(media), "media_id", "sig", PhashBits, bands)
+
+  // ---- DE-BIASED variant: corpus-median thresholds -------------------
+  //
+  // The classic per-image-median hash has a structural scale problem on
+  // real corpora: natural images share low-frequency structure, so the
+  // DCT sign bits are heavily BIASED (measured on the synthetic corpus
+  // at sf0.1: the 9×7-bit banding leaves only 368 of 1,152 possible
+  // buckets occupied, the hottest holding 24% of the corpus, and 45% of
+  // ALL pairs collide in some band — near-quadratic candidate volume).
+  // Thresholding each coefficient against its CORPUS median re-balances
+  // every bit to ~50/50 BY CONSTRUCTION (spec-asserted), so a pair of
+  // INDEPENDENT images agrees on a 7-bit band with probability ~2^-7
+  // instead of ~0.5. Honest measurement on the gated corpus, though:
+  // band pass-rate only drops 44.9% → 42.2% at sf0.1, because these
+  // text-rendered images are genuinely CLUSTERED — members of a
+  // near-dup cluster agree on (almost) every bit no matter where the
+  // thresholds sit, and no marginal re-balancing can (or should)
+  // separate them. Moral for 100 TB: de-biasing removes the
+  // avoidable, bias-driven collisions; residual candidate volume is a
+  // property of the corpus's true duplication structure, detected
+  // pre-flight by the [[phashBanded]] occupancy probe and bounded by
+  // the hot-bucket cap — while the packed representation keeps each
+  // surviving candidate at one XOR+POPCNT. The medians are a FROZEN
+  // MODEL (63 longs — the quality-classifier convention): built once
+  // over the corpus, shipped as plan literals, reused verbatim for
+  // delta scoring so signatures never shift under ingest.
+
+  /** Per-position corpus lower-medians of the 63 AC coefficients — the
+    * de-biased variant's frozen model. The k-th smallest
+    * (k = ⌈n/2⌉ = (n+1)/2, integer) is computed per position from a
+    * count-per-distinct-value histogram + cumulative window (63
+    * bounded partitions — never a per-position value list in one
+    * buffer), so the build is one linear pass + one histogram-sized
+    * sort however large the corpus. */
+  def phashMedians(media: Dataset[Multimodal.MediaRow]): Array[Long] = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coefs = media.mapPartitions(_.flatMap { m =>
+      MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
+        .map(img => (m.media_id, acOfRgb(img)))
+    }).toDF("media_id", "coefs")
+    val hist = coefs
+      .select(posexplode(col("coefs")).as(Seq("i", "v")))
+      .groupBy("i", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val n = hist.filter(col("i") === 0).agg(sum("c")).head.getLong(0)
+    require(n > 0, "phashMedians needs at least one decodable image")
+    val k = (n + 1L) / 2L
+    val rows = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("i").orderBy("v")))
+      .filter(col("cum") >= lit(k))
+      .groupBy("i").agg(min("v").as("med"))
+      .collect()
+    val med = new Array[Long](PhashBits)
+    rows.foreach(r => med(r.getInt(0)) = r.getLong(1))
+    med
+  }
+
+  /** Packed de-biased signatures AGAINST A FROZEN median model: bit i =
+    * (ac_i > medians(i)). The medians enter the mapPartitions closure as
+    * literals — scoring a delta against a persisted model touches only
+    * the delta (the frozen-model incremental contract). */
+  def phashSignaturesWithMedians(media: Dataset[Multimodal.MediaRow],
+      medians: Array[Long]): DataFrame = {
+    require(medians.length == PhashBits, s"need $PhashBits medians")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
+        .map { img =>
+          val ac = acOfRgb(img)
+          var sig = 0L
+          var i = 0
+          while (i < ac.length) {
+            if (ac(i) > medians(i)) sig |= (1L << i)
+            i += 1
+          }
+          (m.media_id, sig)
+        }
+    }).toDF("media_id", "sig")
+  }
+
+  /** De-biased image near-duplicate pairs: [[phashPairs]]'s banded walk
+    * over corpus-median signatures (self-trained — the model is the
+    * corpus's own medians; production ingest freezes [[phashMedians]]
+    * once and scores deltas with [[phashSignaturesWithMedians]]).
+    * Output (doc_a, doc_b, hamming). */
+  def phashPairsDebiased(media: Dataset[Multimodal.MediaRow],
+      bands: Int = DefaultPhashBands,
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+    Dedup.packedSignaturePairs(
+      phashSignaturesWithMedians(media, phashMedians(media)),
+      "media_id", "sig", PhashBits, bands, maxBucket)
+      .filter(col("score") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 }

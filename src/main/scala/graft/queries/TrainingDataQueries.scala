@@ -2391,7 +2391,10 @@ object TrainingDataQueries {
     * (Dedup.packedSignatureBanded) — an identical position partition,
     * so candidates and Hamming scores agree bit-for-bit with this
     * list-based form. */
-  private def phashSigCtes: String = {
+  /** Oracle CTE prefix computing each PNG image's 63 AC DCT
+    * coefficients — ends with `c1 (doc_id, c)`; the per-image-median
+    * and corpus-median signature tails both build on it. */
+  private def phashCoefCtes: String = {
     import graft.operators.PerceptualHash.dctTableSql
     s"""WITH d AS (
       |  SELECT doc_id, greatest(1, length(text) // 12) AS h,
@@ -2418,19 +2421,26 @@ object TrainingDataQueries {
       |    list_sum(list_transform(range(32), y ->
       |      tt[(q//8)+1][y+1] * r[y*8 + (q%8) + 1]))) AS c
       |  FROM r1, t
-      |), sigt AS (
+      |)""".stripMargin
+  }
+
+  /** The shared band projection tail over a `sig (doc_id, sig)` CTE. */
+  private val phashBandedCte: String =
+    """, banded AS (
+      |  SELECT doc_id, sig, r.band AS band,
+      |    array_to_string(sig[(r.band*7+1):(r.band*7+7)], '_') AS bkey
+      |  FROM sig, range(9) r(band)
+      |)""".stripMargin
+
+  private def phashSigCtes: String =
+    s"""$phashCoefCtes, sigt AS (
       |  -- 63 AC values (drop DC c[1]); lower median = 32nd smallest
       |  SELECT doc_id, c, (list_sort(c[2:64]))[32] AS med FROM c1
       |), sig AS (
       |  SELECT doc_id, list_transform(range(63), i ->
       |    CASE WHEN c[i+2] > med THEN 1 ELSE 0 END) AS sig
       |  FROM sigt
-      |), banded AS (
-      |  SELECT doc_id, sig, r.band AS band,
-      |    array_to_string(sig[(r.band*7+1):(r.band*7+7)], '_') AS bkey
-      |  FROM sig, range(9) r(band)
-      |)""".stripMargin
-  }
+      |)$phashBandedCte""".stripMargin
 
   val ddPhashOracle: String = {
     import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
@@ -2479,6 +2489,53 @@ object TrainingDataQueries {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text"),
       s.table(table))
       .orderBy("delta_id", "corpus_id")
+  }
+
+  /** dd_phash_debiased — image near-dup pairs with CORPUS-median
+    * thresholds (PerceptualHash.phashPairsDebiased): every signature
+    * bit re-balanced to ~50/50 by construction, the fix for the
+    * per-image hash's biased-band regime (measured at sf0.1: the
+    * classic banding passes 45% of all pairs; de-biased keys spread
+    * over the full 2^7 space). Medians are the lower median
+    * (k = (n+1)//2-th smallest, integer) per coefficient position —
+    * the oracle recomputes them from the same integer chain. */
+  val ddPhashDebiased: Q = (s, dir) =>
+    graft.operators.PerceptualHash.phashPairsDebiased(
+      Multimodal.syntheticImagesFromText(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text"),
+      maxBucket = None)
+      .orderBy("doc_a", "doc_b")
+
+  val ddPhashDebiasedOracle: String = {
+    import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
+    s"""$phashCoefCtes, medt AS (
+      |  SELECT p.i AS i, c[p.i+2] AS v FROM c1, range(63) p(i)
+      |), medl AS (
+      |  -- corpus lower median per coefficient position: the
+      |  -- (n+1)//2-th smallest (1-based), matching phashMedians
+      |  SELECT i, (list_sort(list(v)))[CAST((count(*)+1)//2 AS INT)] AS med
+      |  FROM medt GROUP BY i
+      |), med AS (
+      |  SELECT list(med ORDER BY i) AS m FROM medl
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(63), i ->
+      |    CASE WHEN c[i+2] > m[i+1] THEN 1 ELSE 0 END) AS sig
+      |  FROM c1, med
+      |)$phashBandedCte, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = cand.doc_a
+      |  JOIN sig sb ON sb.doc_id = cand.doc_b
+      |)
+      |SELECT doc_a, doc_b, hamming FROM scored
+      |WHERE hamming <= $MaxHam
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val ddPhashIdxBucketedOracle: String = {
@@ -3649,6 +3706,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImg,
     "dd_phash" -> ddPhash,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketed,
+    "dd_phash_debiased" -> ddPhashDebiased,
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
     "sk_heavy_hitters_incremental" -> skHeavyHittersIncremental,
@@ -3738,6 +3796,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImgOracle,
     "dd_phash" -> ddPhashOracle,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketedOracle,
+    "dd_phash_debiased" -> ddPhashDebiasedOracle,
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,
     "sk_heavy_hitters_incremental" -> skHeavyHittersOracle,

@@ -118,6 +118,63 @@ class PerceptualHashSpec extends SparkSpecBase {
     assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
   }
 
+  /** A realistic-ish corpus for the DE-BIASED variant: the planted copy
+    * cluster {1 = PNG, 2 = JPEG re-encode, 3 = half-size copy} plus 16
+    * DISTINCT value-noise images — corpus medians must be dominated by
+    * distinct images, not the copies themselves (a 4-image corpus would
+    * put the copies' own coefficients AT the median boundary, where
+    * re-encode jitter decides bits). */
+  private def debiasRows: Seq[MediaRow] =
+    mediaRows.filter(_.media_id <= 3L) ++ (0 until 16).map { j =>
+      MediaRow(100L + j, "image", "png", W, H, 0L,
+        MediaCodec.encodePng24(W, H, blobs(W, H, seed = 50 + j)))
+    }
+
+  test("debiased: corpus-median bits are ~50/50 balanced by construction") {
+    import spark.implicits._
+    val media = spark.createDataset(debiasRows)
+    val meds = PerceptualHash.phashMedians(media)
+    val sigs = PerceptualHash.phashSignaturesWithMedians(media, meds)
+      .collect().map(_.getLong(1))
+    val n = sigs.length.toDouble
+    (0 until PerceptualHash.PhashBits).foreach { i =>
+      val ones = sigs.count(s => ((s >> i) & 1L) == 1L) / n
+      // exact-median split: ones/n ∈ (0.5 − ties/n, 0.5]; the copies
+      // perturb it slightly — a wide band still catches a biased bit
+      assert(ones >= 0.25 && ones <= 0.75,
+        f"bit $i is ${ones * 100}%.0f%% ones — corpus-median thresholding " +
+          "must re-balance every bit")
+    }
+  }
+
+  test("debiased pairs still find exactly the planted copy cluster") {
+    import spark.implicits._
+    val pairs = PerceptualHash.phashPairsDebiased(spark.createDataset(debiasRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the {1,2,3} copy cluster, got $pairs")
+  }
+
+  test("debiased frozen-median delta scoring equals the self-trained signatures") {
+    import spark.implicits._
+    val corpus = spark.createDataset(debiasRows.filter(_.media_id != 2L))
+    val delta = spark.createDataset(debiasRows.filter(_.media_id == 2L))
+    val meds = PerceptualHash.phashMedians(corpus)
+    // frozen model: the delta's signature must depend only on the
+    // stored medians — score it against the corpus's banded index
+    val idx = Dedup.packedSignatureBandIndex(
+      PerceptualHash.phashSignaturesWithMedians(corpus, meds),
+      "media_id", "sig", PerceptualHash.PhashBits,
+      PerceptualHash.DefaultPhashBands)
+    val inc = Dedup.packedSignaturePairsIncrementalFromIndex(
+      PerceptualHash.phashSignaturesWithMedians(delta, meds), idx,
+      "media_id", "sig", PerceptualHash.PhashBits,
+      PerceptualHash.DefaultPhashBands)
+      .filter(col("score") <= PerceptualHash.DefaultMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
+  }
+
   test("packed signature path equals the array form bit-for-bit") {
     // the packed long IS the array signature: bit i = AC position i —
     // the contract Dedup.packedSignatureBanded's band slices rely on
