@@ -937,16 +937,22 @@ object Dedup {
     * per-pair argmax is a map-side-combinable struct `max`, not a second
     * window.
     *
-    * Residual-cost note (round-10 profile at sf0.1, warmed JVM): the
-    * posting projection alone — tokenize → positional shingles → md5
-    * shingle keys, before ANY join or fold — measures ~0.7 s of
-    * dd_spans' ~1.9 s wall (tokenize without hashing: 0.13 s; raw scan:
-    * 0.17 s), i.e. ~40% of the gate is the cross-engine md5 term, and
-    * the query sits at ~2.0× DuckDB with sublinear 10× scaling. That
-    * term is the deliberate verifiability trade documented at
-    * [[graft.functions.TextFunctions.baseHash]]; production corpora
+    * Residual-cost note (round-12 re-profile at sf0.1, warmed JVM —
+    * tools/SpanProfile): sharedSpans measures 1.97 s, of which the
+    * posting projection ALONE — tokenize → positional shingles →
+    * shingle hash, before ANY join or fold — is 1.28 s (65%); the
+    * match join + island fold + per-pair argmax is the remaining
+    * ~0.7 s. The md5-vs-xxhash delta inside the posting pass is
+    * ~0.22 s (the deliberate cross-engine verifiability trade
+    * documented at [[graft.functions.TextFunctions.baseHash]]); the
+    * bulk is the tokenize/shingle scan itself, which every formulation
+    * of the problem pays. Re-cutting the match shuffle (packing
+    * (diag, pos) into one long) targets only the minor 0.7 s region —
+    * measured, then deliberately NOT taken: the span gates' 2×-DuckDB
+    * residual is scan-bound, not shuffle-bound. Production corpora
     * without a DuckDB gate should pass `fast = true` (xxhash64, ≈10×
-    * cheaper per shingle), which removes most of it. */
+    * cheaper per shingle). Cross-SF scaling stays sublinear (the
+    * committed bench artifact's `scaling` field). */
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
