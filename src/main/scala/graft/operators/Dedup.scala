@@ -593,6 +593,71 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** O(Δ) duplicate-cluster MAINTENANCE — the ingest twin of
+    * [[duplicateClusters]], completing the incremental family for the
+    * clustering stage (pairs have *PairsIncremental; the labels a
+    * curation pipeline persists need merging too, not a full re-run of
+    * label propagation over 100 TB of edges): given the standing
+    * corpus's persisted (doc_id, cluster_id) labels and the NEW pairs a
+    * delta introduced (delta↔corpus and delta↔delta — the incremental
+    * pair operators' output), returns updated labels over
+    * labels ∪ delta docs, row-for-row equal to a from-scratch
+    * [[duplicateClusters]] over the union pair graph.
+    *
+    * Why equality holds: old components are already collapsed to their
+    * min-id label, so the union graph's components are exactly the
+    * label-level components of the NEW edges (each old component one
+    * node, each previously-unseen doc its own node), and the merged
+    * component minimum is the min over those labels — which min-label
+    * propagation over the label graph computes. New pairs between two
+    * members of one old component collapse to a self-loop and drop.
+    *
+    * Scale shape: everything delta-sized happens on the label graph
+    * (≤ 2·|new pairs| nodes — [[duplicateClusters]] over it is the
+    * tiny-graph loop); the corpus-sized `labels` frame is touched by
+    * ONE projection with the (label → merged label) mapping joined as
+    * a broadcast — the standing labels never shuffle. Dormant posture
+    * (a delta with no new pairs) returns the labels unchanged without
+    * any join at all. */
+  def mergeClustersIncremental(labels: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val lab = labels.select(col("doc_id").as("doc"), col("cluster_id"))
+    // current label of every node the delta touches: the standing
+    // labels STREAM past a broadcast of the (delta-sized) node set —
+    // an inner probe, never an outer join that would have to broadcast
+    // or shuffle the corpus side; unseen nodes self-label from the
+    // (tiny × tiny) anti join on the probe result
+    val nodes = newPairs.select(col("doc_a").as("doc"))
+      .union(newPairs.select(col("doc_b").as("doc"))).distinct()
+      .localCheckpoint(false)
+    val matched = lab.join(broadcast(nodes), Seq("doc"))
+      .localCheckpoint(false) // ≤ |nodes| rows
+    val fresh = nodes
+      .join(broadcast(matched.select(col("doc"))), Seq("doc"), "left_anti")
+      .localCheckpoint(false)
+    val nodeLab = matched.select(col("doc"), col("cluster_id").as("lab"))
+      .unionByName(fresh.select(col("doc"), col("doc").as("lab")))
+      .localCheckpoint(false)
+    // label-level edges: tiny, so the iterative propagation is cheap
+    val labelEdges = newPairs
+      .join(broadcast(nodeLab.select(col("doc").as("doc_a"), col("lab").as("la"))), Seq("doc_a"))
+      .join(broadcast(nodeLab.select(col("doc").as("doc_b"), col("lab").as("lb"))), Seq("doc_b"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+      .localCheckpoint(false)
+    val freshLabels =
+      fresh.select(col("doc").as("doc_id"), col("doc").as("cluster_id"))
+    if (labelEdges.isEmpty) return labels.unionByName(freshLabels)
+    val mapping = duplicateClusters(labelEdges, maxIters)
+      .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
+    // ONE broadcast-mapped projection rewrites affected labels; the
+    // standing labels never shuffle
+    labels.unionByName(freshLabels)
+      .join(broadcast(mapping), col("cluster_id") === col("old_lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Band-explode a PRECOMPUTED signature table (`idCol`, `sigCol` an
     * equal-length bit/component array) into the family's (doc, sig,
     * band, bkey) rows — the [[simhashBanded]] projection with the

@@ -118,6 +118,31 @@ object TrainingDataQueries {
        |FROM reach GROUP BY doc
        |ORDER BY doc_id""".stripMargin
 
+  /** dd_clusters_incremental — O(Δ) duplicate-cluster MAINTENANCE
+    * (Dedup.mergeClustersIncremental): the standing corpus's persisted
+    * labels (doc_id%5 ≠ 0) absorb the pairs the delta introduced
+    * (every pair involving a doc_id%5 = 0 doc), with all the merge work
+    * on the tiny label graph and the corpus labels rewritten by one
+    * broadcast-mapped projection. Equality contract: row-for-row equal
+    * to the from-scratch components over the UNION pair graph — so the
+    * oracle IS dd_clusters' oracle (the full-corpus recursive CTE).
+    * The doc-freq guard is dormant at the gated fixtures (the
+    * dd_clusters convention), so corpus-subset pairs ∪ delta-involving
+    * pairs = the full pair set exactly. */
+  val ddClustersIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labels = Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text"))
+    val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(pmod(col("doc_a"), lit(5)) === 0 ||
+        pmod(col("doc_b"), lit(5)) === 0)
+      .select("doc_a", "doc_b")
+    Dedup.mergeClustersIncremental(labels, newPairs).orderBy("doc_id")
+  }
+
+  val ddClustersIncrementalOracle: String = ddClustersOracle
+
   /** dd_keep_best — per-duplicate-cluster representative selection by
     * QUALITY (Dedup.keepBestPerCluster): the curation finalization that
     * keeps each duplicate group's best-written member instead of its
@@ -3716,6 +3741,7 @@ object TrainingDataQueries {
     "dd_embedding_idx_bucketed" -> ddEmbeddingIdxBucketed,
     "dd_exact" -> ddExact,
     "dd_clusters" -> ddClusters,
+    "dd_clusters_incremental" -> ddClustersIncremental,
     "dd_keep_best" -> ddKeepBest,
     "dd_spans" -> ddSpans,
     "dd_spans_incremental" -> ddSpansIncremental,
@@ -3803,6 +3829,7 @@ object TrainingDataQueries {
     "sk_heavy_hitters_idx" -> skHeavyHittersOracle,
     "dd_exact" -> ddExactOracle,
     "dd_clusters" -> ddClustersOracle,
+    "dd_clusters_incremental" -> ddClustersIncrementalOracle,
     "dd_keep_best" -> ddKeepBestOracle,
     "dd_spans" -> ddSpansOracle,
     "dd_spans_incremental" -> ddSpansIncrementalOracle,

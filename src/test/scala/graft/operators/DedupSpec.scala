@@ -192,6 +192,41 @@ class DedupSpec extends SparkSpecBase {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("mergeClustersIncremental equals a from-scratch rebuild over the union pair graph") {
+    import spark.implicits._
+    // standing corpus: components {1,2,3,4} (chain) and {10,11}; delta
+    // pairs (a) BRIDGE the two old components via new doc 20,
+    // (b) attach new doc 21 to the bridge, (c) form a fresh-only
+    // component {30,31}, (d) connect two members of ONE old component
+    // (5 pairs 2: a label self-loop that must collapse harmlessly)
+    val oldPairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 2L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(oldPairs)
+    val newPairs = Seq(
+      (4L, 20L), (20L, 11L), (20L, 21L), (30L, 31L), (5L, 3L))
+      .toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeClustersIncremental(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === rebuilt)
+    // the bridge collapsed both old components + both new docs to min 1
+    assert(merged(11L) === 1L && merged(20L) === 1L && merged(21L) === 1L)
+    assert(merged(30L) === 30L && merged(31L) === 30L)
+  }
+
+  test("mergeClustersIncremental dormant posture: same-component pairs change nothing") {
+    import spark.implicits._
+    val oldPairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(oldPairs)
+    // every new pair re-observes an existing component internally
+    val newPairs = Seq((1L, 3L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeClustersIncremental(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === before)
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
