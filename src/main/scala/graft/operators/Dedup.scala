@@ -621,6 +621,31 @@ object Dedup {
     * any join at all. */
   def mergeClustersIncremental(labels: DataFrame, newPairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
+    val parts = clusterMergeParts(labels, newPairs, maxIters)
+    val freshLabels =
+      parts.fresh.select(col("doc").as("doc_id"), col("doc").as("cluster_id"))
+    if (parts.mapping.isEmpty) return labels.unionByName(freshLabels)
+    // ONE broadcast-mapped projection rewrites affected labels; the
+    // standing labels never shuffle
+    labels.unionByName(freshLabels)
+      .join(broadcast(parts.mapping), col("cluster_id") === col("old_lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** The delta-sized building blocks of the incremental cluster merge,
+    * shared by [[mergeClustersIncremental]] and the keep-best state
+    * maintenance: `mapping (old_lab, new_lab)` — the label-level
+    * component collapse the new pairs induce; `nodeLab (doc, lab)` —
+    * each delta-touched doc's PRE-merge label; `fresh (doc)` —
+    * previously-unseen docs. All three are ≤ 2·|new pairs| rows and
+    * checkpointed; the corpus `labels` frame contributes one streaming
+    * inner probe against a broadcast node set and never shuffles. */
+  private[operators] case class ClusterMergeParts(
+      mapping: DataFrame, nodeLab: DataFrame, fresh: DataFrame)
+
+  private[operators] def clusterMergeParts(labels: DataFrame,
+      newPairs: DataFrame, maxIters: Int = 25): ClusterMergeParts = {
     val lab = labels.select(col("doc_id").as("doc"), col("cluster_id"))
     // current label of every node the delta touches: the standing
     // labels STREAM past a broadcast of the (delta-sized) node set —
@@ -645,17 +670,13 @@ object Dedup {
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b")).distinct()
       .localCheckpoint(false)
-    val freshLabels =
-      fresh.select(col("doc").as("doc_id"), col("doc").as("cluster_id"))
-    if (labelEdges.isEmpty) return labels.unionByName(freshLabels)
-    val mapping = duplicateClusters(labelEdges, maxIters)
-      .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
-    // ONE broadcast-mapped projection rewrites affected labels; the
-    // standing labels never shuffle
-    labels.unionByName(freshLabels)
-      .join(broadcast(mapping), col("cluster_id") === col("old_lab"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
+    val mapping =
+      if (labelEdges.isEmpty)
+        labelEdges.select(col("doc_a").as("old_lab"), col("doc_b").as("new_lab"))
+      else duplicateClusters(labelEdges, maxIters)
+        .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
+        .localCheckpoint(false)
+    ClusterMergeParts(mapping, nodeLab, fresh)
   }
 
   /** Band-explode a PRECOMPUTED signature table (`idCol`, `sigCol` an
@@ -954,6 +975,18 @@ object Dedup {
     * task, not an O(cluster) sort partition. */
   def keepBestPerCluster(
       docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame =
+    keepBestState(docs, idCol, textCol, pairs)
+      .select(col("doc_id"), col("cluster_size"), col("quality_score"))
+
+  /** [[keepBestPerCluster]] WITH the cluster key — the PERSISTABLE form
+    * of the survivor set: (cluster_id, doc_id = best member,
+    * quality_score, cluster_size), one row per cluster including
+    * singletons (cluster_id = own id). This is the state
+    * [[keepBestStateIncremental]] maintains under ingest; the plain
+    * keep-best view is its cluster_id-free projection. */
+  def keepBestState(
+      docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)
       .select(col("doc_id").as("cdoc"), col("cluster_id"))
@@ -971,9 +1004,65 @@ object Dedup {
         max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
           .as("best"))
       .select(
+        col("cid").as("cluster_id"),
         (-col("best.nid")).as("doc_id"),
-        col("cluster_size"),
-        col("best.q").as("quality_score"))
+        col("best.q").as("quality_score"),
+        col("cluster_size"))
+  }
+
+  /** O(Δ) keep-best MAINTENANCE — the survivor set a curation pipeline
+    * actually persists, updated under ingest without re-scoring the
+    * corpus: given the standing [[keepBestState]], the standing pair
+    * labels ([[duplicateClusters]] over the old pair graph), a NEW
+    * document batch, and the new pairs it introduced, returns the
+    * updated state — row-for-row equal to a from-scratch
+    * [[keepBestState]] over corpus ∪ delta.
+    *
+    * Why equality holds: a merged component's best is the (quality,
+    * −id)-max over its members, and the old per-cluster bests DOMINATE
+    * their members — so max(old component bests, delta member scores)
+    * is the merged best; sizes add (old per-cluster counts + delta
+    * members). Quality is a per-document closed form (no corpus
+    * statistics), so delta scores computed alone equal full-run scores.
+    *
+    * Scale shape: only the delta is scored; the merge mapping and node
+    * labels are the delta-sized [[clusterMergeParts]]; the standing
+    * state streams twice (a broadcast semi/anti split into affected vs
+    * untouched rows) and only the AFFECTED rows — bounded by the
+    * delta's reach — enter the re-aggregation. The corpus text is
+    * never read. */
+  def keepBestStateIncremental(
+      state: DataFrame, labels: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String,
+      newPairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val parts = clusterMergeParts(labels, newPairs, maxIters)
+    // each delta-touched node's POST-merge cluster
+    val nodeNew = parts.nodeLab
+      .join(broadcast(parts.mapping), col("lab") === col("old_lab"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("new_lab"), col("lab")).as("cid"))
+      .localCheckpoint(false)
+    val deltaRows = TextAnalysis.qualityScore(delta, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("quality_score"))
+      .join(broadcast(nodeNew), Seq("doc_id"), "left")
+      .select(coalesce(col("cid"), col("doc_id")).as("cid"),
+        col("doc_id"), col("quality_score"), lit(1L).as("cluster_size"))
+    val affectedKeys = parts.mapping.select(col("old_lab")).distinct()
+    val untouched = state
+      .join(broadcast(affectedKeys), col("cluster_id") === col("old_lab"), "left_anti")
+    val affected = state
+      .join(broadcast(parts.mapping), col("cluster_id") === col("old_lab"))
+      .select(col("new_lab").as("cid"), col("doc_id"),
+        col("quality_score"), col("cluster_size"))
+    val merged = affected.unionByName(deltaRows)
+      .groupBy("cid")
+      .agg(
+        sum("cluster_size").as("cluster_size"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select(col("cid").as("cluster_id"), (-col("best.nid")).as("doc_id"),
+        col("best.q").as("quality_score"), col("cluster_size"))
+    untouched.unionByName(merged)
   }
 
   /** Shared-SPAN detection — the "duplicated substring" dedup family

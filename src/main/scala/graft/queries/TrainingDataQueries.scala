@@ -187,6 +187,33 @@ object TrainingDataQueries {
        |FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** dd_keep_best_incremental — O(Δ) SURVIVOR-SET maintenance
+    * (Dedup.keepBestStateIncremental): the persisted per-cluster
+    * keep-best state (best member by quality, cluster size) absorbs a
+    * delta batch — only the delta is scored, the merge runs on the
+    * delta-sized label graph, affected state rows re-aggregate, the
+    * corpus text is never read. Equality contract with the
+    * from-scratch rebuild, so the oracle IS dd_keep_best's (the
+    * full-corpus recursive CTE + per-cluster argmax). */
+  val ddKeepBestIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val corpusPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text")
+    val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(pmod(col("doc_a"), lit(5)) === 0 ||
+        pmod(col("doc_b"), lit(5)) === 0)
+      .select("doc_a", "doc_b")
+    Dedup.keepBestStateIncremental(
+      Dedup.keepBestState(corpus, "doc_id", "text", corpusPairs),
+      Dedup.duplicateClusters(corpusPairs),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+      newPairs)
+      .select(col("doc_id"), col("cluster_size"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val ddKeepBestIncrementalOracle: String = ddKeepBestOracle
+
   /** dd_spans — shared-SPAN detection (Dedup.sharedSpans): maximal
     * contiguous duplicated token runs across document pairs via a
     * positional shingle inverted index + gaps-and-islands on the match
@@ -3743,6 +3770,7 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClusters,
     "dd_clusters_incremental" -> ddClustersIncremental,
     "dd_keep_best" -> ddKeepBest,
+    "dd_keep_best_incremental" -> ddKeepBestIncremental,
     "dd_spans" -> ddSpans,
     "dd_spans_incremental" -> ddSpansIncremental,
     "dd_spans_idx_bucketed" -> ddSpansIdxBucketed,
@@ -3831,6 +3859,7 @@ object TrainingDataQueries {
     "dd_clusters" -> ddClustersOracle,
     "dd_clusters_incremental" -> ddClustersIncrementalOracle,
     "dd_keep_best" -> ddKeepBestOracle,
+    "dd_keep_best_incremental" -> ddKeepBestIncrementalOracle,
     "dd_spans" -> ddSpansOracle,
     "dd_spans_incremental" -> ddSpansIncrementalOracle,
     "dd_spans_idx_bucketed" -> ddSpansIncrementalOracle,

@@ -227,6 +227,56 @@ class DedupSpec extends SparkSpecBase {
     assert(merged === before)
   }
 
+  test("keepBestStateIncremental equals the from-scratch rebuild; corpus text never re-read") {
+    import spark.implicits._
+    // corpus: cluster {1,2} (2 higher quality via stopword bonus),
+    // singletons 3 and 10; delta: doc 20 bridges 3 and 10, doc 21
+    // pairs with nobody, doc 22 joins {1,2} with the highest quality
+    def doc(tag: String, good: Boolean, n: Int): String = {
+      val words = (if (good) Seq("the", "a") else Seq.empty) ++
+        (0 until n).map(i => s"${tag}_$i")
+      words.mkString(" ")
+    }
+    val corpusRows = Seq(
+      (1L, doc("c1", good = false, 30)),
+      (2L, doc("c2", good = true, 30)),
+      (3L, doc("c3", good = false, 30)),
+      (10L, doc("c10", good = true, 30)))
+    val deltaRows = Seq(
+      (20L, doc("d20", good = true, 30)),
+      (21L, doc("d21", good = false, 30)),
+      (22L, doc("d22", good = true, 40)))
+    val corpusDir = java.nio.file.Files.createTempDirectory("kb-corpus").toString
+    corpusRows.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val oldPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val state = Dedup.keepBestState(corpus, "doc_id", "text", oldPairs)
+      .localCheckpoint() // materialize BEFORE the corpus files vanish
+    val labels = Dedup.duplicateClusters(oldPairs).localCheckpoint()
+    // the LshIndexSpec convention: delete the corpus files — if the
+    // incremental path re-read any corpus text it would throw
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(corpusDir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    val newPairs = Seq((3L, 20L), (20L, 10L), (22L, 1L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBestStateIncremental(
+      state, labels, deltaRows.toDF("doc_id", "text"), "doc_id", "text", newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val rebuilt = Dedup.keepBestState(
+      (corpusRows ++ deltaRows).toDF("doc_id", "text"), "doc_id", "text",
+      oldPairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === rebuilt)
+    val byCluster = got.map(r => r._1 -> r).toMap
+    // {1,2,22}: 22 wins on quality; {3,10,20}: collapses to min label 3
+    // with the best of the three; 21 is a singleton
+    assert(byCluster(1L)._2 === 22L && byCluster(1L)._4 === 3L)
+    assert(byCluster(3L)._4 === 3L)
+    assert(byCluster(21L) === ((21L, 21L, byCluster(21L)._3, 1L)))
+  }
+
   test("maxDocFreq skew guard only prunes, never invents pairs") {
     val unpruned = truthPairs()
     val pruned = Dedup.ngramJaccardPairs(
