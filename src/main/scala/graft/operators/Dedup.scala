@@ -987,12 +987,23 @@ object Dedup {
     * keep-best view is its cluster_id-free projection. */
   def keepBestState(
       docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    keepBestStateScored(
+      TextAnalysis.qualityScore(docs, idCol, textCol)
+        .select(col(idCol).cast("long").as("doc_id"), col("quality_score")),
+      pairs)
+
+  /** [[keepBestState]] with a CALLER-SUPPLIED quality frame
+    * (`doc_id`, `quality_score`) — the modality-agnostic core: text
+    * passes the heuristic quality projection, image curation passes
+    * decoded pixel counts ([[PerceptualHash]]'s keep-largest), any
+    * other signal (model score, recency) rides the same per-cluster
+    * argmax. One row per cluster incl. singletons. */
+  def keepBestStateScored(scored: DataFrame, pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)
       .select(col("doc_id").as("cdoc"), col("cluster_id"))
-    val scored = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col(idCol).cast("long").as("doc_id"), col("quality_score"))
     scored
+      .select(col("doc_id").cast("long").as("doc_id"), col("quality_score"))
       .join(clusters, col("doc_id") === col("cdoc"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cid"),

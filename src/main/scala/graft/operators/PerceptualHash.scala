@@ -320,6 +320,37 @@ object PerceptualHash {
     }).toDF("media_id", "sig")
   }
 
+  /** End-to-end IMAGE curation — the tp_curate of the image modality:
+    * decode-filter (corrupt payloads drop), pHash near-dup pairs,
+    * connected components, and per-cluster KEEP-LARGEST — the image
+    * world's "keep the best copy" (a re-encoded or downscaled copy of
+    * a picture should lose to the original; pixel count is the
+    * resolution signal the way the heuristic quality score is the text
+    * signal). Rides [[Dedup.keepBestStateScored]] — the
+    * modality-agnostic survivor machinery — with quality = decoded
+    * width × height. Output: one row per cluster (cluster_id,
+    * media_id = kept copy, pixels, cluster_size); singletons keep
+    * themselves. Ties (same pixel count — e.g. a byte-identical
+    * re-encode) go to the smaller id, the family's determinism rule. */
+  def curateImages(media: Dataset[Multimodal.MediaRow],
+      bands: Int = DefaultPhashBands,
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame = {
+    import media.sparkSession.implicits._
+    // decoded pixel counts: the same one-decode-pass shape as the
+    // signatures (a production run would fuse the two decodes; the
+    // composition keeps each operator independently oracle-checkable)
+    val scored = media.mapPartitions(_.flatMap { m =>
+      MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
+        .map(img => (m.media_id, img.width.toLong * img.height))
+    }).toDF("doc_id", "quality_score")
+    Dedup.keepBestStateScored(
+      scored,
+      phashPairs(media, bands, maxHamming, maxBucket).select("doc_a", "doc_b"))
+      .select(col("cluster_id"), col("doc_id").as("media_id"),
+        col("quality_score").cast("long").as("pixels"), col("cluster_size"))
+  }
+
   /** De-biased image near-duplicate pairs: [[phashPairs]]'s banded walk
     * over corpus-median signatures (self-trained — the model is the
     * corpus's own medians; production ingest freezes [[phashMedians]]

@@ -2590,6 +2590,67 @@ object TrainingDataQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** mm_curate — end-to-end IMAGE curation
+    * (PerceptualHash.curateImages): decode-filter → pHash near-dup
+    * pairs → connected components → per-cluster KEEP-LARGEST (decoded
+    * pixel count, ties to the smaller id) — tp_curate's shape on the
+    * image modality, riding the modality-agnostic
+    * Dedup.keepBestStateScored. The oracle composes the pHash pair CTEs
+    * with the dd_clusters recursive-component CTE and the
+    * dd_keep_best argmax, with quality = the synthetic PNG's decoded
+    * pixel count (width 4 × height len//12). */
+  val mmCurate: Q = (s, dir) =>
+    graft.operators.PerceptualHash.curateImages(
+      Multimodal.syntheticImagesFromText(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text"),
+      maxBucket = None)
+      .select(col("media_id"), col("cluster_size"), col("pixels"))
+      .orderBy("media_id")
+
+  val mmCurateOracle: String = {
+    import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
+    val sigCtes = phashSigCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$sigCtes, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |), prs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |    FROM cand
+      |    JOIN sig sa ON sa.doc_id = cand.doc_a
+      |    JOIN sig sb ON sb.doc_id = cand.doc_b)
+      |  WHERE hamming <= $MaxHam
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM prs
+      |), reach(doc, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst
+      |), clusters AS (
+      |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc
+      |), px AS (
+      |  SELECT doc_id,
+      |    CAST(4 * greatest(1, length(text) // 12) AS BIGINT) AS pixels
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), withc AS (
+      |  SELECT p.doc_id, COALESCE(c.cluster_id, p.doc_id) AS cid, p.pixels
+      |  FROM px p LEFT JOIN clusters c ON p.doc_id = c.doc_id
+      |), ranked AS (
+      |  SELECT doc_id, cid, pixels,
+      |    row_number() OVER (PARTITION BY cid
+      |                       ORDER BY pixels DESC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY cid) AS cluster_size
+      |  FROM withc)
+      |SELECT doc_id AS media_id, cluster_size, pixels
+      |FROM ranked WHERE rn = 1
+      |ORDER BY media_id""".stripMargin
+  }
+
   val ddPhashIdxBucketedOracle: String = {
     import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
     s"""$phashSigCtes, cand AS (
@@ -3756,6 +3817,7 @@ object TrainingDataQueries {
     "op_sessionize" -> opSessionize,
     "mm_features" -> mmFeatures,
     "mm_features_img" -> mmFeaturesImg,
+    "mm_curate" -> mmCurate,
     "dd_phash" -> ddPhash,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketed,
     "dd_phash_debiased" -> ddPhashDebiased,
@@ -3848,6 +3910,7 @@ object TrainingDataQueries {
     "op_sessionize" -> opSessionizeOracle,
     "mm_features" -> mmFeaturesOracle,
     "mm_features_img" -> mmFeaturesImgOracle,
+    "mm_curate" -> mmCurateOracle,
     "dd_phash" -> ddPhashOracle,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketedOracle,
     "dd_phash_debiased" -> ddPhashDebiasedOracle,

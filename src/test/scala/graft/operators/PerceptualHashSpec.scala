@@ -175,6 +175,20 @@ class PerceptualHashSpec extends SparkSpecBase {
     assert(inc == Set((2L, 1L), (2L, 3L)), s"got $inc")
   }
 
+  test("curateImages keeps the LARGEST copy per cluster; corrupt rows drop") {
+    import spark.implicits._
+    // copy cluster {1 = 64×64 PNG, 2 = 64×64 JPEG, 3 = 32×32 downscale}:
+    // the half-size copy must lose on pixels; 1 vs 2 tie at 4096 →
+    // smaller id wins; distinct image 4 keeps itself; corrupt 5 drops
+    val kept = PerceptualHash.curateImages(spark.createDataset(mediaRows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(kept.toSeq === Seq(
+      (1L, 1L, 4096L, 3L),
+      (4L, 4L, 4096L, 1L)), s"got ${kept.toSeq}")
+  }
+
   test("packed signature path equals the array form bit-for-bit") {
     // the packed long IS the array signature: bit i = AC position i —
     // the contract Dedup.packedSignatureBanded's band slices rely on
