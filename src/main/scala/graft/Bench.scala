@@ -41,7 +41,7 @@ object Bench {
     "ta_quality_clf", "dd_minhash_idx_bucketed",
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "tp_trim_spans",
-    "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_phash",
+    "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_spans_xx", "dd_phash",
     "dd_phash_idx_bucketed", "dd_phash_debiased",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
@@ -90,6 +90,14 @@ object Bench {
     Map(
       "dd_minhash_xx" -> ((s, dir) =>
         graft.operators.Dedup.minhashPairs(
+          graft.sources.Tables.documents(s, dir), "doc_id", "text", fast = true)
+          .orderBy("doc_a", "doc_b")),
+      // the span family's production mode (xxhash64 shingle keys — no
+      // DuckDB twin exists, spec-anchored): benched to track how much
+      // of dd_spans' >2x-DuckDB residual is the md5 verifiability term
+      // (tools/SpanProfile decomposes the rest)
+      "dd_spans_xx" -> ((s, dir) =>
+        graft.operators.Dedup.sharedSpans(
           graft.sources.Tables.documents(s, dir), "doc_id", "text", fast = true)
           .orderBy("doc_a", "doc_b")),
       "mh_sig_md5" -> sigOnly(fast = false),

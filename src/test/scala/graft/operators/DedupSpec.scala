@@ -192,6 +192,18 @@ class DedupSpec extends SparkSpecBase {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("sharedSpans fast mode (xxhash64 keys) equals the md5 gate path row-for-row") {
+    // shingle keys only mediate EQUALITY — any collision-free hash
+    // yields the same match set, so the production fast mode must
+    // reproduce the gated md5 results exactly at fixture scale
+    val docs = Tables.documents(spark, sfDir)
+    val md5 = Dedup.sharedSpans(docs, "doc_id", "text")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val fast = Dedup.sharedSpans(docs, "doc_id", "text", fast = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(md5.nonEmpty && fast === md5)
+  }
+
   test("mergeClustersIncremental equals a from-scratch rebuild over the union pair graph") {
     import spark.implicits._
     // standing corpus: components {1,2,3,4} (chain) and {10,11}; delta
