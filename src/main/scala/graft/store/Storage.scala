@@ -32,6 +32,11 @@ object Storage {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The path's own FileSystem — the scheme-agnostic handle the
+    * store-layer siblings (Snapshot) build on. */
+  private[store] def fileSystem(spark: SparkSession, path: String): FileSystem =
+    fs(spark, path)
+
   /** Recursive listing by prefix — ref minio_client.py:106-112. */
   def listObjects(spark: SparkSession, prefix: String): Seq[String] = {
     val f = fs(spark, prefix)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types._
 
 import graft.operators.Dedup
+import graft.store.Snapshot
 
 /** The LIVE survivor pipeline — the full dedup state machine a
   * continuously-ingesting training corpus runs, composed per
@@ -31,32 +32,46 @@ import graft.operators.Dedup
   * state equal the from-scratch batch run over everything ingested
   * (the spec's replay anchor).
   *
+  * CRASH SAFETY — the fold touches three stores, ordered so any
+  * failure point re-runs cleanly:
+  *   - the index append goes FIRST: a replayed append duplicates band
+  *     rows, which the incremental join's per-pair max collapses —
+  *     duplicate rows cost bytes, never wrong pairs;
+  *   - labels + state then publish in ONE [[graft.store.Snapshot]]
+  *     commit (fresh version directories + a single pointer PUT), so a
+  *     reader — including the NEXT fold and its redelivery guard —
+  *     sees either the previous consistent pair or the new one, never
+  *     torn state. A crash before the pointer write orphans the
+  *     version directories (Snapshot.vacuum reclaims) and the batch
+  *     simply re-folds against the old snapshot.
+  * With `dropReingested` on (default), rows whose ids are already in
+  * the committed snapshot are filtered before the fold — idempotence
+  * under at-least-once delivery; an exactly-once source can turn it
+  * off and skip that probe.
+  *
   * foreachBatch deliberately (the StreamingAnn / cluster-maintenance
   * convention): each fold is a read-modify-write over persisted state,
   * and the micro-batch body IS the batch operators, so the postures
-  * cannot drift. Redelivery: with `dropReingested` on (default), rows
-  * whose ids are already in the maintained state are filtered before
-  * the fold — an anti-join against the (labels ∪ state) id set, the
-  * price of idempotence under at-least-once delivery; an exactly-once
-  * source (checkpointed file source) can turn it off and skip that
-  * corpus probe. */
+  * cannot drift. */
 object StreamingSurvivorPipeline {
 
+  /** All maintained state lives under ONE snapshot base (the atomic
+    * commit spans labels + state) plus the bucketed index table. */
   case class StatePaths(
-      labelsPath: String, statePath: String,
+      snapshotBase: String,
       indexTable: String, indexPath: String, nBuckets: Int = 4)
 
+  val labelsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("cluster_id", LongType)))
   val stateSchema: StructType = StructType(Seq(
     StructField("cluster_id", LongType), StructField("doc_id", LongType),
     StructField("quality_score", DoubleType), StructField("cluster_size", LongType)))
 
-  def readState(spark: SparkSession, statePath: String): DataFrame = {
-    val hasData = graft.store.Storage.listObjects(spark, statePath)
-      .exists(_.endsWith(".parquet"))
-    if (hasData) spark.read.schema(stateSchema).parquet(statePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-  }
+  def readLabels(spark: SparkSession, p: StatePaths): DataFrame =
+    Snapshot.read(spark, p.snapshotBase, "labels", labelsSchema)
+
+  def readState(spark: SparkSession, p: StatePaths): DataFrame =
+    Snapshot.read(spark, p.snapshotBase, "state", stateSchema)
 
   /** One fold of a document batch into the maintained survivor state.
     * Exposed for direct batch use; the streaming writer reuses it
@@ -64,8 +79,8 @@ object StreamingSurvivorPipeline {
   def foldBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, p: StatePaths,
       dropReingested: Boolean = true): Unit = {
-    val labels = StreamingClusterMaintenance.readLabels(spark, p.labelsPath)
-    val state = readState(spark, p.statePath)
+    val labels = readLabels(spark, p)
+    val state = readState(spark, p)
     val raw = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
     val b0 =
       if (!dropReingested) raw
@@ -86,20 +101,21 @@ object StreamingSurvivorPipeline {
         .select(col("delta_id").as("doc_a"), col("corpus_id").as("doc_b"))
     val newPairs = within.unionByName(cross).localCheckpoint(false)
 
-    // fold state FIRST (it reads the OLD labels), then the labels;
-    // eager-materialize before each overwrite (the appendToIndex rule)
+    // fold against the OLD snapshot (both readers above), then publish
+    // index-first / snapshot-last per the crash-safety contract
     val state2 = Dedup.keepBestStateIncremental(
       state, labels, b, idCol, textCol, newPairs).localCheckpoint()
     val labels2 = Dedup.mergeClustersIncremental(labels, newPairs)
       .localCheckpoint()
-    state2.write.mode("overwrite").parquet(p.statePath)
-    labels2.write.mode("overwrite").parquet(p.labelsPath)
     if (hasIndex)
       Dedup.appendToMinhashBandIndexBucketed(b, idCol, textCol,
         p.indexTable, p.nBuckets)
     else
       Dedup.writeMinhashBandIndexBucketed(b, idCol, textCol,
         p.indexTable, p.nBuckets, path = Some(p.indexPath))
+    Snapshot.commit(spark, p.snapshotBase,
+      Map("labels" -> labels2, "state" -> state2))
+    Snapshot.vacuum(spark, p.snapshotBase)
   }
 
   /** The streaming writer: each micro-batch of documents folds into

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.SparkSpecBase
@@ -30,16 +29,24 @@ class StreamingSurvivorPipelineSpec extends SparkSpecBase {
 
   private def freshPaths(tag: String): StreamingSurvivorPipeline.StatePaths =
     StreamingSurvivorPipeline.StatePaths(
-      labelsPath = Files.createTempDirectory(s"ssp-$tag-lab").toString,
-      statePath = Files.createTempDirectory(s"ssp-$tag-st").toString,
+      snapshotBase = Files.createTempDirectory(s"ssp-$tag-snap").toString,
       indexTable = s"ssp_${tag}_idx",
       indexPath = Files.createTempDirectory(s"ssp-$tag-idx").toString)
 
   private def stateMap(p: StreamingSurvivorPipeline.StatePaths) =
-    StreamingSurvivorPipeline.readState(spark, p.statePath)
+    StreamingSurvivorPipeline.readState(spark, p)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
       .toMap
+
+  private def wantMap() = {
+    val all = corpus.toDF("doc_id", "text")
+    Dedup.keepBestState(all, "doc_id", "text",
+      Dedup.minhashPairs(all, "doc_id", "text").select("doc_a", "doc_b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+  }
 
   test("chained batch folds equal the from-scratch survivor state; redelivery drops") {
     val p = freshPaths("b")
@@ -50,16 +57,12 @@ class StreamingSurvivorPipelineSpec extends SparkSpecBase {
         spark, rows.toDF("doc_id", "text"), "doc_id", "text", p)
     }
     val got = stateMap(p)
-    val all = corpus.toDF("doc_id", "text")
-    val want = Dedup.keepBestState(all, "doc_id", "text",
-      Dedup.minhashPairs(all, "doc_id", "text").select("doc_a", "doc_b"))
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
-      .toMap
+    val want = wantMap()
     assert(got === want)
     assert(want.exists(_._2._3 > 1), "fixture must form multi-member clusters")
     // redeliver the LAST batch verbatim: the id guard must drop every
-    // row and leave the state bit-identical
+    // row and leave the state bit-identical (the snapshot version may
+    // not even advance — the fold returns before any write)
     StreamingSurvivorPipeline.foldBatch(
       spark, batches.last.toDF("doc_id", "text"), "doc_id", "text", p)
     assert(stateMap(p) === got)
@@ -80,14 +83,29 @@ class StreamingSurvivorPipelineSpec extends SparkSpecBase {
       .start()
     q.processAllAvailable()
     q.stop()
-    val got = stateMap(p)
-    val all = corpus.toDF("doc_id", "text")
-    val want = Dedup.keepBestState(all, "doc_id", "text",
-      Dedup.minhashPairs(all, "doc_id", "text").select("doc_a", "doc_b"))
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
-      .toMap
-    assert(got === want)
+    assert(stateMap(p) === wantMap())
+    spark.sql(s"DROP TABLE IF EXISTS ${p.indexTable}")
+  }
+
+  test("a torn fold (index appended, snapshot not committed) re-runs cleanly") {
+    // simulate the crash point the design orders for: batch B's band
+    // rows reached the index but the snapshot pointer never moved —
+    // the refold must (a) not drop B at the guard (B is absent from
+    // the committed snapshot), (b) land on the exact full-corpus
+    // state, with the duplicate index rows collapsed by the pair join
+    val p = freshPaths("t")
+    spark.sql(s"DROP TABLE IF EXISTS ${p.indexTable}")
+    val batches = corpus.grouped(12).toSeq // 2 batches
+    StreamingSurvivorPipeline.foldBatch(
+      spark, batches.head.toDF("doc_id", "text"), "doc_id", "text", p)
+    // the torn half-fold: ONLY the index append of batch 2 happens
+    Dedup.appendToMinhashBandIndexBucketed(
+      batches(1).toDF("doc_id", "text"), "doc_id", "text",
+      p.indexTable, p.nBuckets)
+    // redelivery of batch 2 = the recovery refold
+    StreamingSurvivorPipeline.foldBatch(
+      spark, batches(1).toDF("doc_id", "text"), "doc_id", "text", p)
+    assert(stateMap(p) === wantMap())
     spark.sql(s"DROP TABLE IF EXISTS ${p.indexTable}")
   }
 }
