@@ -175,29 +175,54 @@ object HeavyHitters {
   // the index alone, ingest deltas without re-counting the corpus.
   // ------------------------------------------------------------------
 
-  /** Index layout: `candidates/` parquet (gram, cnt) — EXACT corpus
-    * counts for the full Misra–Gries candidate superset (every gram
-    * with corpus count > N/capacity is present; phase 2 counted them
-    * exactly, the threshold is NOT applied at build time) — plus a
-    * `_hh_meta.txt` sidecar (gramN, capacity, total). The sidecar is
-    * load-bearing, not documentation: a reader supplying its own
-    * n/capacity/φ could silently search under a weaker guarantee than
-    * the index was built with (the `_lsh_meta.txt` lesson), so every
-    * consumer derives them from the index and VALIDATES φ against the
-    * built capacity. */
+  /** Index layout: a [[graft.store.Snapshot]]-versioned pair —
+    * `v<N>/candidates/` parquet (gram, cnt): EXACT corpus counts for
+    * the full Misra–Gries candidate superset (every gram with corpus
+    * count > N/capacity is present; phase 2 counted them exactly, the
+    * threshold is NOT applied at build time) — plus a `v<N>/_hh_meta
+    * .txt` sidecar (gramN, capacity, total) IN THE SAME VERSION. The
+    * sidecar is load-bearing, not documentation: a reader supplying
+    * its own n/capacity/φ could silently search under a weaker
+    * guarantee than the index was built with (the `_lsh_meta.txt`
+    * lesson), so every consumer derives them from the index and
+    * VALIDATES φ against the built capacity. Versioning through the
+    * snapshot pointer makes counts+total change TOGETHER: the
+    * round-12 flat layout wrote candidates then meta as two separate
+    * steps, so a crash between them served merged counts against a
+    * stale total (wrong thresholds) and a retried append
+    * double-counted the delta — under the pointer, a reader resolves
+    * one version of BOTH or (mid-crash) the previous version of both,
+    * and a retried [[appendToIndex]] re-runs against the still-current
+    * old snapshot, which makes retry idempotent instead of forbidden. */
   private val MetaFile = "_hh_meta.txt"
 
   private[operators] case class HhMeta(gramN: Int, capacity: Int, total: Long)
 
-  private def writeMeta(spark: SparkSession, path: String, m: HhMeta): Unit =
-    graft.store.Storage.writeTextFile(spark, s"$path/$MetaFile",
-      s"gramN ${m.gramN}\ncapacity ${m.capacity}\ntotal ${m.total}\n")
+  private def metaText(m: HhMeta): String =
+    s"gramN ${m.gramN}\ncapacity ${m.capacity}\ntotal ${m.total}\n"
 
   private[operators] def readMeta(spark: SparkSession, path: String): HhMeta = {
-    val kv = graft.store.Storage.readTextFile(spark, s"$path/$MetaFile")
-      .linesIterator.filter(_.nonEmpty)
+    val text = graft.store.Snapshot.readSidecar(spark, path, MetaFile)
+      .getOrElse(sys.error(s"no heavy-hitters index committed at $path"))
+    val kv = text.linesIterator.filter(_.nonEmpty)
       .map { l => val Array(k, v) = l.split(" ", 2); k -> v }.toMap
     HhMeta(kv("gramN").toInt, kv("capacity").toInt, kv("total").toLong)
+  }
+
+  /** The CURRENT snapshot's candidate counts. */
+  private def readCandidates(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(
+      graft.store.Snapshot.currentPath(spark, path, "candidates")
+        .getOrElse(sys.error(s"no heavy-hitters index committed at $path")))
+
+  /** Publish counts+meta as ONE snapshot commit (atomic pointer
+    * rename), then vacuum to the current + previous version — the
+    * previous stays as the in-flight readers' grace window. */
+  private def commitIndex(spark: SparkSession, path: String,
+      counts: DataFrame, m: HhMeta): Unit = {
+    graft.store.Snapshot.commit(spark, path,
+      Map("candidates" -> counts), Map(MetaFile -> metaText(m)))
+    graft.store.Snapshot.vacuum(spark, path, keep = 2)
   }
 
   /** Build the persisted candidate index over `df`. Same two scans as
@@ -212,12 +237,11 @@ object HeavyHitters {
     val summaries = mgSummaries(grams, capacity).localCheckpoint(false)
     val total = summaries.agg(sum(col("total"))).head.getLong(0)
     val candidates = summaries.select(explode(col("grams")).as("gram")).distinct()
-    grams.toDF()
+    val counts = grams.toDF()
       .join(broadcast(candidates), "gram")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$indexPath/candidates")
-    writeMeta(spark, indexPath, HhMeta(n, capacity, total))
-    spark.read.parquet(s"$indexPath/candidates")
+    commitIndex(spark, indexPath, counts, HhMeta(n, capacity, total))
+    readCandidates(spark, indexPath)
   }
 
   /** Serve exact heavy hitters at `phi` from the index ALONE — no
@@ -230,7 +254,7 @@ object HeavyHitters {
     require(phi > 0 && phi < 1 && m.capacity > 1.0 / phi,
       s"index built with capacity ${m.capacity} cannot serve phi=$phi " +
         s"exactly (needs capacity > ${1 / phi})")
-    spark.read.parquet(s"$indexPath/candidates")
+    readCandidates(spark, indexPath)
       .filter(col("cnt") >= math.ceil(phi * m.total).toLong)
       .orderBy(col("cnt").desc, col("gram"))
   }
@@ -271,13 +295,19 @@ object HeavyHitters {
     * exactly those grams — one bounded corpus job, skipped entirely
     * when the delta introduces no new candidates (the dominant ingest
     * posture; `corpus` is never otherwise touched). The sidecar total
-    * advances to N + M. Returns the reloaded merged index. */
+    * advances to N + M. Returns the reloaded merged index.
+    *
+    * Publish is ONE snapshot commit (counts+total in the same
+    * version, atomic pointer rename — see the index-layout scaladoc),
+    * so a crash anywhere leaves the pre-append index fully servable
+    * and a RETRY after partial failure is idempotent: it re-reads the
+    * still-current old snapshot and re-merges the same delta once. */
   def appendToIndex(
       corpus: DataFrame, delta: DataFrame, textCol: String,
       indexPath: String): DataFrame = {
     val spark = delta.sparkSession
     val m = readMeta(spark, indexPath)
-    val idx = spark.read.parquet(s"$indexPath/candidates")
+    val idx = readCandidates(spark, indexPath)
 
     val dGrams = gramStream(delta, textCol, m.gramN)
     val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)
@@ -320,12 +350,12 @@ object HeavyHitters {
     val merged = corpusCounts.join(dCounts, Seq("gram"), "left")
       .select(col("gram"),
         (col("cnt") + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
-      // EAGER checkpoint: the merged rows must fully materialize off
-      // the old parquet files before mode("overwrite") deletes them
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(s"$indexPath/candidates")
-    writeMeta(spark, indexPath, HhMeta(m.gramN, m.capacity, m.total + dTotal))
-    spark.read.parquet(s"$indexPath/candidates")
+    // no eager checkpoint needed: the snapshot commit writes v<N+1>
+    // WHILE v<N>'s parquet files stay live (versioned dirs never
+    // overwrite their own inputs), and vacuum keeps v<N> as the
+    // in-flight readers' grace window
+    commitIndex(spark, indexPath, merged, HhMeta(m.gramN, m.capacity, m.total + dTotal))
+    readCandidates(spark, indexPath)
   }
 
   def heavyHittersIncremental(
@@ -336,7 +366,7 @@ object HeavyHitters {
     require(phi > 0 && phi < 1 && m.capacity > 1.0 / phi,
       s"index built with capacity ${m.capacity} cannot serve phi=$phi " +
         s"exactly (needs capacity > ${1 / phi})")
-    val idx = spark.read.parquet(s"$indexPath/candidates")
+    val idx = readCandidates(spark, indexPath)
 
     val dGrams = gramStream(delta, textCol, m.gramN)
     val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)

@@ -113,6 +113,26 @@ object Storage {
     finally out.close()
   }
 
+  /** ATOMIC small-text publish — the commit-pointer write
+    * ([[Snapshot]]). [[writeTextFile]] truncates in place
+    * (FileSystem.create(overwrite)), so a crash mid-write leaves an
+    * empty or partial file at the exact moment a pointer must be
+    * all-or-nothing. This variant stages the content at `path.tmp` and
+    * renames it over `path` via FileContext with Rename.OVERWRITE —
+    * the one Hadoop rename that is atomic AND replaces an existing
+    * destination on both local and HDFS (the Structured Streaming
+    * checkpoint-commit primitive). A reader concurrent with the
+    * publish sees the complete old content or the complete new
+    * content, never a prefix. */
+  def writeTextFileAtomic(spark: SparkSession, path: String, content: String): Unit = {
+    val tmp = path + ".tmp"
+    writeTextFile(spark, tmp, content)
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    ctx.rename(new Path(tmp), new Path(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Sidecar text read — [[writeTextFile]]'s counterpart. */
   def readTextFile(spark: SparkSession, path: String): String = {
     val f = fs(spark, path)

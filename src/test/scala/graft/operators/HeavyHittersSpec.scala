@@ -208,6 +208,41 @@ class HeavyHittersSpec extends SparkSpecBase {
     }
   }
 
+  test("index append is crash-atomic and retry-idempotent (snapshot pointer)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(47)
+    val corpus = Seq.tabulate(60)(i => (i.toLong, skewedStream(rnd, 25, 30).mkString(" ")))
+    val cdf = corpus.toDF("doc_id", "text").repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("hh-idx-retry").toString
+    HeavyHitters.buildIndex(cdf, "text", path, n = 2, capacity = 64)
+    val delta = Seq.tabulate(20)(i => (1000L + i, skewedStream(rnd, 25, 30).mkString(" ")))
+
+    // the reference answer: one clean append
+    HeavyHitters.appendToIndex(cdf, delta.toDF("doc_id", "text"), "text", path)
+    val want = HeavyHitters.heavyHittersFromIndex(spark, path, 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // simulate the append CRASHING before its pointer publish: roll the
+    // pointer back one version (the merged v1 data sits orphaned above
+    // it — exactly the on-disk state a mid-commit crash leaves)
+    graft.store.Storage.writeTextFileAtomic(spark, s"$path/_current.txt", "0\n")
+    // pre-retry serving is the intact PRE-APPEND index (counts and
+    // total from the SAME version — never merged counts over a stale
+    // total, the round-12 torn pairing)
+    val preRetry = HeavyHitters.heavyHittersFromIndex(spark, path, 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(preRetry == exactHh(corpus, 0.05))
+
+    // RETRY the whole append — idempotent: it re-merges the same delta
+    // against the still-current old snapshot, never double-counts
+    HeavyHitters.appendToIndex(cdf, delta.toDF("doc_id", "text"), "text", path)
+    val got = HeavyHitters.heavyHittersFromIndex(spark, path, 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got == exactHh(corpus ++ delta, 0.05))
+  }
+
   test("index append with no servable new candidates never opens the corpus (physical deletion)") {
     val spark2 = spark
     import spark2.implicits._

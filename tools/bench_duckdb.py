@@ -19,13 +19,22 @@ oracle = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/o
 times = {}
 for name, sql in sorted(oracle.items()):
     t0 = time.time()
-    timer = threading.Timer(cap, con.interrupt)
+    # the TIMEOUT classification keys off this flag, set by the timer
+    # callback itself, NOT off elapsed wall time: a genuine failure
+    # that happens to surface near the cap must record as a failure,
+    # not masquerade as a timeout in the committed baseline artifact
+    interrupted = threading.Event()
+
+    def _interrupt():
+        interrupted.set()
+        con.interrupt()
+    timer = threading.Timer(cap, _interrupt)
     timer.start()
     try:
         con.execute(sql).fetchall()
         times[name] = round(time.time() - t0, 4)
     except Exception as e:
-        if time.time() - t0 >= cap - 0.5:
+        if interrupted.is_set():
             times[name] = "TIMEOUT"
             print(f"# {name} TIMEOUT at {cap}s", file=sys.stderr)
         else:
