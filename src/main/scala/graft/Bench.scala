@@ -43,6 +43,7 @@ object Bench {
     "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_spans_xx", "dd_phash",
     "dd_phash_idx_bucketed", "dd_phash_debiased",
+    "dd_phash_multiprobe", "dd_phash_multiprobe_idx",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled", "ss_ann_ivf_pq_search",
@@ -52,20 +53,88 @@ object Bench {
     "ta_vocab", "op_zorder", "op_zorder3", "ds_cap_per_group", "ds_semantic_cap",
     "ft_normalize", "tp_chunk", "ds_weighted", "ds_token_budget",
     "ds_token_budget_incremental", "sk_heavy_hitters", "op_sessionize",
-    "sk_heavy_hitters_incremental")
+    "sk_heavy_hitters_incremental",
+    // previously-unbenched gates cheap enough for the per-round driver
+    // run (≤ ~3s each at sf0.1, measured round 13 — the heavy
+    // composites live in `heavyHeadline` below). Excluded deliberately:
+    // the quadratic pair-enumeration correctness fixtures
+    // (dd_ngram_jaccard, dd_minhash_verified, dd_recall_minhash) and
+    // the ss_recall_* recall fixtures — correctness queries, not
+    // throughput headlines.
+    "dd_spans_incremental", "dd_decontaminate",
+    "dd_embedding", "dd_embedding_incremental", "dd_embedding_idx_bucketed",
+    "sk_heavy_hitters_idx", "sk_sketches", "cl_kmeans_native",
+    "ta_quality", "ta_quality_clf_incremental", "ta_fingerprint",
+    "ta_token_bpe", "ds_sample_stratified", "ds_split", "mm_features",
+    "op_bloom_join", "op_salted_agg", "tx_redact",
+    "ss_ann_ivf", "ss_ann_ivf_native", "ss_ann_ivf_pq", "ss_ann_lsh_multi",
+    "ss_ann_pq_codes")
 
-  /** The queries whose committed artifact must carry the cross-SF
-    * scaling defense by default (no env var): the set graded `weak` by
-    * the per-query 2×-DuckDB letter at >1s absolute (round-9 VERDICT)
-    * plus the new trained-classifier gate, whose DuckDB oracle is an
-    * unrolled 12-round CTE chain. Sub-second entries and suite-level
-    * wins need no defense; SPARK_GRAFT_SCALING_DIR still sweeps
-    * everything. */
+  /** The HEAVY previously-unbenched gates (round-12 verdict item 4):
+    * the curation composites, the cluster/keep-best state family, and
+    * the SimHash pair family — 7–75s EACH at sf0.1 (≈ 360s/rep for the
+    * set), so sweeping them every driver run would multiply the
+    * per-round bench wall clock several-fold. They join the suite when
+    * SPARK_GRAFT_BENCH_HEAVY is set — the committed quiet artifact
+    * (BENCH_local_r13+) carries their recorded Spark times; their
+    * DuckDB oracles are TIMEOUT-capped or near the cap in DUCK_r*, so
+    * the 2× denominator is a floor either way. */
+  val heavyHeadline: Seq[String] = Seq(
+    "tp_curate", "tp_curate_trim", "tp_curate_lm", "tp_curate_clf",
+    "mm_curate", "tp_decontaminated",
+    "dd_clusters", "dd_clusters_incremental",
+    "dd_keep_best", "dd_keep_best_incremental",
+    "dd_simhash", "dd_simhash_incremental", "dd_simhash_idx_bucketed")
+
+  /** Floor of the cross-SF scaling sweep: the historically-weak set
+    * (round-9 VERDICT letter). The ACTUAL sweep set is DERIVED at run
+    * time — this run's own medians joined against the latest committed
+    * DUCK_r*.json baseline (>2× DuckDB and >1s ⇒ weak ⇒ swept) —
+    * unioned with this floor, so every weak query always ships
+    * cross-SF fixed-overhead evidence without hand-maintaining the
+    * list (the round-12 defect: 7 weak queries had no committed
+    * defense because this literal had gone stale). */
   val scalingDefense: Set[String] = Set(
     "q07_ordinal_having", "q23_percentiles", "q24_cube", "q28_window_suite",
     "ss_ann_pq", "dd_span_decontaminate", "dd_spans", "ta_dup_fraction",
     "tp_trim_spans", "ta_bpe_train", "ta_bpe_encode", "ta_perplexity",
     "ta_quality_clf", "ds_token_budget", "ds_token_budget_incremental")
+
+  /** DuckDB per-query baseline from the newest committed DUCK_r<N>.json
+    * in the working directory (override: SPARK_GRAFT_DUCK_JSON), for
+    * deriving the weak set at run time. "TIMEOUT" entries map to the
+    * artifact's cap_sec — a capped oracle can essentially never mark
+    * the Spark side weak, which is the honest reading (the 2×
+    * denominator is a floor, not a measurement). Minimal regex parse:
+    * the artifact is one flat {"queries":{name: sec | "TIMEOUT"}}
+    * object; the top-level scalar keys are dropped by name. */
+  def duckBaseline(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val path = sys.env.get("SPARK_GRAFT_DUCK_JSON")
+      .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.isReadable(_))
+      .orElse {
+        val re = raw"DUCK_r(\d+)\.json".r
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        try s.iterator.asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case re(n) => Some((n.toInt, p))
+            case _ => None
+          }
+        }.toSeq.sortBy(-_._1).headOption.map(_._2)
+        finally s.close()
+      }
+    path.map { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val cap = raw""""cap_sec"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(text).map(_.group(1).toDouble).getOrElse(60.0)
+      val entry = raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+|"TIMEOUT")""".r
+      entry.findAllMatchIn(text).map { m =>
+        m.group(1) -> (if (m.group(2) == "\"TIMEOUT\"") cap
+                       else m.group(2).toDouble)
+      }.toMap -- Seq("cap_sec", "total", "n_timeout")
+    }.getOrElse(Map.empty)
+  }
 
   /** Bench-only variants, outside the driver correctness gate:
     * dd_minhash_xx is the xxhash64 fast-hash MinHash (no cross-engine
@@ -272,13 +341,34 @@ object Bench {
       (got & tru).size.toDouble / math.max(1, tru.size)
     }
     enc.unpersist()
+    // pHash pair recall vs the UNCAPPED truth: the capped fine cut
+    // (9×7 — the 1,152-bucket-ceiling posture the round-12 verdict
+    // flagged) against the capped corpus-scaled multiprobe plan
+    // (bandPlanFor) — the evidence that the planned posture retains
+    // recall where the fine cut's fixed keyspace would shed it under
+    // the guard cap. Truth = the lossless walk with the cap off.
+    import graft.operators.{Multimodal, PerceptualHash}
+    val media = Multimodal.syntheticImagesFromText(
+      docs.filter(pmod(c("doc_id"), lit(3)) === 0), "doc_id", "text")
+    val phTruth = PerceptualHash.phashPairs(media, maxBucket = None)
+      .select(c("doc_a"), c("doc_b")).cache()
+    val phFine = PerceptualHash.phashPairs(media)
+    val phPlanned = PerceptualHash.phashPairsPlanned(
+      media, PerceptualHash.bandPlanFor(
+        media.select("media_id").count(), PerceptualHash.DefaultMaxHamming))
+    val phMp = PerceptualHash.phashPairsPlanned(
+      media, PerceptualHash.BandPlan(7, 1))
     val out = Seq(
       "ss_ann_lsh_t1" -> Recall.recallAtK(lsh(1), truth),
       "ss_ann_lsh_t8" -> Recall.recallAtK(lsh(8), truth),
       "ss_ann_ivf_p8" -> Recall.recallAtK(ivf, truth),
       "ss_ann_pq"     -> pqRecalls.sum / math.max(1, pqRecalls.size),
-      "dd_minhash"    -> Recall.pairRecall(mhPairs, exactPairs))
+      "dd_minhash"    -> Recall.pairRecall(mhPairs, exactPairs),
+      "dd_phash_capped"    -> Recall.pairRecall(phFine, phTruth),
+      "dd_phash_planned"   -> Recall.pairRecall(phPlanned, phTruth),
+      "dd_phash_multiprobe" -> Recall.pairRecall(phMp, phTruth))
     truth.unpersist()
+    phTruth.unpersist()
     out
   }
 
@@ -313,7 +403,13 @@ object Bench {
     // those headline queries (the driver never sets it — full suite)
     val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSet)
-    val names = headline.filter(n =>
+    // heavy gates join under the env flag, and are always addressable
+    // through an explicit SPARK_GRAFT_BENCH_ONLY selection
+    val suite =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_HEAVY") || onlySet.isDefined)
+        headline ++ heavyHeadline
+      else headline
+    val names = suite.filter(n =>
       (SparkEntry.queries.contains(n) || benchOnly.contains(n)) &&
         onlySet.forall(_.contains(n)))
     names.foreach { n =>
@@ -412,11 +508,20 @@ object Bench {
     // ~1× across a 10× SF step is overhead-bound; ~10× is scan-bound.
     // With SPARK_GRAFT_SCALING_DIR set, EVERY headline query is swept
     // (the full local-artifact posture); without it, the sweep defaults
-    // to the sibling sf0.01 fixture over just `scalingDefense` — the
-    // queries whose per-query DuckDB ratio needs the defense — so the
-    // committed driver-run artifact carries the evidence at a bounded
-    // wall-clock cost.
+    // to the sibling sf0.01 fixture over the DERIVED weak set — this
+    // run's own medians joined against the newest committed DUCK_r*.json
+    // (>2× DuckDB and >1s), unioned with the `scalingDefense` floor —
+    // so the committed artifact always carries the evidence for exactly
+    // the queries the per-query 2× letter would grade weak, at a
+    // bounded wall-clock cost.
     val envScalingDir = sys.env.get("SPARK_GRAFT_SCALING_DIR")
+    val duck = try duckBaseline() catch { case e: Throwable =>
+      System.err.println(s"[bench] duck baseline parse failed: ${e.getMessage}")
+      Map.empty[String, Double]
+    }
+    val derivedWeak = results.collect {
+      case (n, v) if v > 1.0 && duck.get(n).exists(d => v > 2.0 * d) => n
+    }.toSet
     val autoScalingDir =
       if (envScalingDir.isDefined) None
       else {
@@ -427,7 +532,8 @@ object Bench {
           .map(_.toString)
       }
     val scalingNames =
-      if (envScalingDir.isDefined) names else names.filter(scalingDefense)
+      if (envScalingDir.isDefined) names
+      else names.filter(n => derivedWeak(n) || scalingDefense(n))
     val scalingJson = envScalingDir.orElse(autoScalingDir)
       .filter(_ => scalingNames.nonEmpty).map { altDir =>
       scalingNames.foreach { n =>

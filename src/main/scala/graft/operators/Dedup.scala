@@ -853,6 +853,111 @@ object Dedup {
         col("p.score").as("score"))
   }
 
+  // ---- MULTIPROBE over packed signatures ------------------------------
+  //
+  // The fine band cut's structural ceiling: losslessness at Hamming ≤ h
+  // by pigeonhole alone needs > h bands, so a 63-bit signature at h = 8
+  // is stuck with 9 bands × 7 bits = 1,152 possible (band, bkey)
+  // buckets TOTAL — at ≥ 10⁷ rows every bucket is hot no matter how
+  // balanced the bits are, the guard cap engages corpus-wide, and pair
+  // recall silently degrades. Multiprobe (the multi-probe LSH idea —
+  // Lv et al., VLDB'07 — applied to Hamming bands) trades probe volume
+  // for keyspace: cut FEWER, WIDER bands and additionally probe every
+  // key within `flips` bit-flips of the own band key. A pair within
+  // Hamming h differs by ≤ ⌊h/bands⌋ bits in its best band
+  // (pigeonhole), so flips ≥ ⌊h/bands⌋ regains losslessness while the
+  // bucket universe grows exponentially in the band width:
+  //
+  //     bands × width   flips   probes/row   keyspace
+  //          9 × 7        0          9          1,152
+  //          7 × 9        1         70          3,584
+  //          3 × 21       2        696      6,291,456
+  //
+  // The INDEX side stores exact keys only — identical layout to
+  // [[packedSignatureBandIndex]] at the same band cut, including the
+  // bucketed-on-`bb` persisted form — so multiprobe is purely a
+  // READ-side knob: the probe expansion happens on the (delta-sized)
+  // probing rows, never in the stored index.
+
+  /** All non-zero XOR masks of an `r`-bit key with popcount ≤ `flips`,
+    * driver-computed (r + r(r−1)/2 masks at flips = 2 — plan-literal
+    * sized, never data-sized). `key ^ mask` over these enumerates
+    * exactly the keys within Hamming ≤ flips of `key`. */
+  private[graft] def flipMasks(r: Int, flips: Int): Array[Long] = {
+    require(r >= 1 && r <= 62, s"band width must be in [1,62], got $r")
+    require(flips >= 0 && flips <= 2,
+      s"multiprobe supports flips in [0,2] (probe volume is C(r,flips)), got $flips")
+    val ms = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (flips >= 1) { var i = 0; while (i < r) { ms += (1L << i); i += 1 } }
+    if (flips >= 2)
+      for (i <- 0 until r; j <- (i + 1) until r) ms += ((1L << i) | (1L << j))
+    ms.toArray
+  }
+
+  /** The probe-side banded projection: [[packedSignatureBanded]] with
+    * each row's band key expanded to its multiprobe set (the own key
+    * plus every key within `flips` bit-flips). Output (doc, sig, band,
+    * bkey) like the exact form — `bkey` now enumerates probe targets. */
+  private def packedSignatureMultiprobed(sigs: DataFrame, idCol: String,
+      sigCol: String, bits: Int, bands: Int, flips: Int): DataFrame = {
+    val r = bits / bands
+    val masks = typedLit(0L +: flipMasks(r, flips).toSeq)
+    packedSignatureBanded(sigs, idCol, sigCol, bits, bands)
+      .select(col("doc"), col("sig"), col("band"),
+        explode(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+  }
+
+  /** [[packedSignaturePairs]] with MULTIPROBE candidate generation:
+    * lossless for any maxHamming < bands·(flips+1) — the coarse-cut
+    * scale posture (see the section comment). Candidates are probe→
+    * exact collisions on (band, bkey); each surviving pair collapses
+    * once (both directions of a qualifying pair collide, hence the
+    * least/greatest + groupBy — scores are signature-determined, so
+    * min = the exact Hamming distance). The hot-bucket cap bounds the
+    * EXACT side per bucket (the stored-index semantics), so a probe
+    * into a hot bucket meets ≤ cap members. */
+  def packedMultiprobePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, flips: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    val banded = packedSignatureBanded(sigs, idCol, sigCol, bits, bands)
+    val exact = capBandBuckets(banded, maxBucket)
+      .select(col("doc").as("doc_e"), col("sig").as("sig_e"),
+        col("band"), col("bkey"))
+    val probes = packedSignatureMultiprobed(
+      sigs, idCol, sigCol, bits, bands, flips)
+      .select(col("doc").as("doc_p"), col("sig").as("sig_p"),
+        col("band"), col("bkey"))
+    probes.join(exact, Seq("band", "bkey"))
+      .filter(col("doc_p") =!= col("doc_e"))
+      .groupBy(least(col("doc_p"), col("doc_e")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_e")).as("doc_b"))
+      .agg(min(bit_count(col("sig_p").bitwiseXOR(col("sig_e")))).as("score"))
+  }
+
+  /** O(Δ) multiprobe ingest against a [[packedSignatureBandIndex]] AT
+    * THE SAME BAND CUT — the index stores exact keys (unchanged layout,
+    * bucketed `bb` included); only the delta's rows expand to their
+    * probe sets, so a stored bucketed layout still shuffles nothing on
+    * the corpus side. Output (delta_id, corpus_id, score); threshold at
+    * the caller. */
+  def packedMultiprobePairsIncrementalFromIndex(deltaSigs: DataFrame,
+      corpusIndex: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, flips: Int): DataFrame = {
+    val bd = packedSignatureMultiprobed(
+      deltaSigs, idCol, sigCol, bits, bands, flips)
+      .select(col("doc").as("delta_id"), col("sig").as("sig_d"),
+        bandKey.as("bb"))
+    val withBb =
+      if (corpusIndex.columns.contains("bb")) corpusIndex
+      else corpusIndex.withColumn("bb", bandKey)
+    val bc = withBb
+      .select(col("doc").as("corpus_id"), col("sig").as("sig_c"), col("bb"))
+    bd.join(bc, Seq("bb"))
+      .filter(col("delta_id") =!= col("corpus_id"))
+      .groupBy("delta_id", "corpus_id")
+      .agg(min(bit_count(col("sig_d").bitwiseXOR(col("sig_c")))).as("score"))
+  }
+
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
     * banded into `bands` contiguous slices for candidate generation (a
     * pair within `maxHamming` of each other must agree on at least one

@@ -140,15 +140,46 @@ object HeavyHitters {
       s"capacity $cap breaks the superset guarantee for phi=$phi (needs > ${1 / phi})")
 
     val grams = gramStream(df, textCol, n)
-    // phase 1 — one bounded summary row per partition. Materialized
-    // ONCE (lazy localCheckpoint, the posting convention): both the
-    // 1-row total and the candidate list read it, and it is tiny
-    // (partitions × capacity rows) however large the corpus is.
-    val summaries = mgSummaries(grams, cap).localCheckpoint(false)
-    val totalDf = summaries.agg(sum(col("total")).as("n_total"))
-    val candidates = summaries
-      .select(explode(col("grams")).as("gram")).distinct()
-    verifyExact(grams, candidates, totalDf, phi)
+    // phase 1 — one bounded summary row per partition, COLLECTED in one
+    // job (≤ partitions × capacity entries — sketch-sized, the bounded
+    // driver-collect convention the IVF probe unions use): the total
+    // and the candidate set both come out of the same collect. The
+    // round-12 form instead localCheckpoint'ed the summaries and built
+    // two broadcast inputs from them — 3 extra scheduling windows per
+    // execution for what is driver-sized state, which the round-12
+    // plan audit measured as this operator's dominant residual (1.6s
+    // at 20× a sub-second DuckDB, dispersion max 4.5s — stage-count,
+    // not scan cost; the two corpus scans are the designed trade and
+    // stay). Phase 2 below is the only other job.
+    val (total, cands) = collectSummaries(grams, cap)
+    verifyExactCollected(grams, cands, total, phi)
+  }
+
+  /** Phase-1 terminal: run the per-partition sketches and collect the
+    * (global total, distinct candidate grams) — bounded by
+    * partitions × capacity however large the corpus is. */
+  private def collectSummaries(
+      grams: Dataset[String], capacity: Int): (Long, Seq[String]) = {
+    val rows = mgSummaries(grams, capacity).collect()
+    (rows.map(_.getLong(0)).sum,
+      rows.flatMap(_.getSeq[String](1)).distinct.toSeq)
+  }
+
+  /** [[verifyExact]] with the phase-1 outputs as driver values: the
+    * candidate list broadcasts as a literal local relation and the
+    * threshold folds to a constant — one job, no auxiliary exchanges. */
+  private def verifyExactCollected(
+      grams: Dataset[String], candidates: Seq[String], total: Long,
+      phi: Double): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val thr = math.ceil(phi * total).toLong
+    grams.toDF()
+      .join(broadcast(candidates.toDF("gram")), "gram")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .orderBy(col("cnt").desc, col("gram"))
   }
 
   /** Phase 2 — exact verification: re-scan the gram stream, keep only
@@ -233,12 +264,11 @@ object HeavyHitters {
       df: DataFrame, textCol: String, indexPath: String, n: Int = 2,
       capacity: Int = 2048): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val grams = gramStream(df, textCol, n)
-    val summaries = mgSummaries(grams, capacity).localCheckpoint(false)
-    val total = summaries.agg(sum(col("total"))).head.getLong(0)
-    val candidates = summaries.select(explode(col("grams")).as("gram")).distinct()
+    val (total, cands) = collectSummaries(grams, capacity)
     val counts = grams.toDF()
-      .join(broadcast(candidates), "gram")
+      .join(broadcast(cands.toDF("gram")), "gram")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
     commitIndex(spark, indexPath, counts, HhMeta(n, capacity, total))
     readCandidates(spark, indexPath)
@@ -306,13 +336,13 @@ object HeavyHitters {
       corpus: DataFrame, delta: DataFrame, textCol: String,
       indexPath: String): DataFrame = {
     val spark = delta.sparkSession
+    import spark.implicits._
     val m = readMeta(spark, indexPath)
     val idx = readCandidates(spark, indexPath)
 
     val dGrams = gramStream(delta, textCol, m.gramN)
-    val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)
-    val dTotal = dSumm.agg(sum(col("total"))).head.getLong(0)
-    val dCand = dSumm.select(explode(col("grams")).as("gram")).distinct()
+    val (dTotal, dCandSeq) = collectSummaries(dGrams, m.capacity)
+    val dCand = dCandSeq.toDF("gram")
 
     // one delta scan counts the union candidate set exactly
     val allCand = idx.select("gram").union(dCand).distinct()
@@ -369,14 +399,14 @@ object HeavyHitters {
     val idx = readCandidates(spark, indexPath)
 
     val dGrams = gramStream(delta, textCol, m.gramN)
-    val dSumm = mgSummaries(dGrams, m.capacity).localCheckpoint(false)
-    val dTotal = dSumm.agg(sum(col("total"))).head.getLong(0)
+    val (dTotal, dCandSeq) = collectSummaries(dGrams, m.capacity)
     val thr = math.ceil(phi * (m.total + dTotal)).toLong
     val bound = m.total / m.capacity
 
     // one delta scan counts BOTH the indexed grams and the delta's own
     // candidates exactly (their union is the complete crosser superset)
-    val dCand = dSumm.select(explode(col("grams")).as("gram")).distinct()
+    import spark.implicits._
+    val dCand = dCandSeq.toDF("gram")
     val allCand = idx.select("gram").union(dCand).distinct()
     val dCounts = dGrams.toDF()
       .join(broadcast(allCand), "gram")

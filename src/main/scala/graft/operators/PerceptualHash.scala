@@ -69,6 +69,61 @@ object PerceptualHash {
   val DefaultPhashBands = 9
   val DefaultMaxHamming = 8
 
+  /** A banded Hamming-search posture: `bands` contiguous slices of the
+    * 63-bit signature plus `flips`-bit multiprobe on the probing side
+    * (Dedup.packedMultiprobePairs). Lossless for maxHamming <
+    * bands·(flips+1); bucket universe = bands·2^(63/bands). */
+  final case class BandPlan(bands: Int, flips: Int) {
+    require(PhashBits % bands == 0, s"bands must divide $PhashBits, got $bands")
+    /** Band width in bits. */
+    def r: Int = PhashBits / bands
+    /** Total (band, bkey) bucket universe — the quantity that must
+      * scale with the corpus for the guard cap to stay dormant. */
+    def keyspace: Long = bands.toLong << r
+    /** Probe rows each signature ships through the candidate join
+      * (exact key + flipped keys, per band). */
+    def probesPerRow: Long =
+      bands.toLong * (1L + Dedup.flipMasks(r, flips).length)
+    /** The largest Hamming radius this plan's candidate walk covers
+      * losslessly (pigeonhole over bands with ≤ flips in-band misses). */
+    def losslessMaxHamming: Int = bands * (flips + 1) - 1
+  }
+
+  /** Corpus-scaled band plan — `SimilaritySearch.nBitsFor`'s pHash
+    * analogue, closing the family's last fixed-keyspace posture: the
+    * fine 9×7 cut has a 1,152-bucket CEILING (losslessness at
+    * Hamming ≤ 8 by pigeonhole alone needs > 8 bands), so at ≥ 10⁷
+    * images every bucket is hot regardless of bit balance and the
+    * guard cap degrades recall corpus-wide. The ladder below widens
+    * bands and buys losslessness back with multiprobe
+    * (Dedup.packedMultiprobePairs); the chosen plan is the cheapest
+    * (fewest probe rows) whose bucket universe keeps the EXPECTED
+    * occupancy at or under `targetBucketSize`:
+    *
+    *   n ≤ ~295k   → 9 × 7,  flips 0 —     1,152 buckets,   9 probes/row
+    *   n ≤ ~918k   → 7 × 9,  flips 1 —     3,584 buckets,  70 probes/row
+    *   beyond      → 3 × 21, flips 2 — 6,291,456 buckets, 696 probes/row
+    *
+    * The last rung covers ~1.6e9 images at the default target; past
+    * that the hot-bucket cap plus the [[phashBanded]] occupancy
+    * pre-flight govern, as everywhere else in the family. Expected
+    * occupancy assumes de-biased (~uniform) keys — biased corpora
+    * concentrate keys, which the occupancy probe detects and
+    * [[phashPairsDebiased]]'s corpus-median thresholds correct. */
+  def bandPlanFor(corpusSize: Long, maxHamming: Int = DefaultMaxHamming,
+      targetBucketSize: Int = 256): BandPlan = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0, got $corpusSize")
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1")
+    val ladder = Seq(9, 7, 3).flatMap { b =>
+      val f = maxHamming / b // smallest flips with b·(f+1) > maxHamming
+      if (f <= 2) Some(BandPlan(b, f)) else None
+    }
+    require(ladder.nonEmpty,
+      s"no lossless plan with <= 2 flips exists for maxHamming=$maxHamming")
+    val needed = (corpusSize + targetBucketSize - 1) / targetBucketSize
+    ladder.find(_.keyspace >= needed).getOrElse(ladder.last)
+  }
+
   /** The shared fixed-point DCT-II row table: T(u)(x) =
     * round(cos((2x+1)uπ/64) · 2^14), u < 8, x < 32. Generated once from
     * libm and INLINED as integer literals into the oracle SQL, so both
@@ -182,6 +237,43 @@ object PerceptualHash {
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 
+  /** [[phashPairs]] at an explicit [[BandPlan]] — the corpus-scaled
+    * posture: the fine cut (flips = 0) rides the grouped bucket walk;
+    * a multiprobe plan rides Dedup.packedMultiprobePairs. Any plan
+    * lossless at `maxHamming` yields the identical pair set (the
+    * exact Hamming filter is the last word), so every plan shares the
+    * dd_phash oracle. */
+  def phashPairsPlanned(media: Dataset[Multimodal.MediaRow],
+      plan: BandPlan,
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame = {
+    require(plan.losslessMaxHamming >= maxHamming,
+      s"plan $plan is lossy at maxHamming=$maxHamming " +
+        s"(covers <= ${plan.losslessMaxHamming})")
+    val cands =
+      if (plan.flips == 0)
+        Dedup.packedSignaturePairs(
+          phashSignatures(media), "media_id", "sig", PhashBits, plan.bands,
+          maxBucket)
+      else
+        Dedup.packedMultiprobePairs(
+          phashSignatures(media), "media_id", "sig", PhashBits, plan.bands,
+          plan.flips, maxBucket)
+    cands.filter(col("score") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+  }
+
+  /** [[phashPairs]] with the plan DERIVED from the corpus size — the
+    * production entry point (gates pin plans so their oracles stay
+    * deterministic). The count is posture metadata over the media
+    * table's id column (no decode). */
+  def phashPairsAuto(media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+    phashPairsPlanned(media,
+      bandPlanFor(media.select("media_id").count(), maxHamming),
+      maxHamming, maxBucket)
+
   /** INCREMENTAL pHash dedup — each new image batch against the
     * existing corpus's persistable signature index, the O(Δ) ingest
     * family contract ([[Dedup.simhashPairsIncremental]]'s shape). */
@@ -193,6 +285,40 @@ object PerceptualHash {
       phashSignatures(delta), corpusIndex, "media_id", "sig", PhashBits, bands)
       .filter(col("score") <= maxHamming)
       .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
+
+  /** [[phashPairsIncremental]] at an explicit [[BandPlan]]: the index
+    * must be built AT THE SAME BAND CUT ([[phashBandIndexPlanned]] /
+    * [[writePhashBandIndexBucketed]] with plan.bands) — it stores
+    * exact keys only (unchanged layout, bucketed `bb` included); the
+    * delta's rows expand to their probe sets read-side, so a stored
+    * bucketed layout still shuffles nothing on the corpus side. */
+  def phashPairsIncrementalPlanned(delta: Dataset[Multimodal.MediaRow],
+      corpusIndex: DataFrame, plan: BandPlan,
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    require(plan.losslessMaxHamming >= maxHamming,
+      s"plan $plan is lossy at maxHamming=$maxHamming " +
+        s"(covers <= ${plan.losslessMaxHamming})")
+    val cands =
+      if (plan.flips == 0)
+        Dedup.packedSignaturePairsIncrementalFromIndex(
+          phashSignatures(delta), corpusIndex, "media_id", "sig",
+          PhashBits, plan.bands)
+      else
+        Dedup.packedMultiprobePairsIncrementalFromIndex(
+          phashSignatures(delta), corpusIndex, "media_id", "sig",
+          PhashBits, plan.bands, plan.flips)
+    cands.filter(col("score") <= maxHamming)
+      .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
+  }
+
+  /** [[phashBandIndex]] at an explicit [[BandPlan]]'s cut — exact keys
+    * only (multiprobe never changes the stored index). */
+  def phashBandIndexPlanned(corpus: Dataset[Multimodal.MediaRow],
+      plan: BandPlan,
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+    Dedup.packedSignatureBandIndex(
+      phashSignatures(corpus), "media_id", "sig", PhashBits, plan.bands,
+      maxBucket)
 
   /** The corpus side of [[phashPairsIncremental]] as a persistable
     * banded index (plain (doc, sig: long, band, bkey: long) columns —

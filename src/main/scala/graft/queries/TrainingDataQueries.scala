@@ -131,13 +131,20 @@ object TrainingDataQueries {
     * pairs = the full pair set exactly. */
   val ddClustersIncremental: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // ONE pair enumeration feeds both the standing-state fixture and
+    // the delta (lazy localCheckpoint): under the dormant doc-freq
+    // guard this gate already relies on (scaladoc above), the corpus-
+    // subset pairs ARE the full pair set with both ends %5 ≠ 0 — the
+    // round-12 form enumerated the quadratic pair walk twice and spent
+    // most of its 30s re-running fixture setup, not the operator
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").localCheckpoint(false)
     val labels = Dedup.duplicateClusters(
-      Dedup.ngramJaccardPairs(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text"))
-    val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      allPairs.filter(pmod(col("doc_a"), lit(5)) =!= 0 &&
+        pmod(col("doc_b"), lit(5)) =!= 0))
+    val newPairs = allPairs
       .filter(pmod(col("doc_a"), lit(5)) === 0 ||
         pmod(col("doc_b"), lit(5)) === 0)
-      .select("doc_a", "doc_b")
     Dedup.mergeClustersIncremental(labels, newPairs).orderBy("doc_id")
   }
 
@@ -198,11 +205,20 @@ object TrainingDataQueries {
   val ddKeepBestIncremental: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-    val corpusPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text")
-    val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    // ONE pair enumeration for the whole gate (the dd_clusters_
+    // incremental convention): the round-12 form ran the quadratic
+    // walk for the corpus fixture, AGAIN for the delta pairs, and the
+    // corpus set was then consumed by BOTH keepBestState and
+    // duplicateClusters — 4 enumerations ≈ 61s at sf0.1 of which the
+    // operator under test was a fraction; the standing-state fixture
+    // is setup, not the measured contract
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").localCheckpoint(false)
+    val corpusPairs = allPairs.filter(pmod(col("doc_a"), lit(5)) =!= 0 &&
+      pmod(col("doc_b"), lit(5)) =!= 0)
+    val newPairs = allPairs
       .filter(pmod(col("doc_a"), lit(5)) === 0 ||
         pmod(col("doc_b"), lit(5)) === 0)
-      .select("doc_a", "doc_b")
     Dedup.keepBestStateIncremental(
       Dedup.keepBestState(corpus, "doc_id", "text", corpusPairs),
       Dedup.duplicateClusters(corpusPairs),
@@ -2543,6 +2559,49 @@ object TrainingDataQueries {
       .orderBy("delta_id", "corpus_id")
   }
 
+  /** dd_phash_multiprobe — the 100×-regime pHash posture
+    * (PerceptualHash.phashPairsPlanned at the 7 × 9-bit, 1-flip rung of
+    * PerceptualHash.bandPlanFor's ladder): the SAME near-dup pair set
+    * generated with a coarser band cut whose bucket universe is 3,584
+    * (vs the fine cut's hard 1,152 ceiling), losslessness at
+    * Hamming ≤ 8 bought back by 1-bit multiprobe on the probing side
+    * (Dedup.packedMultiprobePairs — pigeonhole: ≤ 8 differing bits
+    * across 7 bands leaves some band with ≤ 1). Shares dd_phash's
+    * oracle VERBATIM: any lossless candidate scheme followed by the
+    * exact Hamming ≤ 8 filter yields the identical pair set, which is
+    * precisely the property that makes the plan a free knob at scale. */
+  val ddPhashMultiprobe: Q = (s, dir) =>
+    graft.operators.PerceptualHash.phashPairsPlanned(
+      Multimodal.syntheticImagesFromText(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text"),
+      graft.operators.PerceptualHash.BandPlan(7, 1),
+      maxBucket = None)
+      .orderBy("doc_a", "doc_b")
+
+  /** dd_phash_multiprobe_idx — the O(Δ) ingest at the DEEPEST ladder
+    * rung (3 × 21-bit bands, 2-flip multiprobe — the ≥ 10⁶-image
+    * posture, 6.29M-bucket universe): the corpus index stores EXACT
+    * 21-bit band keys (the unchanged persistable layout — multiprobe
+    * never changes the stored index), the delta expands read-side to
+    * its 696-key probe sets. Same %5 split and shared truth oracle as
+    * dd_phash_idx_bucketed: both plans are lossless at Hamming ≤ 8, so
+    * both equal the uncapped delta × corpus pair set. */
+  val ddPhashMultiprobeIdx: Q = (s, dir) => {
+    import graft.operators.PerceptualHash
+    val plan = PerceptualHash.BandPlan(3, 2)
+    val docs = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
+    val idx = PerceptualHash.phashBandIndexPlanned(
+      Multimodal.syntheticImagesFromText(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text"),
+      plan, maxBucket = None)
+    PerceptualHash.phashPairsIncrementalPlanned(
+      Multimodal.syntheticImagesFromText(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text"),
+      idx, plan)
+      .orderBy("delta_id", "corpus_id")
+  }
+
   /** dd_phash_debiased — image near-dup pairs with CORPUS-median
     * thresholds (PerceptualHash.phashPairsDebiased): every signature
     * bit re-balanced to ~50/50 by construction, the fix for the
@@ -3820,6 +3879,8 @@ object TrainingDataQueries {
     "mm_curate" -> mmCurate,
     "dd_phash" -> ddPhash,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketed,
+    "dd_phash_multiprobe" -> ddPhashMultiprobe,
+    "dd_phash_multiprobe_idx" -> ddPhashMultiprobeIdx,
     "dd_phash_debiased" -> ddPhashDebiased,
     "sk_sketches" -> skSketches,
     "sk_heavy_hitters" -> skHeavyHitters,
@@ -3913,6 +3974,8 @@ object TrainingDataQueries {
     "mm_curate" -> mmCurateOracle,
     "dd_phash" -> ddPhashOracle,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketedOracle,
+    "dd_phash_multiprobe" -> ddPhashOracle,
+    "dd_phash_multiprobe_idx" -> ddPhashIdxBucketedOracle,
     "dd_phash_debiased" -> ddPhashDebiasedOracle,
     "sk_sketches" -> skSketchesOracle,
     "sk_heavy_hitters" -> skHeavyHittersOracle,

@@ -273,4 +273,108 @@ class PerceptualHashSpec extends SparkSpecBase {
     }
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  // ---- corpus-scaled band plans + multiprobe --------------------------
+
+  test("flipMasks enumerates exactly the <=flips-bit neighborhoods") {
+    // flips=1 over r bits: the r single-bit masks; flips=2 adds C(r,2)
+    Seq(7, 9, 21).foreach { r =>
+      val f1 = Dedup.flipMasks(r, 1)
+      assert(f1.length == r && f1.toSet.size == r)
+      assert(f1.forall(m => java.lang.Long.bitCount(m) == 1 && m < (1L << r)))
+      val f2 = Dedup.flipMasks(r, 2)
+      assert(f2.length == r + r * (r - 1) / 2 && f2.toSet.size == f2.length)
+      assert(f2.forall(m =>
+        java.lang.Long.bitCount(m) >= 1 && java.lang.Long.bitCount(m) <= 2 &&
+          m < (1L << r)))
+      assert(Dedup.flipMasks(r, 0).isEmpty)
+    }
+    intercept[IllegalArgumentException](Dedup.flipMasks(7, 3))
+  }
+
+  test("bandPlanFor: keyspace scales with corpus size, lossless at maxHamming") {
+    import PerceptualHash.{BandPlan, bandPlanFor}
+    assert(BandPlan(9, 0).keyspace == 1152L &&
+      BandPlan(7, 1).keyspace == 3584L &&
+      BandPlan(3, 2).keyspace == 6291456L)
+    // default target 256: the fine cut serves ~295k, then the ladder climbs
+    assert(bandPlanFor(0) == BandPlan(9, 0))
+    assert(bandPlanFor(100000) == BandPlan(9, 0))
+    assert(bandPlanFor(500000) == BandPlan(7, 1))
+    assert(bandPlanFor(10000000) == BandPlan(3, 2))
+    assert(bandPlanFor(100000000000L) == BandPlan(3, 2)) // last rung + cap governs
+    // every rung covers the default Hamming radius losslessly
+    Seq(bandPlanFor(0), bandPlanFor(500000), bandPlanFor(10000000)).foreach {
+      p => assert(p.losslessMaxHamming >= PerceptualHash.DefaultMaxHamming)
+    }
+    // probe volume ladder: 9, 70, 696 rows per signature
+    assert(BandPlan(9, 0).probesPerRow == 9L &&
+      BandPlan(7, 1).probesPerRow == 70L && BandPlan(3, 2).probesPerRow == 696L)
+  }
+
+  test("multiprobe pairs equal the fine-cut pairs on every lossless plan") {
+    import spark.implicits._
+    val media = spark.createDataset(debiasRows)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fine = pairsOf(PerceptualHash.phashPairs(media, maxBucket = None)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int")))
+    assert(fine.map(p => (p._1, p._2)).contains((1L, 2L))) // non-degenerate
+    Seq(PerceptualHash.BandPlan(7, 1), PerceptualHash.BandPlan(3, 2)).foreach { plan =>
+      val mp = pairsOf(PerceptualHash.phashPairsPlanned(media, plan, maxBucket = None)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int")))
+      assert(mp === fine, s"plan $plan diverged from the fine cut")
+    }
+    // a lossy plan is refused, not silently degraded
+    intercept[IllegalArgumentException](
+      PerceptualHash.phashPairsPlanned(media, PerceptualHash.BandPlan(7, 0)))
+  }
+
+  test("phashPairsAuto picks the fine cut at fixture scale and matches it") {
+    import spark.implicits._
+    val media = spark.createDataset(mediaRows)
+    val auto = PerceptualHash.phashPairsAuto(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $auto")
+  }
+
+  test("multiprobe incremental against the bucketed 7-band index: " +
+    "delta-only exchange, equals the fine-cut incremental") {
+    import spark.implicits._
+    val plan = PerceptualHash.BandPlan(7, 1)
+    val delta = spark.createDataset(mediaRows.filter(_.media_id == 2L))
+    val corpus = spark.createDataset(mediaRows.filter(_.media_id != 2L))
+    val table = "ph_idx_mp_spec"
+    val path = java.nio.file.Files.createTempDirectory("graft-ph-mpidx").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    PerceptualHash.writePhashBandIndexBucketed(
+      corpus, table, nBuckets = 4, path = Some(path), bands = plan.bands)
+    try withNoBroadcast {
+      val via = PerceptualHash.phashPairsIncrementalPlanned(
+        delta, spark.table(table), plan)
+        .orderBy("delta_id", "corpus_id")
+      val got = via.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (2L, 3L)), s"got $got")
+      // the stored index is exact-keys-only: multiprobe is a read-side
+      // knob, so the bucketed layout still shuffles nothing corpus-side
+      assertDeltaOnlyExchange(via)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("wider bands refine buckets: max occupancy never grows up the ladder") {
+    import spark.implicits._
+    // band b of the 3×21 cut spans exactly bands 3b..3b+2 of the 9×7
+    // cut, so every 21-bit bucket is a SUBSET of each of its three
+    // 7-bit super-buckets — max occupancy is monotonically non-
+    // increasing as the plan widens (the hot-bucket relief the ladder
+    // exists to buy; the keyspace row in bandPlanFor's scaladoc is the
+    // other half of the argument)
+    val media = spark.createDataset(debiasRows)
+    def maxOcc(bands: Int): Long =
+      Occupancy.stats(PerceptualHash.phashBanded(media, bands), 2048, "band", "bkey")
+        .select(col("max_occ")).head.getLong(0)
+    val fine = maxOcc(9); val mid = maxOcc(7); val wide = maxOcc(3)
+    assert(wide <= fine, s"21-bit buckets ($wide) must refine 7-bit ones ($fine)")
+    assert(mid >= 1 && fine >= 1)
+  }
 }
