@@ -150,6 +150,25 @@ object TextFunctions {
       v => when(v > 0, 1).otherwise(0))
   }
 
+  /** A `bits`-element (≤ 64) 0/1 bit array packed into ONE long: bit i
+    * of the result = element i of the array (position-preserving — the
+    * packed form's band-b shift+mask slice equals the array form's
+    * slice, the contract Dedup's packed machinery rides). Bit 63 lands
+    * in the sign position, which is fine: xor/bit_count/masked-shift
+    * are all sign-agnostic. `bits` is an explicit literal so `bitsArr`
+    * is referenced EXACTLY ONCE — a size(bitsArr)-based range would be
+    * a second reference, and CollapseProject then macro-expands a
+    * non-attribute argument (the whole simhash vote tree) once per
+    * reference: measured 3.65s → 7.07s on the banding stage before
+    * this was a parameter. */
+  def packBits(bitsArr: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 64, s"packBits packs 1..64 bits, got $bits")
+    aggregate(
+      zip_with(bitsArr, sequence(lit(0), lit(bits - 1)),
+        (b, i) => call_function("shiftleft", b.cast("long"), i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(bitsA: Column, bitsB: Column): Column =
     aggregate(zip_with(bitsA, bitsB, (a, b) => when(a =!= b, 1).otherwise(0)),

@@ -764,12 +764,18 @@ object Dedup {
   // to the array form and an oracle written against either matches.
 
   /** [[signatureBanded]] for a signature packed into one long (`sigCol`,
-    * bit i = signature position i, `bits` ≤ 63). Output (doc, sig,
-    * band, bkey) with integer `bkey`. */
+    * bit i = signature position i, `bits` ≤ 64). Output (doc, sig,
+    * band, bkey) with integer `bkey`. A full 64-bit signature may put
+    * bit 63 in the sign position — safe throughout: xor and bit_count
+    * are sign-agnostic, and the band slice is an ARITHMETIC shift
+    * masked to r bits, whose kept positions [0, r) carry the true bits
+    * [b·r, b·r+r) for every band that tiles the word (sign fill only
+    * reaches positions ≥ 64 − b·r, all masked away). */
   def packedSignatureBanded(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
-    require(bits <= 63, s"packed signatures hold at most 63 bits, got $bits")
+    require(bits <= 64, s"packed signatures hold at most 64 bits, got $bits")
+    require(bands >= 2, "a single 64-bit band key would need an unmasked word")
     val r = bits / bands
     val mask = (1L << r) - 1
     sigs.select(col(idCol).as("doc"), col(sigCol).cast("long").as("sig"))
@@ -961,17 +967,42 @@ object Dedup {
   /** SimHash near-duplicate pairs: `bits`-bit token-weight signatures,
     * banded into `bands` contiguous slices for candidate generation (a
     * pair within `maxHamming` of each other must agree on at least one
-    * band when bands > maxHamming), then exact Hamming filter. */
+    * band when bands > maxHamming), then exact Hamming filter.
+    *
+    * PACKED execution (round 13): the signature rides one long through
+    * banding and the bucket walk — identical candidates, survivors and
+    * scores to the bit-array form by the packed machinery's position-
+    * partition contract (spec-anchored differentially), but each
+    * surviving pair costs one XOR+POPCNT instead of a 64-element
+    * interpreted zip and each band key is a shift+mask integer instead
+    * of a joined string. Measured at sf0.1: the array walk spent 27s of
+    * dd_simhash's 31s inside the interpreted per-pair lambdas. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
       maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1,
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
-    bucketPairs(
-      simhashBanded(df, idCol, textCol, bits, bands, minTokens),
-      bits / bands, hamming, maxBucket)
+    packedSignaturePairs(
+      simhashPackedSigs(df, idCol, textCol, bits, minTokens),
+      "doc", "sig", bits, bands, maxBucket)
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+
+  /** (doc, sig: long) packed SimHash signatures — [[simhashBits]]'s 64
+    * votes folded into one long (bit i = classic signature position i,
+    * TextFunctions.packBits). */
+  private def simhashPackedSigs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int, minTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      // degenerate-doc guard: tokens('') = [''] so every empty/whitespace
+      // doc would share one signature, spuriously pairing at hamming 0 —
+      // and at scale a mass of degenerate docs is one LSH bucket with a
+      // B² pair blowup. Require ≥ minTokens non-empty tokens.
+      .filter(size(array_remove(col("toks"), "")) >= minTokens)
+      .select(col("doc"),
+        graft.functions.TextFunctions.packBits(
+          simhashBits(col("toks"), bits), bits).as("sig"))
 
   /** INCREMENTAL SimHash dedup: near-duplicate (delta, corpus) pairs by
     * signature Hamming distance — completing the O(Δ)-per-ingest family
@@ -1019,7 +1050,7 @@ object Dedup {
       maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1): DataFrame =
     bandedIncrementalJoin(
       simhashBanded(delta, idCol, textCol, bits, bands, minTokens),
-      corpusIndex, hamming)
+      corpusIndex, (a, b) => bit_count(a.bitwiseXOR(b)))
       .filter(col("score") <= maxHamming)
       .select(col("delta_id"), col("corpus_id"), col("score").as("hamming"))
 
@@ -1041,27 +1072,16 @@ object Dedup {
     * mirroring `minhashBanded`. SimHash bands are far more collision-
     * prone than MinHash bands (an r-bit slice has ≤ 2^r distinct values
     * and real token distributions skew them), so this is the projection
-    * to watch on clustered corpora. */
+    * to watch on clustered corpora. PACKED layout since round 13:
+    * (doc, sig: long, band, bkey: long) — the pHash index shape; a
+    * persisted pre-round-13 array-form index is rebuilt, not read. */
   def simhashBanded(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = DefaultSimhashBits, bands: Int = DefaultSimhashBands,
-      minTokens: Int = 1): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    val r = bits / bands
-    val sig = df
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      // degenerate-doc guard: tokens('') = [''] so every empty/whitespace
-      // doc would share one signature, spuriously pairing at hamming 0 —
-      // and at scale a mass of degenerate docs is one LSH bucket with a
-      // B² pair blowup. Require ≥ minTokens non-empty tokens.
-      .filter(size(array_remove(col("toks"), "")) >= minTokens)
-      .select(col("doc"), simhashBits(col("toks"), bits).as("sig"))
-    sig.select(
-      col("doc"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
-        array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
-        .as(Seq("band", "bkey")))
-  }
+      minTokens: Int = 1): DataFrame =
+    packedSignatureBanded(
+      simhashPackedSigs(df, idCol, textCol, bits, minTokens),
+      "doc", "sig", bits, bands)
 
   /** Per-duplicate-cluster representative selection — the "keep the
     * BEST copy" finalization a curation pipeline actually wants

@@ -41,6 +41,38 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"simhash recall $recall over ${truth.size} true pairs")
   }
 
+  test("packed simhash equals the bit-array reference: signatures bit-for-bit, pairs row-for-row") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+    // the array form stays as the spec-anchored reference (the oracle's
+    // formulation); the production walk rides the packed long
+    val arraySigs = docs
+      .select(col("doc_id").as("doc"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(array_remove(col("toks"), "")) >= 1)
+      .select(col("doc"), TextFunctions.simhashBits(col("toks"), 64).as("sig"))
+    // 1. packBits is position-preserving, bit 63 (sign position) included
+    arraySigs.select(col("doc"), col("sig"),
+      TextFunctions.packBits(col("sig"), 64).as("packed"))
+      .collect().foreach { r =>
+        val arr = r.getSeq[Int](1); val p = r.getLong(2)
+        (0 until 64).foreach { i =>
+          assert(((p >>> i) & 1L).toInt == arr(i),
+            s"doc ${r.getLong(0)}: bit $i diverges between packed and array")
+        }
+      }
+    // 2. the packed bucket walk = the array bucket walk (same bands,
+    //    same cap, same first-colliding-band dedup), scores included
+    val ref = Dedup.signaturePairs(
+      arraySigs, "doc", "sig", 64, Dedup.DefaultSimhashBands,
+      TextFunctions.hamming)
+      .filter(col("score") <= Dedup.DefaultMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty && got === ref)
+  }
+
   test("minhashPairsVerified equals the exact-jaccard ground truth on this corpus") {
     val truth = Dedup.ngramJaccardPairs(
       Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.5)
