@@ -97,7 +97,15 @@ object Clustering {
     require(cents.nonEmpty, "empty corpus: no vectors to seed centroids")
 
     for (_ <- 1 to iters) {
-      val means = e.withColumn("cluster", assignCol(cents, literalMaxTerms))
+      // Lloyd ROUNDS always assign via the native NearestCenter
+      // expression (centroid matrix = one reference object): the two
+      // paths are bit-identical (ClusteringSpec's differential), but
+      // the literal path re-pays Catalyst analysis/codegen of a k·dim
+      // expression tree EVERY round — the round-loop fixed overhead
+      // the round-10 QualityClassifier fix targeted, here ~0.2s/round
+      // at the gated 512 terms. The FINAL assignment below still
+      // honors `literalMaxTerms` (the oracle-expressible plan shape).
+      val means = e.withColumn("cluster", assignCol(cents, 0))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(roundFixed(avg(col("x")), roundDp).as("m"))

@@ -34,7 +34,19 @@ object Dedup {
   val DefaultMinhashThreshold = 0.5
   val DefaultCandThreshold = 0.3
   val DefaultSimhashBits = 64
-  val DefaultSimhashBands = 8
+  /** 4 × 16-bit bands (round 13; was 8 × 8): losslessness at the
+    * DefaultMaxHamming = 3 contract needs only > 3 bands (pigeonhole),
+    * and the RETURNED set is filtered to ≤ 3 regardless — so the four
+    * extra bands of the 8 × 8 cut bought nothing while capping the
+    * (band, bkey) universe at 8·2^8 = 2,048 (the structural ceiling the
+    * round-12 verdict flagged for pHash, measured here too: 1,209 of
+    * 2,048 occupied at sf0.1, hottest 1,338 — random 8-bit collisions,
+    * not duplication). 4 × 16 is equally lossless with a 262,144-key
+    * universe: identical final pairs (both schemes lossless ⊆ the exact
+    * Hamming filter), ~256× fewer random collisions, half the band
+    * rows. Beyond ~67M docs, [[simhashBandPlanFor]] climbs to the
+    * 2 × 32 multiprobe rung. */
+  val DefaultSimhashBands = 4
   val DefaultMaxHamming = 3
 
   /** Default skew-guard posture for the inverted-index join: drop
@@ -987,6 +999,54 @@ object Dedup {
       "doc", "sig", bits, bands, maxBucket)
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+
+  /** SimHash's corpus-scaled (bands, flips) plan —
+    * PerceptualHash.bandPlanFor's 64-bit twin, closing the fixed-
+    * keyspace ceiling for this modality too: the cheapest lossless-at-
+    * `maxHamming` rung whose (band, bkey) universe keeps expected
+    * occupancy ≤ `targetBucketSize`. At the default Hamming ≤ 3:
+    *
+    *   n ≤ ~67M → 4 × 16, flips 0 —   262,144 keys,  4 probe rows/doc
+    *   beyond   → 2 × 32, flips 1 — 8.59e9 keys,   66 probe rows/doc
+    *
+    * Every rung returns the IDENTICAL final pair set (lossless
+    * candidates ⊆ the exact Hamming filter), so the plan is a free
+    * scale knob — the gates share one oracle across rungs. */
+  def simhashBandPlanFor(corpusSize: Long,
+      maxHamming: Int = DefaultMaxHamming,
+      targetBucketSize: Int = 256): (Int, Int) = {
+    require(corpusSize >= 0 && targetBucketSize >= 1)
+    val ladder = Seq(4, 2).flatMap { b =>
+      val f = maxHamming / b // smallest flips with b·(f+1) > maxHamming
+      if (f <= 2) Some((b, f)) else None
+    }
+    require(ladder.nonEmpty,
+      s"no lossless plan with <= 2 flips exists for maxHamming=$maxHamming")
+    val needed = (corpusSize + targetBucketSize - 1) / targetBucketSize
+    ladder.find { case (b, _) =>
+      (b.toLong << (DefaultSimhashBits / b)) >= needed
+    }.getOrElse(ladder.last)
+  }
+
+  /** [[simhashPairs]] at a multiprobe rung of [[simhashBandPlanFor]]'s
+    * ladder (Dedup.packedMultiprobePairs — wider bands, flipped-key
+    * probes on the probing side only; the index side stays exact-key).
+    * Identical final pairs to [[simhashPairs]] whenever
+    * bands·(flips+1) > maxHamming. */
+  def simhashPairsMultiprobe(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int, flips: Int,
+      bits: Int = DefaultSimhashBits,
+      maxHamming: Int = DefaultMaxHamming, minTokens: Int = 1,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    require(bands * (flips + 1) > maxHamming,
+      s"plan ($bands bands, $flips flips) is lossy at maxHamming=$maxHamming")
+    packedMultiprobePairs(
+      simhashPackedSigs(df, idCol, textCol, bits, minTokens),
+      "doc", "sig", bits, bands, flips, maxBucket)
+      .filter(col("score") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+  }
 
   /** (doc, sig: long) packed SimHash signatures — [[simhashBits]]'s 64
     * votes folded into one long (bit i = classic signature position i,

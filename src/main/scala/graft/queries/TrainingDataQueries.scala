@@ -1113,6 +1113,20 @@ object TrainingDataQueries {
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
+  /** dd_simhash_multiprobe — SimHash at the DEEP rung of
+    * Dedup.simhashBandPlanFor's ladder (2 × 32-bit bands, 1-bit
+    * multiprobe — the ≥ 67M-doc posture, 8.59e9-key universe): the
+    * probing side expands each 32-bit band key to its 33-key flip set,
+    * the exact side stays plain keys. Shares dd_simhash's oracle
+    * VERBATIM — both plans are lossless at Hamming ≤ 3, and a lossless
+    * candidate walk followed by the exact filter returns the identical
+    * pair set (the property that makes the band plan a free scale
+    * knob, proven across the family by this gate + the pHash pair). */
+  val ddSimhashMultiprobe: Q = (s, dir) =>
+    Dedup.simhashPairsMultiprobe(
+      Tables.documents(s, dir), "doc_id", "text", bands = 2, flips = 1)
+      .orderBy("doc_a", "doc_b")
+
   val ddSimhashOracle: String = {
     val bands = Dedup.DefaultSimhashBands
     val rw = Dedup.DefaultSimhashBits / bands
@@ -3931,6 +3945,7 @@ object TrainingDataQueries {
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
+    "dd_simhash_multiprobe" -> ddSimhashMultiprobe,
     "dd_simhash_incremental" -> ddSimhashIncremental,
     "dd_simhash_idx_bucketed" -> ddSimhashIdxBucketed,
     "ta_token_stats" -> taTokenStats,
@@ -4026,6 +4041,7 @@ object TrainingDataQueries {
     "dd_minhash" -> ddMinhashOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,
+    "dd_simhash_multiprobe" -> ddSimhashOracle,
     "dd_simhash_incremental" -> ddSimhashIncrementalOracle,
     "dd_simhash_idx_bucketed" -> ddSimhashIncrementalOracle,
     "ta_token_stats" -> taTokenStatsOracle,

@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpecBase {
     assert(got.nonEmpty && got === ref)
   }
 
+  test("simhash band-plan ladder: every lossless rung returns the identical pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fine = pairsOf(Dedup.simhashPairs(docs, "doc_id", "text"))
+    // the legacy 8×8 cut, the new default 4×16, and the deep 2×32+1-flip
+    // multiprobe rung: all lossless at Hamming ≤ 3 ⇒ all equal
+    val legacy = pairsOf(Dedup.simhashPairs(docs, "doc_id", "text", bands = 8))
+    val deep = pairsOf(Dedup.simhashPairsMultiprobe(
+      docs, "doc_id", "text", bands = 2, flips = 1))
+    assert(fine.nonEmpty && legacy === fine && deep === fine)
+    // a lossy plan is refused, not silently degraded
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsMultiprobe(docs, "doc_id", "text", bands = 2, flips = 0))
+    // the ladder scales the keyspace with the corpus
+    assert(Dedup.simhashBandPlanFor(1000) == ((4, 0)))
+    assert(Dedup.simhashBandPlanFor(100000000L) == ((2, 1)))
+  }
+
   test("minhashPairsVerified equals the exact-jaccard ground truth on this corpus") {
     val truth = Dedup.ngramJaccardPairs(
       Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.5)
