@@ -43,7 +43,7 @@ object Bench {
     "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_spans_xx", "dd_phash",
     "dd_phash_idx_bucketed", "dd_phash_debiased",
-    "dd_phash_multiprobe", "dd_phash_multiprobe_idx",
+    "dd_phash_multiprobe", "dd_phash_multiprobe_idx", "dd_simhash_multiprobe",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
     "ta_langid", "ta_repetition", "tp_pack",
     "ss_topk_cosine", "ss_ann_lsh", "ss_ann_ivf_scaled", "ss_ann_ivf_pq_search",

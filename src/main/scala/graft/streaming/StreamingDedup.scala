@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -272,6 +272,103 @@ object StreamingDedup {
       bkey: String, doc_id: Long, event_time: java.sql.Timestamp, sig: Long)
   case class PhashBucketState(members: List[(Long, Long, Long)]) // (doc, arrivalMs, sig)
 
+  /** The shared stateful core of the PACKED-signature streaming
+    * detectors (pHash images, SimHash text): per band bucket, an
+    * arrival is flagged iff its long signature is within `maxHamming`
+    * (bit_count of xor) of ANY earlier in-horizon member — the
+    * arrival-time greedy the batch pair walk twins. State per bucket =
+    * the in-horizon (doc, arrivalMs, sig) list (24 B/member),
+    * event-time pruned, EventTimeTimeout-reclaimed, capped at
+    * `maxBucketState` most-recent members. */
+  private def packedDupNotices(banded: Dataset[PhashRow],
+      horizonMs: Long, maxHamming: Int, maxBucketState: Int): DataFrame = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[PhashBucketState, DupNotice](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[PhashRow], state: GroupState[PhashBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // newest-first list: arrivals prepend in ascending order, so
+            // the occupancy cap keeps the most recent members
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_._2 >= wm - horizonMs)
+            val out = List.newBuilder[DupNotice]
+            rows.toSeq.sortBy(e => (e.event_time.getTime, e.doc_id)).foreach { e =>
+              val t = e.event_time.getTime
+              members.iterator
+                .find { case (d, at, s) =>
+                  d != e.doc_id && at <= t && t - at <= horizonMs &&
+                    java.lang.Long.bitCount(s ^ e.sig) <= maxHamming }
+                .foreach { case (d, _, _) => out += DupNotice(e.doc_id, e.event_time, d) }
+              members = ((e.doc_id, t, e.sig) :: members).take(maxBucketState)
+            }
+            state.update(PhashBucketState(members))
+            val newest = members.iterator.map(_._2).max
+            state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** The fused "band:key" string column over a packed long `sig` —
+    * Dedup.packedSignatureBanded's shift+mask slices folded into one
+    * key so a single stateful operator covers all bands (the batch
+    * side's `bb` convention). */
+  private def packedBandKeys(sig: org.apache.spark.sql.Column,
+      bands: Int, r: Int): org.apache.spark.sql.Column = {
+    val mask = (1L << r) - 1
+    explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(b.cast("string"), lit(":"),
+        call_function("shiftright", sig, (b * r).cast("int"))
+          .bitwiseAND(lit(mask)).cast("string"))))
+  }
+
+  /** Streaming TEXT near-duplicate detection by SimHash — the
+    * arrival-time twin of `Dedup.simhashPairs`, completing the packed
+    * Hamming family's streaming coverage (MinHash and pHash have
+    * theirs): a document is flagged iff its packed 64-bit SimHash is
+    * within `maxHamming` of ANY earlier in-horizon arrival sharing a
+    * band bucket. The signature is computed in the STATELESS
+    * projection before the stateful shuffle — 8 bytes move per band,
+    * never text — and the band cut defaults to the batch side's
+    * corpus-scaled 4 × 16 plan, so the streamed candidate walk is the
+    * batch walk's arrival-time greedy at the same (lossless at
+    * Hamming ≤ 3) cut. Degenerate docs (< `minTokens` non-empty
+    * tokens) drop exactly like the batch guard. */
+  def simhashDupStream(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      timeCol: String = "timestamp", horizonMinutes: Int = 10,
+      bits: Int = Dedup.DefaultSimhashBits,
+      bands: Int = Dedup.DefaultSimhashBands,
+      maxHamming: Int = Dedup.DefaultMaxHamming, minTokens: Int = 1,
+      maxBucketState: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    import graft.functions.TextFunctions
+    require(horizonMinutes >= 1)
+    require(bits % bands == 0 && bands >= 2, "bands must divide bits, >= 2")
+    require(maxBucketState >= 2, "maxBucketState must be >= 2")
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60 * 1000L
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        to_timestamp(col(timeCol)).as("event_time"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(array_remove(col("__t"), "")) >= minTokens)
+      .select(col("doc_id"), col("event_time"),
+        TextFunctions.packBits(
+          TextFunctions.simhashBits(col("__t"), bits), bits).as("sig"))
+      .withWatermark("event_time", s"$horizonMinutes minutes")
+      .select(col("doc_id"), col("event_time"), col("sig"),
+        packedBandKeys(col("sig"), bands, bits / bands).as("bkey"))
+      .select(col("bkey"), col("doc_id"), col("event_time"), col("sig"))
+      .as[PhashRow]
+    packedDupNotices(banded, horizonMs, maxHamming, maxBucketState)
+  }
+
   /** Streaming IMAGE near-duplicate detection — the arrival-time twin
     * of `PerceptualHash.phashPairs`, the way `minhashDupStream` twins
     * `Dedup.minhashPairs`: an image is flagged iff its packed 63-bit
@@ -306,8 +403,6 @@ object StreamingDedup {
     require(PerceptualHash.PhashBits % bands == 0, "bands must divide 63")
     require(maxBucketState >= 2, "maxBucketState must be >= 2")
     import spark.implicits._
-    val r = PerceptualHash.PhashBits / bands
-    val mask = (1L << r) - 1
     val horizonMs = horizonMinutes * 60 * 1000L
 
     val banded = media
@@ -321,42 +416,10 @@ object StreamingDedup {
       .toDF("doc_id", "event_time", "sig")
       .withWatermark("event_time", s"$horizonMinutes minutes")
       .select(col("doc_id"), col("event_time"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat(b.cast("string"), lit(":"),
-            call_function("shiftright", col("sig"), (b * r).cast("int"))
-              .bitwiseAND(lit(mask)).cast("string")))).as("bkey"))
+        packedBandKeys(col("sig"), bands,
+          PerceptualHash.PhashBits / bands).as("bkey"))
       .select(col("bkey"), col("doc_id"), col("event_time"), col("sig"))
       .as[PhashRow]
-
-    banded
-      .groupByKey(_.bkey)
-      .flatMapGroupsWithState[PhashBucketState, DupNotice](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[PhashRow], state: GroupState[PhashBucketState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            // newest-first list: arrivals prepend in ascending order, so
-            // the occupancy cap keeps the most recent members
-            var members = state.getOption.map(_.members).getOrElse(Nil)
-              .filter(_._2 >= wm - horizonMs)
-            val out = List.newBuilder[DupNotice]
-            rows.toSeq.sortBy(e => (e.event_time.getTime, e.doc_id)).foreach { e =>
-              val t = e.event_time.getTime
-              members.iterator
-                .find { case (d, at, s) =>
-                  d != e.doc_id && at <= t && t - at <= horizonMs &&
-                    java.lang.Long.bitCount(s ^ e.sig) <= maxHamming }
-                .foreach { case (d, _, _) => out += DupNotice(e.doc_id, e.event_time, d) }
-              members = ((e.doc_id, t, e.sig) :: members).take(maxBucketState)
-            }
-            state.update(PhashBucketState(members))
-            val newest = members.iterator.map(_._2).max
-            state.setTimeoutTimestamp(math.max(newest + horizonMs, wm + 1))
-            out.result().iterator
-          }
-      }.toDF()
+    packedDupNotices(banded, horizonMs, maxHamming, maxBucketState)
   }
 }
