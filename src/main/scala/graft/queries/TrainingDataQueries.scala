@@ -138,7 +138,7 @@ object TrainingDataQueries {
     // round-12 form enumerated the quadratic pair walk twice and spent
     // most of its 30s re-running fixture setup, not the operator
     val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
-      .select("doc_a", "doc_b").localCheckpoint(false)
+      .select("doc_a", "doc_b").localCheckpoint(true)
     val labels = Dedup.duplicateClusters(
       allPairs.filter(pmod(col("doc_a"), lit(5)) =!= 0 &&
         pmod(col("doc_b"), lit(5)) =!= 0))
@@ -213,7 +213,7 @@ object TrainingDataQueries {
     // operator under test was a fraction; the standing-state fixture
     // is setup, not the measured contract
     val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
-      .select("doc_a", "doc_b").localCheckpoint(false)
+      .select("doc_a", "doc_b").localCheckpoint(true)
     val corpusPairs = allPairs.filter(pmod(col("doc_a"), lit(5)) =!= 0 &&
       pmod(col("doc_b"), lit(5)) =!= 0)
     val newPairs = allPairs
