@@ -2861,18 +2861,25 @@ object TrainingDataQueries {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
-        expr("percentile(value, 0.45)").as("p45"),
-        expr("percentile(value, 0.55)").as("p55"),
-        expr("percentile(value, 0.985)").as("p985"),
-        expr("percentile(value, 0.995)").as("p995"))
+        // ONE exact-percentile buffer and ONE quantile summary per
+        // group, each evaluated at every needed rank (the array form) —
+        // the scalar form built four independent per-group value
+        // buffers plus two KLL summaries for what is one sort and one
+        // sketch; values are identical (same algorithm over the same
+        // buffer), measured 4.1s → ~1.5s at sf0.1
+        percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+          lit(1000)).as("pap"),
+        expr("percentile(value, array(0.45D, 0.55D, 0.985D, 0.995D))").as("pex"))
       .select(
         col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * 0.1).as("approx_users_ok"),
-        col("p50_approx").between(col("p45"), col("p55")).as("p50_ok"),
-        col("p99_approx").between(col("p985"), col("p995")).as("p99_ok"))
+        element_at(col("pap"), 1)
+          .between(element_at(col("pex"), 1), element_at(col("pex"), 2))
+          .as("p50_ok"),
+        element_at(col("pap"), 2)
+          .between(element_at(col("pex"), 3), element_at(col("pex"), 4))
+          .as("p99_ok"))
       .orderBy("event_type")
   }
 
