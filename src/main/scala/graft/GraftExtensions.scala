@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter, NearestCenters}
+import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter, NearestCenters, SimHash64}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -107,8 +107,16 @@ object GraftExtensions {
       NearestCenters(args.head, centers, cids, p)
     })
 
+  private val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_simhash64(tokens)")
+      SimHash64(args.head)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
-    nearestCenterFunction, nearestCentersFunction)
+    nearestCenterFunction, nearestCentersFunction, simhashFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

@@ -123,10 +123,20 @@ object Dedup {
       n: Int = DefaultShingleN, threshold: Double = DefaultMinhashThreshold,
       maxDocFreq: Option[Long] = None,
       maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+    // explode_OUTER + null-drop, NOT explode: InferFiltersFromGenerate
+    // infers (size(sh) > 0 AND isnotnull(sh)) from a non-outer explode
+    // and predicate pushdown SUBSTITUTES the whole shingle HOF tree into
+    // that filter with the split() re-inlined per element_at reference —
+    // an O(tokens²) re-tokenization per document evaluated on every
+    // source row (measured 6.1 s vs 0.3 s for this projection alone at
+    // sf0.1). The outer form is excluded from that rule; empty-shingle
+    // docs surface as one null row, dropped here (and a null could
+    // never join/aggregate into a pair anyway).
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), shinglesFromTokens(col("toks"), n).as("sh"))
-      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     // Skew guard (ON by default): drop shingles whose posting list
     // exceeds the limit — min of the absolute cap and the relative cap,
     // the latter floored at MinDocFreqFloor. The relative limit is a
@@ -182,14 +192,44 @@ object Dedup {
       train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
       n: Int = DefaultShingleN, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None,
-      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction)): DataFrame = {
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false, broadcastEval: Boolean = true): DataFrame = {
+    // Postings carry the 60-bit md5 shingle KEY (TextFunctions.shingleKey
+    // — the span family's convention since round 9), not the n-token
+    // string: the cross-corpus join and the doc-freq guard exchange 8 B
+    // per posting instead of 40–80 B, and the key stays oracle-
+    // recomputable (('0x' || substr(md5(s),1,15))::BIGINT in DuckDB).
+    // `fast = true` swaps xxhash64 for production corpora without a
+    // cross-engine gate. The containment DENOMINATOR stays the pre-hash
+    // distinct-shingle count (n_sh), so a (negligible, spec-bounded)
+    // key collision can only perturb `common` identically cross-engine.
+    //
+    // `broadcastEval` (default ON — the production asymmetry: eval/
+    // benchmark suites are orders of magnitude smaller than the training
+    // corpus, and the doc-freq guard prunes them further): the guarded
+    // eval posting rides to every task as a broadcast, so the train
+    // posting — the 100 TB side — NEVER shuffles, and the per-(train,
+    // eval) match counts collapse in the map-side partial aggregate
+    // before the only exchange (pair-sized, not match-sized). Without
+    // it the shingle-match set — quadratic-ish in common-phrase density
+    // — is exchanged raw, which profiling showed was this operator's
+    // entire >2×-DuckDB gap at sf0.1 (7.5 s → scan-bound). Set false
+    // only for an eval corpus too large for executor memory.
     def shingled(df: DataFrame, name: String) = df
       .select(col(idCol).as(name), tokens(col(textCol)).as("toks"))
       .select(col(name), shinglesFromTokens(col("toks"), n).as("sh"))
+    // explode_OUTER + null-drop (the ngramJaccardPairs rationale —
+    // InferFiltersFromGenerate's pushed filter re-evaluates the shingle
+    // tree with split() inlined per reference, O(tokens²)/doc; measured
+    // 6.1 s of this operator's 7.5 s at sf0.1)
     val t = shingled(train, "train_id")
-      .select(col("train_id"), explode(col("sh")).as("s"))
+      .select(col("train_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("train_id"), shingleKey(col("s"), fast).as("h"))
     val e0 = shingled(evalCorpus, "eval_id")
-      .select(col("eval_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("eval_id"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("eval_id"), col("n_sh"), shingleKey(col("s"), fast).as("h"))
     val e = (maxDocFreq, maxDocFreqFraction) match {
       case (None, None) => e0
       case (abs, frac) =>
@@ -206,12 +246,20 @@ object Dedup {
             case None    => base
           }
         }
-        val keep = e0.select("s").groupBy("s").agg(count(lit(1)).as("df"))
+        // materialize the eval posting projection ONCE (lazy
+        // localCheckpoint — the positionalPosting recipe): the guard
+        // consumes it twice (doc-freq aggregate + keep join) and the
+        // aggregate's partial phase runs below its exchange, so without
+        // the checkpoint the eval tokenize→shingle→md5 scan runs once
+        // per consumer (the round-13 verdict's measured cost shape for
+        // this operator).
+        val e0c = e0.localCheckpoint(false)
+        val keep = e0c.groupBy("h").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(limitDf))
-          .filter(col("df") <= col("df_limit")).select("s")
-        e0.join(keep, "s")
+          .filter(col("df") <= col("df_limit")).select("h")
+        e0c.join(keep, "h")
     }
-    t.join(e, "s")
+    t.join(if (broadcastEval) broadcast(e) else e, "h")
       .groupBy(col("train_id"), col("eval_id"), col("n_sh"))
       .agg(count(lit(1)).as("common"))
       .withColumn("containment", col("common").cast("double") / col("n_sh"))
@@ -306,7 +354,13 @@ object Dedup {
     banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      // outer + null-drop: a non-outer explode's inferred filter
+      // (InferFiltersFromGenerate) re-evaluates the whole pair-
+      // enumeration lambda twice more per bucket row (see
+      // ngramJaccardPairs); an all-suppressed bucket's empty array
+      // becomes one null row, dropped here
+      .select(explode_outer(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.score").as("score"))
   }
@@ -349,11 +403,15 @@ object Dedup {
     // string (not hashed — the join key must be recomputable by the
     // DuckDB oracle, and the slice itself is exactly as shuffle-compact
     // at r=4 components)
+    // posexplode_OUTER + null-drop (see signatureBanded): a non-outer
+    // generate's inferred filter would substitute the full graft_minhash
+    // expression and re-evaluate it twice more per row
     sig.select(
       col("doc"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
+      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)), i =>
         array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
         .as(Seq("band", "bkey")))
+      .filter(col("band").isNotNull)
   }
 
   def minhashPairs(
@@ -701,11 +759,18 @@ object Dedup {
       bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
+    // posexplode_OUTER + null-drop: a non-outer generate feeds
+    // InferFiltersFromGenerate, and pushdown substitutes `sig`'s whole
+    // defining expression (a full signature computation) into the
+    // inferred (size > 0, isnotnull) filter — two extra signature
+    // evaluations per row (see ngramJaccardPairs). The band array is
+    // never empty (bands ≥ 1), so the filter drops nothing.
     sigs.select(col(idCol).as("doc"), col(sigCol).as("sig"))
       .select(col("doc"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), i =>
+        posexplode_outer(transform(sequence(lit(0), lit(bands - 1)), i =>
           array_join(slice(col("sig"), i * r + 1, lit(r)).cast("array<string>"), "_")))
           .as(Seq("band", "bkey")))
+      .filter(col("band").isNotNull)
   }
 
   /** Near-duplicate pairs over a precomputed signature table — the
@@ -787,15 +852,25 @@ object Dedup {
       bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(bits <= 64, s"packed signatures hold at most 64 bits, got $bits")
-    require(bands >= 2, "a single 64-bit band key would need an unmasked word")
+    // only the genuinely undefined case is rejected: bands = 1 over a
+    // full 64-bit signature would need an unmasked (1L << 64) word;
+    // bands = 1 with bits <= 63 has a well-defined mask and stays legal
+    // (round-13 ADVICE — the blanket bands >= 2 was a silent API
+    // tightening for external callers)
+    require(bands >= 2 || bits <= 63,
+      "bands = 1 requires bits <= 63 (a 64-bit single band key would need an unmasked word)")
     val r = bits / bands
     val mask = (1L << r) - 1
+    // posexplode_OUTER + null-drop: see signatureBanded — keeps
+    // InferFiltersFromGenerate from re-evaluating the signature twice
+    // more per row; the band array is never empty.
     sigs.select(col(idCol).as("doc"), col(sigCol).cast("long").as("sig"))
       .select(col("doc"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        posexplode_outer(transform(sequence(lit(0), lit(bands - 1)), b =>
           call_function("shiftright", col("sig"), (b * r).cast("int"))
             .bitwiseAND(lit(mask))))
           .as(Seq("band", "bkey")))
+      .filter(col("band").isNotNull)
   }
 
   /** [[signaturePairs]] over packed signatures, Hamming-scored: the
@@ -866,7 +941,13 @@ object Dedup {
     banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      // outer + null-drop: a non-outer explode's inferred filter
+      // (InferFiltersFromGenerate) re-evaluates the whole pair-
+      // enumeration lambda twice more per bucket row (see
+      // ngramJaccardPairs); an all-suppressed bucket's empty array
+      // becomes one null row, dropped here
+      .select(explode_outer(filter(pairsCol, p => p.getField("keep"))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.score").as("score"))
   }
@@ -920,9 +1001,12 @@ object Dedup {
       sigCol: String, bits: Int, bands: Int, flips: Int): DataFrame = {
     val r = bits / bands
     val masks = typedLit(0L +: flipMasks(r, flips).toSeq)
+    // outer + null-drop (see signatureBanded); the mask array is a
+    // non-empty literal, so nothing drops
     packedSignatureBanded(sigs, idCol, sigCol, bits, bands)
       .select(col("doc"), col("sig"), col("band"),
-        explode(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+        explode_outer(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
+      .filter(col("bkey").isNotNull)
   }
 
   /** [[packedSignaturePairs]] with MULTIPROBE candidate generation:
@@ -1053,16 +1137,29 @@ object Dedup {
     * TextFunctions.packBits). */
   private def simhashPackedSigs(
       df: DataFrame, idCol: String, textCol: String,
-      bits: Int, minTokens: Int): DataFrame =
+      bits: Int, minTokens: Int, native: Boolean = true): DataFrame = {
+    // native path (the minhashBanded convention): codegen'd Catalyst
+    // expression (graft.plans.SimHash64) — bit-identical to
+    // packBits(simhashBits(toks)) by differential spec, but the 64-vote
+    // loop compiles instead of interpreting 64 per-bit expression trees
+    // per token (profiled at ~5 s of dd_simhash's 6 s at sf0.1; the md5
+    // calls themselves — the cross-engine-verifiability anchor — are
+    // negligible).
+    val sigCol =
+      if (native) {
+        require(bits == 64, "graft_simhash64 packs exactly 64 bits")
+        graft.GraftExtensions.register(df.sparkSession)
+        call_function("graft_simhash64", col("toks"))
+      } else graft.functions.TextFunctions.packBits(
+        simhashBits(col("toks"), bits), bits)
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       // degenerate-doc guard: tokens('') = [''] so every empty/whitespace
       // doc would share one signature, spuriously pairing at hamming 0 —
       // and at scale a mass of degenerate docs is one LSH bucket with a
       // B² pair blowup. Require ≥ minTokens non-empty tokens.
       .filter(size(array_remove(col("toks"), "")) >= minTokens)
-      .select(col("doc"),
-        graft.functions.TextFunctions.packBits(
-          simhashBits(col("toks"), bits), bits).as("sig"))
+      .select(col("doc"), sigCol.as("sig"))
+  }
 
   /** INCREMENTAL SimHash dedup: near-duplicate (delta, corpus) pairs by
     * signature Hamming distance — completing the O(Δ)-per-ingest family
@@ -1425,9 +1522,16 @@ object Dedup {
   private[graft] def positionalPosting(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {
+    // posexplode_OUTER + null-drop (the ngramJaccardPairs rationale):
+    // the non-outer form feeds InferFiltersFromGenerate, whose pushed
+    // (size > 0, isnotnull) filter re-evaluates the positional-shingle
+    // tree with split() re-inlined per element_at — k extra
+    // tokenizations per position per row. Outer emits one null row for
+    // a shingle-less doc, dropped here.
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+      .select(col("doc"), posexplode_outer(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+      .filter(col("s").isNotNull)
       .select(col("doc"), col("pos"), shingleKey(col("s"), fast).as("h"))
     maxDocFreqFraction match {
       case None => sh
@@ -1527,7 +1631,11 @@ object Dedup {
       // over an already-sorted primitive array (no-op on clean input,
       // so every gate hash is unchanged)
       .agg(array_distinct(array_sort(collect_list(col("pa").cast("long")))).as("ms"))
-      .select(col("doc_a"), col("doc_b"), col("diag"), explode(islands).as("isl"))
+      // outer + null-drop: keeps InferFiltersFromGenerate from running
+      // the island fold twice more per (pair, diagonal) row; a
+      // no-island group's empty array becomes one null row, dropped
+      .select(col("doc_a"), col("doc_b"), col("diag"), explode_outer(islands).as("isl"))
+      .filter(col("isl").isNotNull)
       .select(
         col("doc_a"), col("doc_b"),
         col("isl.s").cast("int").as("start_a"),

@@ -119,7 +119,11 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(explode(TextFunctions.positionalShingles(col("toks"), n)).as("gram"))
+      // outer + null-drop: skips InferFiltersFromGenerate, whose pushed
+      // (size > 0) filter re-tokenizes per element_at reference (see
+      // Dedup.ngramJaccardPairs)
+      .select(explode_outer(TextFunctions.positionalShingles(col("toks"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
       .as[String]
   }
 

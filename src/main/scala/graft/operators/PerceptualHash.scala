@@ -407,7 +407,12 @@ object PerceptualHash {
         .map(img => (m.media_id, acOfRgb(img)))
     }).toDF("media_id", "coefs")
     val hist = coefs
-      .select(posexplode(col("coefs")).as(Seq("i", "v")))
+      // outer + null-drop: skips InferFiltersFromGenerate (a non-outer
+      // generate's inferred filter re-reads the coefs attribute cheaply
+      // here, but keeps the convention uniform with the decode-bearing
+      // projections)
+      .select(posexplode_outer(col("coefs")).as(Seq("i", "v")))
+      .filter(col("i").isNotNull)
       .groupBy("i", "v").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val n = hist.filter(col("i") === 0).agg(sum("c")).head.getLong(0)

@@ -79,7 +79,8 @@ object QualityClassifier {
       TextFunctions.tokens(col(textCol)).as("t"))
     val hashed = toks
       .select(col("doc"), size(col("t")).cast("long").as("n"),
-        explode(col("t")).as("w"))
+        explode_outer(col("t")).as("w")) // outer: skips InferFiltersFromGenerate's re-tokenizing filter
+      .filter(col("w").isNotNull)
       .groupBy(col("doc"), col("n"),
         pmod(TextFunctions.shingleKey(col("w")), lit(nf.toLong)).as("f"))
       .agg(count(lit(1)).as("c"))

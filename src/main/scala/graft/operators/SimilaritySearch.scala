@@ -195,8 +195,13 @@ object SimilaritySearch {
       bucketCols: Seq[Column]): DataFrame =
     corpus
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+      // posexplode_OUTER + null-drop: a non-outer generate feeds
+      // InferFiltersFromGenerate, whose pushed filter re-evaluates the
+      // hyperplane bucket expressions twice more per row (see
+      // Dedup.signatureBanded); the table array is never empty
       .select(col("id"), col("v"), norm(col("v")).as("nrm"),
-        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+        posexplode_outer(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      .filter(col("tbl").isNotNull)
 
   /** LSH-bucketed all-pairs neighbor search: every vector is assigned an
     * `nBits`-bit hyperplane bucket; candidates are bucket-mates; each
@@ -255,7 +260,12 @@ object SimilaritySearch {
             a.getField("id").as("vec_id"),
             c.getField("neighbor_id").as("neighbor_id"),
             c.getField("cos").as("cos"))))
-      pooled.select(explode(flatten(topk)).as("p"))
+      // outer + null-drop on every generate in this walk: a non-outer
+      // explode feeds InferFiltersFromGenerate, whose pushed filter
+      // re-evaluates the scoring/chunking lambdas twice more per bucket
+      // row (see Dedup.signatureBanded)
+      pooled.select(explode_outer(flatten(topk)).as("p"))
+        .filter(col("p").isNotNull)
         .select(col("p.vec_id").as("vec_id"),
           col("p.neighbor_id").as("neighbor_id"), col("p.cos"))
     } else {
@@ -268,13 +278,15 @@ object SimilaritySearch {
       val rows = maxBucket match {
         case None => pooled.select(col("ms").as("vs"), col("pool"))
         case Some(_) => pooled.select(
-          explode(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+          explode_outer(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+          .filter(col("vs").isNotNull)
       }
-      val pairs = rows.select(explode(flatten(transform(col("vs"), a =>
+      val pairs = rows.select(explode_outer(flatten(transform(col("vs"), a =>
         transform(scored(col("pool"), a), c => struct(
           a.getField("id").as("vec_id"),
           c.getField("neighbor_id").as("neighbor_id"),
           c.getField("cos").as("cos")))))).as("p"))
+        .filter(col("p").isNotNull)
         .select(col("p.vec_id").cast("long").as("vec_id"),
           col("p.cos").as("cos"), col("p.neighbor_id").cast("long").as("neighbor_id"))
       topKPerVector(pairs, k)
@@ -475,10 +487,11 @@ object SimilaritySearch {
     val rows = maxBucket match {
       case None => pooled.select(col("ms").as("vs"), col("pool"))
       case Some(_) => pooled.select(
-        explode(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+        explode_outer(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
+        .filter(col("vs").isNotNull)
     }
     val pairs = rows
-      .select(explode(flatten(transform(col("vs"), a =>
+      .select(explode_outer(flatten(transform(col("vs"), a =>
         transform(
           filter(col("pool"), b => b.getField("id") =!= a.getField("id")),
           b => struct(
@@ -486,6 +499,7 @@ object SimilaritySearch {
             b.getField("id").as("neighbor_id"),
             (dot(a.getField("v"), b.getField("v")) /
               (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
         col("p.neighbor_id").as("neighbor_id"))
     topKPerVector(pairs, k)
@@ -564,8 +578,11 @@ object SimilaritySearch {
           lit(math.min(nProbe, cents.length)))
     corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
+      // outer + null-drop (see bucketedMembers): the inferred filter
+      // would re-run the nearest-centers ranking twice more per row
       .select(col("id"), col("v"), norm(col("v")).as("nrm"),
-        posexplode(probedCids).as(Seq("pidx", "bucket")))
+        posexplode_outer(probedCids).as(Seq("pidx", "bucket")))
+      .filter(col("pidx").isNotNull)
       .withColumn("is_member", col("pidx") === 0)
   }
 

@@ -243,8 +243,15 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       topM: Int = 5, roundDp: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explode_OUTER + null-drop, NOT explode (the Dedup.ngramJaccardPairs
+    // rationale): InferFiltersFromGenerate's pushed (size > 0, isnotnull)
+    // filter re-evaluates the generator input — here split(text) — twice
+    // more per source row; the outer form is excluded from that rule.
+    // split() never returns an empty array on non-null text, so the only
+    // dropped rows are null-text docs, exactly as before.
     val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     // the always-true tf >= 1 keeps the tf column alive in this branch;
@@ -280,7 +287,8 @@ object TextAnalysis {
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
       topV: Int = 100): DataFrame = {
     val tf = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("doc"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull) // outer + drop: skips InferFiltersFromGenerate (see tfidfTopTerms)
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     tf.groupBy("term")
       .agg(sum("tf").as("total_tf"), count(lit(1)).as("doc_freq"))
@@ -406,13 +414,18 @@ object TextAnalysis {
     bigramLmModelFromToks(df.select(tokens(col(textCol)).as("t")))
 
   private def bigramLmModelFromToks(toks: DataFrame): (DataFrame, DataFrame) = {
-    val uni = toks.select(explode(col("t")).as("w1"))
+    // outer + null-drop on both explodes: skips InferFiltersFromGenerate
+    // (see tfidfTopTerms — the inferred filter re-runs the tokenize /
+    // bigram-transform tree twice more per row)
+    val uni = toks.select(explode_outer(col("t")).as("w1"))
+      .filter(col("w1").isNotNull)
       .groupBy("w1").agg(count(lit(1)).as("cu"))
     val bi = toks
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
+      .select(explode_outer(expr(
         "transform(sequence(0, size(t) - 2), i -> " +
           "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+      .filter(col("b").isNotNull)
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     (uni, bi)
@@ -454,9 +467,10 @@ object TextAnalysis {
     val keyCols = keyNames.map(col)
     val docBi = keyed
       .filter(size(col("t")) >= 2)
-      .select(keyCols :+ explode(expr(
+      .select(keyCols :+ explode_outer(expr(
         "transform(sequence(0, size(t) - 2), i -> " +
           "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"): _*)
+      .filter(col("b").isNotNull) // outer + drop: skips InferFiltersFromGenerate (see tfidfTopTerms)
       .select(keyCols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
     val scaled = math.pow(10, roundDp)
     val lp = floor(log(
@@ -516,8 +530,11 @@ object TextAnalysis {
   private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) =
     bpeTrainLoopFromWordFreq(
-      df.select(explode(regexp_extract_all(
+      df.select(explode_outer(regexp_extract_all(
           col(textCol), lit(BpePattern), lit(0))).as("word"))
+        // outer + drop: skips InferFiltersFromGenerate, whose pushed
+        // filter re-runs regexp_extract_all twice more per row
+        .filter(col("word").isNotNull)
         .groupBy("word").agg(count(lit(1)).as("freq")),
       rounds)
 
@@ -643,8 +660,9 @@ object TextAnalysis {
     // loop and the encode side each ran their own full
     // tokenize→regex→explode scan.
     val posting = df
-      .select(col(idCol), explode(regexp_extract_all(
+      .select(col(idCol), explode_outer(regexp_extract_all(
         col(textCol), lit(BpePattern), lit(0))).as("word"))
+      .filter(col("word").isNotNull) // outer + drop: skips InferFiltersFromGenerate (regex ×3 otherwise)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val (_, words) = bpeTrainLoopFromWordFreq(

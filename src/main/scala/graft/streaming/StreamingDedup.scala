@@ -351,6 +351,7 @@ object StreamingDedup {
     require(horizonMinutes >= 1)
     require(bits % bands == 0 && bands >= 2, "bands must divide bits, >= 2")
     require(maxBucketState >= 2, "maxBucketState must be >= 2")
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
     val horizonMs = horizonMinutes * 60 * 1000L
     val banded = docs
@@ -358,9 +359,14 @@ object StreamingDedup {
         to_timestamp(col(timeCol)).as("event_time"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .filter(size(array_remove(col("__t"), "")) >= minTokens)
-      .select(col("doc_id"), col("event_time"),
-        TextFunctions.packBits(
-          TextFunctions.simhashBits(col("__t"), bits), bits).as("sig"))
+      .select(col("doc_id"), col("event_time"), {
+        // the batch side's native signature (graft.plans.SimHash64 —
+        // registered above by this method's GraftExtensions.register):
+        // bit-identical to packBits(simhashBits(·)), codegen'd
+        if (bits == 64) call_function("graft_simhash64", col("__t"))
+        else TextFunctions.packBits(
+          TextFunctions.simhashBits(col("__t"), bits), bits)
+      }.as("sig"))
       .withWatermark("event_time", s"$horizonMinutes minutes")
       .select(col("doc_id"), col("event_time"), col("sig"),
         packedBandKeys(col("sig"), bands, bits / bands).as("bkey"))

@@ -71,7 +71,10 @@ object StreamingHeavyHitters {
 
     val grams = docs
       .select(tokens(col(textCol)).as("toks"))
-      .select(explode(positionalShingles(col("toks"), n)).as("gram"))
+      // outer + null-drop: skips InferFiltersFromGenerate (see
+      // HeavyHitters.gramStream — same projection)
+      .select(explode_outer(positionalShingles(col("toks"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
       .select(pmod(shingleKey(col("gram")), lit(nShards.toLong))
         .cast("int").as("shard"), col("gram"))
       .as[GramRow]

@@ -71,7 +71,10 @@ object StreamingSpanDedup {
       .select(col(idCol).cast("long").as("doc_id"), col("event_time"),
         tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("event_time"),
-        posexplode(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+        // outer + null-drop: skips InferFiltersFromGenerate's
+        // re-tokenizing pushed filter (see Dedup.positionalPosting)
+        posexplode_outer(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
+      .filter(col("s").isNotNull)
       .select(shingleKey(col("s"), fast).as("h"),
         col("doc_id"), col("event_time"), col("pos"))
       .as[PostRow]

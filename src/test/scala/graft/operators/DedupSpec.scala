@@ -51,11 +51,22 @@ class DedupSpec extends SparkSpecBase {
       .select(col("doc_id").as("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(array_remove(col("toks"), "")) >= 1)
       .select(col("doc"), TextFunctions.simhashBits(col("toks"), 64).as("sig"))
-    // 1. packBits is position-preserving, bit 63 (sign position) included
-    arraySigs.select(col("doc"), col("sig"),
-      TextFunctions.packBits(col("sig"), 64).as("packed"))
+    // 1. packBits is position-preserving, bit 63 (sign position) included,
+    //    and the native codegen'd expression (graft.plans.SimHash64 — the
+    //    production signature since round 14) equals the composed form
+    //    bit-for-bit on every document
+    graft.GraftExtensions.register(spark)
+    docs
+      .select(col("doc_id").as("doc"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(array_remove(col("toks"), "")) >= 1)
+      .select(col("doc"),
+        TextFunctions.simhashBits(col("toks"), 64).as("sig"),
+        TextFunctions.packBits(TextFunctions.simhashBits(col("toks"), 64), 64).as("packed"),
+        call_function("graft_simhash64", col("toks")).as("native"))
       .collect().foreach { r =>
-        val arr = r.getSeq[Int](1); val p = r.getLong(2)
+        val arr = r.getSeq[Int](1); val p = r.getLong(2); val nv = r.getLong(3)
+        assert(nv == p,
+          s"doc ${r.getLong(0)}: native graft_simhash64 diverges from packBits∘simhashBits")
         (0 until 64).foreach { i =>
           assert(((p >>> i) & 1L).toInt == arr(i),
             s"doc ${r.getLong(0)}: bit $i diverges between packed and array")
