@@ -63,7 +63,7 @@ object Bench {
     // throughput headlines.
     "dd_spans_incremental", "dd_decontaminate",
     "dd_embedding", "dd_embedding_incremental", "dd_embedding_idx_bucketed",
-    "sk_heavy_hitters_idx", "sk_sketches", "cl_kmeans_native",
+    "sk_heavy_hitters_idx", "sk_sketches", "sk_sketches_only", "cl_kmeans_native",
     "ta_quality", "ta_quality_clf_incremental", "ta_fingerprint",
     "ta_token_bpe", "ds_sample_stratified", "ds_split", "mm_features",
     "op_bloom_join", "op_salted_agg", "tx_redact",
@@ -84,7 +84,14 @@ object Bench {
     "mm_curate", "tp_decontaminated",
     "dd_clusters", "dd_clusters_incremental",
     "dd_keep_best", "dd_keep_best_incremental",
-    "dd_simhash", "dd_simhash_incremental", "dd_simhash_idx_bucketed")
+    "dd_simhash", "dd_simhash_incremental", "dd_simhash_idx_bucketed",
+    // the last previously-dark gates (round-13 verdict item 6): the
+    // quadratic-oracle pair family (their DuckDB twins TIMEOUT — the 2×
+    // denominator is the cap floor) and the one-row recall probes,
+    // which run real search plans. With these, every driver gate has a
+    // recorded Spark time in the committed quiet artifact.
+    "dd_ngram_jaccard", "dd_minhash_verified", "dd_recall_minhash",
+    "ss_recall_ivf", "ss_recall_ivf_p8", "ss_recall_lsh", "ss_recall_lsh_t8")
 
   /** Floor of the cross-SF scaling sweep: the historically-weak set
     * (round-9 VERDICT letter). The ACTUAL sweep set is DERIVED at run
@@ -108,7 +115,15 @@ object Bench {
     * denominator is a floor, not a measurement). Minimal regex parse:
     * the artifact is one flat {"queries":{name: sec | "TIMEOUT"}}
     * object; the top-level scalar keys are dropped by name. */
-  def duckBaseline(): Map[String, Double] = {
+  def duckBaseline(): Map[String, Double] = duckBaselineWithSf()._1
+
+  /** [[duckBaseline]] plus the artifact's own "sf" field, so the caller
+    * can refuse a baseline recorded at a different scale factor than
+    * the bench run (deriving a weak set across SFs both over- and
+    * under-sweeps). A missing/empty artifact warns on stderr instead of
+    * silently collapsing the derived weak set to the static floor
+    * (both round-13 ADVICE items). */
+  def duckBaselineWithSf(): (Map[String, Double], Option[String]) = {
     import scala.jdk.CollectionConverters._
     val path = sys.env.get("SPARK_GRAFT_DUCK_JSON")
       .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.isReadable(_))
@@ -123,17 +138,27 @@ object Bench {
         }.toSeq.sortBy(-_._1).headOption.map(_._2)
         finally s.close()
       }
+    if (path.isEmpty)
+      System.err.println("[bench] no DUCK_r*.json baseline found in the " +
+        "working directory (and SPARK_GRAFT_DUCK_JSON unset) — the derived " +
+        "weak set falls back to the static scalingDefense floor")
     path.map { p =>
       val text = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
       val cap = raw""""cap_sec"\s*:\s*([0-9.]+)""".r
         .findFirstMatchIn(text).map(_.group(1).toDouble).getOrElse(60.0)
+      val sf = raw""""sf"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(text).map(_.group(1))
       val entry = raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+|"TIMEOUT")""".r
-      entry.findAllMatchIn(text).map { m =>
+      val m = entry.findAllMatchIn(text).map { m =>
         m.group(1) -> (if (m.group(2) == "\"TIMEOUT\"") cap
                        else m.group(2).toDouble)
       }.toMap -- Seq("cap_sec", "total", "n_timeout")
-    }.getOrElse(Map.empty)
+      if (m.isEmpty)
+        System.err.println(s"[bench] duck baseline $p parsed to an EMPTY " +
+          "query map — derived weak set will be the static floor only")
+      (m, sf)
+    }.getOrElse((Map.empty, None))
   }
 
   /** Bench-only variants, outside the driver correctness gate:
@@ -171,6 +196,20 @@ object Bench {
           .orderBy("doc_a", "doc_b")),
       "mh_sig_md5" -> sigOnly(fast = false),
       "mh_sig_xx" -> sigOnly(fast = true),
+      // the PRODUCTION cost of sk_sketches: the constant-memory sketch
+      // aggregation alone (HLL++ + one KLL summary per group). The
+      // gated twin couples it to an exact-percentile VERIFIER whose
+      // cost is the harness, not the operator — this row records what
+      // a user actually pays (round-13 verdict item 4)
+      "sk_sketches_only" -> ((s, dir) =>
+        graft.sources.Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+              lit(1000)).as("pap"))
+          .orderBy("event_type")),
       // the persisted-index SEARCH in isolation: the gated
       // ss_ann_ivf_pq_pruned rebuilds its index every execution (the
       // correctness surface must be self-contained), but production
@@ -515,13 +554,41 @@ object Bench {
     // the queries the per-query 2× letter would grade weak, at a
     // bounded wall-clock cost.
     val envScalingDir = sys.env.get("SPARK_GRAFT_SCALING_DIR")
-    val duck = try duckBaseline() catch { case e: Throwable =>
+    val (duck0, duckSf) = try duckBaselineWithSf() catch { case e: Throwable =>
       System.err.println(s"[bench] duck baseline parse failed: ${e.getMessage}")
-      Map.empty[String, Double]
+      (Map.empty[String, Double], None)
+    }
+    // refuse a baseline recorded at a DIFFERENT scale factor than this
+    // run — deriving the weak set across SFs both over- and
+    // under-sweeps (round-13 ADVICE)
+    val duck = duckSf match {
+      case Some(s) if java.nio.file.Paths.get(s).toAbsolutePath.normalize !=
+          java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize =>
+        System.err.println(s"[bench] duck baseline sf '$s' != bench sf " +
+          s"'$sfDir' — ignoring the baseline for weak-set derivation")
+        Map.empty[String, Double]
+      case _ => duck0
     }
     val derivedWeak = results.collect {
       case (n, v) if v > 1.0 && duck.get(n).exists(d => v > 2.0 * d) => n
     }.toSet
+    // ISOLATED medians for the weak set (round-13 verdict item 3): the
+    // round-robin interleave protects each query's median from a
+    // transient contended window, but as the suite grows the per-rep
+    // GC/JIT churn between a query's reps inflates EVERY median a
+    // little (measured ~1.19× suite-wide round 12 → 13 on unchanged
+    // code, pushing 15 queries over the >1s/>2× weak bars spuriously).
+    // Queries whose interleaved median crosses those bars get `reps`
+    // additional BACK-TO-BACK reps, recorded alongside — so the
+    // committed artifact carries both postures and round-over-round
+    // grading is unconfounded.
+    val isolated = derivedWeak.toSeq.sorted.map { name =>
+      val ts = Vector.fill(math.max(1, reps))(timeOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }
+    val isolatedJson = isolated
+      .map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
     val autoScalingDir =
       if (envScalingDir.isDefined) None
       else {
@@ -582,7 +649,7 @@ object Bench {
     // tail capture, and a ~3 KB stderr echo printed after the minimal
     // stdout line pushed that line out of the window in round 11
     // (BENCH_r11.json parsed:null, 5th recurrence).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

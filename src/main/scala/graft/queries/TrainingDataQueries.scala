@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
@@ -133,7 +133,8 @@ object TrainingDataQueries {
     val docs = Tables.documents(s, dir)
     // ONE pair enumeration feeds both the standing-state fixture and
     // the delta (lazy localCheckpoint): under the dormant doc-freq
-    // guard this gate already relies on (scaladoc above), the corpus-
+    // guard this gate already relies on — asserted per gated SF by
+    // BucketCapDormancySpec "ngram doc-freq guard is DORMANT" — the corpus-
     // subset pairs ARE the full pair set with both ends %5 ≠ 0 — the
     // round-12 form enumerated the quadratic pair walk twice and spent
     // most of its 30s re-running fixture setup, not the operator
@@ -870,10 +871,13 @@ object TrainingDataQueries {
   }
 
   /** Guarded containment-pairs oracle shared by dd_decontaminate and
-    * tp_decontaminated: mirrors contaminationPairs exactly — eval-side
+    * tp_decontaminated: mirrors contaminationPairs exactly — postings
+    * keyed by the 60-bit md5 shingle key (the span family's
+    * TextFunctions.shingleKey, bit-identical cross-engine), eval-side
     * doc-frequency prune (df ≤ max(MinDocFreqFloor, fraction·|eval|);
-    * shingles are per-doc distinct so df = #docs), containment
-    * denominator = the FULL pre-prune shingle-set size. */
+    * shingles are per-doc distinct so df = #docs up to key collisions,
+    * which both engines see identically), containment denominator =
+    * the FULL pre-prune shingle-set size. */
   private def decontaminatePairsCtes: String = {
     val n = Dedup.DefaultShingleN
     val floor = Dedup.MinDocFreqFloor
@@ -885,13 +889,15 @@ object TrainingDataQueries {
        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
        |lim AS (SELECT greatest($floor.0, count(*) * $frac) AS df_limit
        |        FROM documents WHERE doc_id % 20 = 0),
-       |evx AS (SELECT eval_id, unnest(s) AS s FROM ev),
-       |keep AS (SELECT s FROM evx, lim
-       |         GROUP BY s, df_limit HAVING count(*) <= df_limit),
-       |trx AS (SELECT train_id, unnest(s) AS s FROM tr),
+       |evx AS (SELECT eval_id, ('0x' || substr(md5(u.s),1,15))::BIGINT AS h
+       |        FROM (SELECT eval_id, unnest(s) AS s FROM ev) u(eval_id, s)),
+       |keep AS (SELECT h FROM evx, lim
+       |         GROUP BY h, df_limit HAVING count(*) <= df_limit),
+       |trx AS (SELECT train_id, ('0x' || substr(md5(u.s),1,15))::BIGINT AS h
+       |        FROM (SELECT train_id, unnest(s) AS s FROM tr) u(train_id, s)),
        |hits AS (
        |  SELECT t.train_id, e.eval_id, count(*) AS common
-       |  FROM trx t JOIN evx e USING (s) JOIN keep k USING (s)
+       |  FROM trx t JOIN evx e USING (h) JOIN keep k USING (h)
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT train_id, eval_id,
@@ -2855,31 +2861,54 @@ object TrainingDataQueries {
     * gate. */
   val skSketches: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
-    Tables.events(s, dir)
-      .groupBy("event_type")
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    // The VERIFIER's exact bound windows ride the q23 window-rank exact
+    // percentile (one spillable sort per group + boundary-rank
+    // interpolation), NOT Spark's `percentile` value-buffer aggregate —
+    // that buffer is the ObjectHashAggregate OOM regime at 100 TB group
+    // sizes that SURVEY §11/q23 exist to avoid, and round 13 measured
+    // this gate paying 113× DuckDB for its own harness. Same
+    // interpolation formula (pos = (n−1)·p, lo + (hi−lo)·frac over the
+    // sorted multiset), so the within-bound booleans are unchanged.
+    val ps = Seq(0.45 -> "b45", 0.55 -> "b55", 0.985 -> "b985", 0.995 -> "b995")
+    val vals = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double").as("x"))
+    val ranked = vals.withColumn("rn",
+      row_number().over(Window.partitionBy("event_type").orderBy("x")))
+    val marks = vals.groupBy("event_type").agg(count(lit(1)).as("nv"))
+      .select(col("event_type") +: col("nv") +: ps.map { case (p, nm) =>
+        floor((col("nv") - 1) * lit(p)).cast("long").as(s"lo_$nm") }: _*)
+    val needed = ps.map { case (_, nm) =>
+      col("rn") === col(s"lo_$nm") + 1 || col("rn") === col(s"lo_$nm") + 2 }
+      .reduce(_ || _)
+    def interp(p: Double, nm: String): Column = {
+      val frac = (col("nv") - 1) * lit(p) - col(s"lo_$nm").cast("double")
+      val vlo = max(when(col("rn") === col(s"lo_$nm") + 1, col("x")))
+      val vhi = max(when(col("rn") === col(s"lo_$nm") + 2, col("x")))
+      (vlo + (coalesce(vhi, vlo) - vlo) * frac).as(nm)
+    }
+    val bounds = ranked.join(broadcast(marks), "event_type")
+      .filter(needed)
+      .groupBy(col("event_type"), col("nv"),
+        col("lo_b45"), col("lo_b55"), col("lo_b985"), col("lo_b995"))
+      .agg(interp(0.45, "b45"), interp(0.55, "b55"),
+        interp(0.985, "b985"), interp(0.995, "b995"))
+      .select("event_type", "b45", "b55", "b985", "b995")
+    ev.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        // ONE exact-percentile buffer and ONE quantile summary per
-        // group, each evaluated at every needed rank (the array form) —
-        // the scalar form built four independent per-group value
-        // buffers plus two KLL summaries for what is one sort and one
-        // sketch; values are identical (same algorithm over the same
-        // buffer), measured 4.1s → ~1.5s at sf0.1
         percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
-          lit(1000)).as("pap"),
-        expr("percentile(value, array(0.45D, 0.55D, 0.985D, 0.995D))").as("pex"))
+          lit(1000)).as("pap"))
+      .join(bounds, Seq("event_type"), "left")
       .select(
         col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * 0.1).as("approx_users_ok"),
-        element_at(col("pap"), 1)
-          .between(element_at(col("pex"), 1), element_at(col("pex"), 2))
-          .as("p50_ok"),
-        element_at(col("pap"), 2)
-          .between(element_at(col("pex"), 3), element_at(col("pex"), 4))
-          .as("p99_ok"))
+        element_at(col("pap"), 1).between(col("b45"), col("b55")).as("p50_ok"),
+        element_at(col("pap"), 2).between(col("b985"), col("b995")).as("p99_ok"))
       .orderBy("event_type")
   }
 
