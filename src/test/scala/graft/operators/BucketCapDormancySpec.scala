@@ -44,6 +44,40 @@ class BucketCapDormancySpec extends SparkSpecBase {
     }
   }
 
+  test("ngram doc-freq guard is DORMANT on the incremental cluster/keep-best fixtures") {
+    // dd_clusters_incremental / dd_keep_best_incremental derive their
+    // corpus-side pair fixture by FILTERING one full-corpus
+    // ngramJaccardPairs enumeration (TrainingDataQueries) — which
+    // equals an independent subset-corpus enumeration only while the
+    // relative doc-frequency guard drops nothing on EITHER corpus (the
+    // posting lists and the df limit both shift with composition).
+    // Assert that dormancy directly (round-13 ADVICE): the max shingle
+    // doc-frequency of both the full corpus and the %5-split standing
+    // corpus stays at or below each corpus's own limit.
+    import graft.functions.TextFunctions._
+    gateDirs.foreach { dir =>
+      val full = Tables.documents(spark, dir)
+      Seq("full" -> full,
+          "corpus(%5!=0)" -> full.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        .foreach { case (label, docs) =>
+          val nDocs = docs.count()
+          val limit = math.max(Dedup.MinDocFreqFloor.toDouble,
+            Dedup.DefaultMaxDocFreqFraction * nDocs)
+          val maxDf = docs
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              explode_outer(shinglesFromTokens(col("toks"), Dedup.DefaultShingleN)).as("s"))
+            .filter(col("s").isNotNull)
+            .groupBy("s").count().agg(max("count")).collect().head.getLong(0)
+          assert(maxDf <= limit,
+            s"$dir/$label: max shingle doc-freq $maxDf exceeds the guard " +
+              s"limit $limit — the filtered-full-enumeration fixture no " +
+              "longer equals a subset-corpus enumeration; restructure the " +
+              "gate (or pin maxDocFreqFraction = None on both sides)")
+        }
+    }
+  }
+
   test("simhash band-bucket occupancy on the gated fixtures is far below DefaultMaxBucket") {
     // load-bearing family: an r-bit simhash band key has <= 2^r values
     // (256 at the 64/8 default), so occupancy grows ~n/256 with corpus
