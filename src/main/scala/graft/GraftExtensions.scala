@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter, NearestCenters, SimHash64}
+import graft.plans.{DotProduct, MaxMultiplicity, MinHashSignature, NearestCenter, NearestCenters, NGramMaxMultiplicity, SimHash64}
 
 /** SparkSessionExtensions entry point: registers this engine's native
   * Catalyst expressions as SQL functions. Usable two ways:
@@ -115,8 +115,21 @@ object GraftExtensions {
       SimHash64(args.head)
     })
 
+  private val ngramMaxMultFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_maxmult_ngram"),
+    new ExpressionInfo(classOf[NGramMaxMultiplicity].getName, "graft_maxmult_ngram"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "graft_maxmult_ngram(tokens, n)")
+      val n = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_maxmult_ngram n must be an int literal, got $other")
+      }
+      NGramMaxMultiplicity(args.head, n)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
-    nearestCenterFunction, nearestCentersFunction, simhashFunction)
+    nearestCenterFunction, nearestCentersFunction, simhashFunction,
+    ngramMaxMultFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

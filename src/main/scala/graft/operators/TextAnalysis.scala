@@ -123,7 +123,7 @@ object TextAnalysis {
 
   /** n-grams WITH duplicates (unlike shinglesFromTokens): frequency is
     * the point for repetition signals. */
-  private[operators] def grams(tok: Column, n: Int): Column = {
+  private[graft] def grams(tok: Column, n: Int): Column = {
     val g = transform(
       sequence(lit(0), size(tok) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k + 1)): _*))
@@ -155,12 +155,16 @@ object TextAnalysis {
     * interpreted ~2 node evaluations per gram per step. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.GraftExtensions.register(df.sparkSession)
+    // fused native n-gram counting (graft.plans.NGramMaxMultiplicity):
+    // the former grams(·) ∘ graft_maxmult composition materialized every
+    // gram as an interpreted concat_ws string — n element_at evals + one
+    // allocation per position per row, ta_repetition's dominant term;
+    // the fused expression counts n-token windows over the existing
+    // array (equality asserted in MaxMultiplicityExprSpec)
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("n_tokens"),
-        grams(col("__toks"), 2).as("__g2"), grams(col("__toks"), 3).as("__g3"))
-      .select(col(idCol), col("n_tokens"),
-        call_function("graft_maxmult", col("__g2")).as("top_bigram_count"),
-        call_function("graft_maxmult", col("__g3")).as("top_trigram_count"))
+        call_function("graft_maxmult_ngram", col("__toks"), lit(2)).as("top_bigram_count"),
+        call_function("graft_maxmult_ngram", col("__toks"), lit(3)).as("top_trigram_count"))
       .select(
         col(idCol),
         col("n_tokens").cast("long").as("n_tokens"),

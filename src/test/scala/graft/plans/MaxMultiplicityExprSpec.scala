@@ -28,6 +28,39 @@ class MaxMultiplicityExprSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(1) === ref(r.getLong(0))))
   }
 
+  test("graft_maxmult_ngram equals the grams∘graft_maxmult composition (corpus + random + degenerate)") {
+    graft.GraftExtensions.register(spark)
+    // the real corpus (the ta_repetition input) at the gated n = 2, 3
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    // random token arrays over a tiny vocabulary (rich repeat structure),
+    // plus degenerate shapes: empty, shorter than n, single token
+    val rnd = new scala.util.Random(0xF00D)
+    val synth = ((1 to 300).map { i =>
+      (100000L + i, (0 until rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(5)}"))
+    } ++ Seq((200001L, Seq.empty[String]), (200002L, Seq("solo"))))
+      .toDF("id", "t")
+    Seq(docs, synth).foreach { df =>
+      Seq(2, 3).foreach { n =>
+        val bad = df.select(
+            call_function("graft_maxmult_ngram", col("t"), lit(n)).as("fused"),
+            call_function("graft_maxmult",
+              graft.operators.TextAnalysis.grams(col("t"), n)).as("composed"))
+          .filter(col("fused") =!= col("composed")).count()
+        assert(bad === 0L, s"n=$n: fused n-gram maxmult diverges from the composition")
+      }
+    }
+    // null ELEMENTS: concat_ws skips them — the fused fallback must agree
+    val nullElem = spark.sql(
+      "SELECT graft_maxmult_ngram(array('a', CAST(NULL AS STRING), 'a', NULL, 'a'), 2) AS f, " +
+        "graft_maxmult(transform(sequence(0, 3), i -> concat_ws(' ', " +
+        "element_at(array('a', CAST(NULL AS STRING), 'a', NULL, 'a'), i + 1), " +
+        "element_at(array('a', CAST(NULL AS STRING), 'a', NULL, 'a'), i + 2)))) AS c")
+      .collect()(0)
+    assert(nullElem.getLong(0) === nullElem.getLong(1))
+  }
+
   test("graft_maxmult: empty array is 0, null array is null, null elements skipped") {
     graft.GraftExtensions.register(spark)
     val df = Seq(
