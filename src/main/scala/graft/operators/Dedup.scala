@@ -161,13 +161,25 @@ object Dedup {
             case None    => base
           }
         }
-        val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        // materialize the raw posting once (lazy localCheckpoint — the
+        // positionalPosting recipe): the guard consumes it twice (the
+        // doc-freq aggregate and the keep join), and without the pin
+        // the full tokenize→shingle scan runs once per consumer
+        val shc = sh.localCheckpoint(false)
+        val keep = shc.groupBy("s").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(limitDf))
           .filter(col("df") <= col("df_limit")).select("s")
-        sh.join(keep, "s")
+        shc.join(keep, "s")
     }
-    val a = posting.as("a")
-    val b = posting.as("b")
+    // materialize the GUARDED posting once too: the self-join below
+    // consumes it on both sides, and exchange reuse cannot unify them
+    // (the aggregate's partial phase runs below its exchange) — without
+    // the pin the whole posting pipeline executes twice per call
+    // (dd_ngram_jaccard's first-ever wall clock, round 14: 7.96 s, was
+    // dominated by exactly this)
+    val postingC = posting.localCheckpoint(false)
+    val a = postingC.as("a")
+    val b = postingC.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
