@@ -61,7 +61,7 @@ object Bench {
     // (dd_ngram_jaccard, dd_minhash_verified, dd_recall_minhash) and
     // the ss_recall_* recall fixtures — correctness queries, not
     // throughput headlines.
-    "dd_spans_incremental", "dd_decontaminate",
+    "dd_spans_incremental", "dd_decontaminate", "dd_decontaminate_idx",
     "dd_embedding", "dd_embedding_incremental", "dd_embedding_idx_bucketed",
     "sk_heavy_hitters_idx", "sk_sketches", "sk_sketches_only", "cl_kmeans_native",
     "ta_quality", "ta_quality_clf_incremental", "ta_fingerprint",

@@ -227,22 +227,40 @@ object Dedup {
     // — is exchanged raw, which profiling showed was this operator's
     // entire >2×-DuckDB gap at sf0.1 (7.5 s → scan-bound). Set false
     // only for an eval corpus too large for executor memory.
-    def shingled(df: DataFrame, name: String) = df
-      .select(col(idCol).as(name), tokens(col(textCol)).as("toks"))
-      .select(col(name), shinglesFromTokens(col("toks"), n).as("sh"))
+    contaminationPairsFromIndex(
+      train,
+      evalPostingIndex(evalCorpus, idCol, textCol, n,
+        maxDocFreq, maxDocFreqFraction, fast),
+      idCol, textCol, n, threshold, fast, broadcastEval)
+  }
+
+  /** The EVAL side of [[contaminationPairs]] as a PERSISTABLE index —
+    * the decontamination family's entry in the frozen-index convention
+    * every other dedup modality carries (minhashBandIndex,
+    * spanPostingIndex, …): guarded (eval_id, n_sh, h) posting rows,
+    * plain columns storable and re-readable as parquet. Eval suites
+    * change rarely while training corpora ingest continuously, so
+    * production builds this once per benchmark release and every train
+    * batch — the O(Δ) side BY CONSTRUCTION here, since the train corpus
+    * is always the probe — searches the frozen index. The doc-freq
+    * guard and n_sh denominators are build-time decisions, frozen with
+    * the index (re-judged only at rebuild). */
+  def evalPostingIndex(
+      evalCorpus: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN,
+      maxDocFreq: Option[Long] = None,
+      maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
+      fast: Boolean = false): DataFrame = {
     // explode_OUTER + null-drop (the ngramJaccardPairs rationale —
     // InferFiltersFromGenerate's pushed filter re-evaluates the shingle
-    // tree with split() inlined per reference, O(tokens²)/doc; measured
-    // 6.1 s of this operator's 7.5 s at sf0.1)
-    val t = shingled(train, "train_id")
-      .select(col("train_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .select(col("train_id"), shingleKey(col("s"), fast).as("h"))
-    val e0 = shingled(evalCorpus, "eval_id")
+    // tree with split() inlined per reference, O(tokens²)/doc)
+    val e0 = evalCorpus
+      .select(col(idCol).as("eval_id"), tokens(col(textCol)).as("toks"))
+      .select(col("eval_id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .select(col("eval_id"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
       .select(col("eval_id"), col("n_sh"), shingleKey(col("s"), fast).as("h"))
-    val e = (maxDocFreq, maxDocFreqFraction) match {
+    (maxDocFreq, maxDocFreqFraction) match {
       case (None, None) => e0
       case (abs, frac) =>
         val limitDf = {
@@ -271,6 +289,26 @@ object Dedup {
           .filter(col("df") <= col("df_limit")).select("h")
         e0c.join(keep, "h")
     }
+  }
+
+  /** [[contaminationPairs]] against an already-built (possibly
+    * parquet-reloaded) [[evalPostingIndex]] — the per-ingest search:
+    * the train batch pays one tokenize→shingle→key scan and one
+    * (broadcast by default) equi-join; the eval corpus is never
+    * re-read. Same output contract as the full operator — layout must
+    * not change results (proven by the shared oracle of the _idx gate,
+    * the convention every persisted index here follows). */
+  def contaminationPairsFromIndex(
+      train: DataFrame, evalIndex: DataFrame, idCol: String, textCol: String,
+      n: Int = DefaultShingleN, threshold: Double = 0.5,
+      fast: Boolean = false, broadcastEval: Boolean = true): DataFrame = {
+    val t = train
+      .select(col(idCol).as("train_id"), tokens(col(textCol)).as("toks"))
+      .select(col("train_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("train_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("train_id"), shingleKey(col("s"), fast).as("h"))
+    val e = evalIndex.select(col("eval_id"), col("n_sh"), col("h"))
     t.join(if (broadcastEval) broadcast(e) else e, "h")
       .groupBy(col("train_id"), col("eval_id"), col("n_sh"))
       .agg(count(lit(1)).as("common"))

@@ -934,6 +934,30 @@ object TrainingDataQueries {
        |  AND d.doc_id NOT IN (SELECT DISTINCT train_id FROM pairs)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** dd_decontaminate_idx — dd_decontaminate against the PERSISTED
+    * eval posting index (Dedup.evalPostingIndex written to parquet,
+    * reloaded, searched by contaminationPairsFromIndex): the
+    * production shape — eval suites freeze per benchmark release, the
+    * eval corpus is never re-read per train ingest, and the train
+    * batch is the O(Δ) probe by construction. Shares dd_decontaminate's
+    * oracle VERBATIM — the index round-trip must not change results
+    * (the convention every persisted index here follows). */
+  val ddDecontaminateIdx: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_eval_idx_${math.abs(dir.hashCode)}"
+    indexMemo.getOrElseUpdate(s"evalidx:${System.identityHashCode(s)}:$dir", {
+      Dedup.evalPostingIndex(
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    Dedup.contaminationPairsFromIndex(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), s.read.parquet(path),
+      "doc_id", "text")
+      .orderBy("train_id", "eval_id")
+  }
+
   /** dd_minhash — MinHash(64)+LSH(16 bands) near-dup pairs. Fully
     * oracle-gated: the md5-derived base hash, the universal-hash
     * coefficient literals, the band keys (signature slices, not opaque
@@ -3978,6 +4002,7 @@ object TrainingDataQueries {
     "tp_pack" -> tpPack,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_decontaminate" -> ddDecontaminate,
+    "dd_decontaminate_idx" -> ddDecontaminateIdx,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
@@ -4071,6 +4096,7 @@ object TrainingDataQueries {
     "tp_pack" -> tpPackOracle,
     "dd_ngram_jaccard" -> ddNgramJaccardOracle,
     "dd_decontaminate" -> ddDecontaminateOracle,
+    "dd_decontaminate_idx" -> ddDecontaminateOracle,
     "dd_embedding" -> ddEmbeddingOracle,
     "dd_embedding_incremental" -> ddEmbeddingIncrementalOracle,
     "dd_embedding_idx_bucketed" -> ddEmbeddingIncrementalOracle,
