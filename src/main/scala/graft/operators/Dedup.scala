@@ -1611,7 +1611,12 @@ object Dedup {
   private def selfSpanMatches(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {
+    // pin the GUARDED posting too (the ngramJaccardPairs recipe):
+    // positionalPosting checkpoints the raw posting, but its guard JOIN
+    // runs once per self-join side without this — the whole keep-join
+    // executed twice per call
     val posting = positionalPosting(df, idCol, textCol, k, maxDocFreqFraction, fast)
+      .localCheckpoint(false)
     val a = posting.as("a")
     val b = posting.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
@@ -1738,7 +1743,11 @@ object Dedup {
     // otherwise report a full-length diagonal-0 self-span as
     // contamination (ids are disjoint in the gated split, but the
     // operator shouldn't rely on that).
-    val matches = t.as("t").join(e.as("e"),
+    // broadcast(e): the contaminationPairs asymmetry — eval/benchmark
+    // suites are orders of magnitude smaller than the training corpus
+    // and guard-pruned further, so the train posting (the 100 TB side)
+    // never shuffles for this join.
+    val matches = t.as("t").join(broadcast(e.as("e")),
         col("t.h") === col("e.h") && col("t.doc") =!= col("e.doc"))
       .select(
         col("t.doc").as("doc_a"), col("e.doc").as("doc_b"),
