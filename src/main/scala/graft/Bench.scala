@@ -422,6 +422,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the known-benign AQE/accumulator-GC race ("Failed to
+    // update accumulator … attempted to access non-existent
+    // accumulator", an ERROR-level DAGScheduler stack): it consumed the
+    // driver's whole stderr tail capture in round 14, hiding real
+    // signal. Real bench failures surface as exceptions in the JSON
+    // `failures` field, never via DAGScheduler logs, so FATAL is safe
+    // here (bench process only — nothing library-visible changes).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     def exec(name: String, dir: String): Unit =
       SparkEntry.queries.getOrElse(name, benchOnly(name))(spark, dir)
@@ -561,11 +571,26 @@ object Bench {
     // refuse a baseline recorded at a DIFFERENT scale factor than this
     // run — deriving the weak set across SFs both over- and
     // under-sweeps (round-13 ADVICE)
+    // compare the REAL paths when both resolve, else fall back to the
+    // trailing sf component: toAbsolutePath resolves relative spellings
+    // against the CURRENT working directory, so a bench invoked with a
+    // relative sfDir from a different CWD than the recorder would
+    // silently discard a valid baseline (round-14 ADVICE)
+    def realOf(s: String): Option[String] =
+      try Some(java.nio.file.Paths.get(s).toRealPath().toString)
+      catch { case _: Throwable => None }
+    def baseOf(s: String): String =
+      Option(java.nio.file.Paths.get(s).getFileName).map(_.toString).getOrElse(s)
+    def sameSf(a: String, b: String): Boolean = (realOf(a), realOf(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => baseOf(a) == baseOf(b) // stale recorded path: match on sf name
+    }
     val duck = duckSf match {
-      case Some(s) if java.nio.file.Paths.get(s).toAbsolutePath.normalize !=
-          java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize =>
-        System.err.println(s"[bench] duck baseline sf '$s' != bench sf " +
-          s"'$sfDir' — ignoring the baseline for weak-set derivation")
+      case Some(s) if !sameSf(s, sfDir) =>
+        System.err.println(s"[bench] duck baseline sf '$s' " +
+          s"(real ${realOf(s)}, base ${baseOf(s)}) != bench sf '$sfDir' " +
+          s"(real ${realOf(sfDir)}, base ${baseOf(sfDir)}) — ignoring the " +
+          "baseline for weak-set derivation")
         Map.empty[String, Double]
       case _ => duck0
     }

@@ -127,9 +127,23 @@ object GraftExtensions {
       NGramMaxMultiplicity(args.head, n)
     })
 
+  /** graft_topk(score, id, k) — native map-side-bounded top-k aggregate
+    * (the analyzer wraps the returned AggregateFunction itself). */
+  private val topkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[graft.plans.TopKPairsAgg].getName, "graft_topk"),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, "graft_topk(score, id, k)")
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_topk k must be an int literal, got $other")
+      }
+      graft.plans.TopKPairsAgg(args(0), args(1), k)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
     nearestCenterFunction, nearestCentersFunction, simhashFunction,
-    ngramMaxMultFunction)
+    ngramMaxMultFunction, topkFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

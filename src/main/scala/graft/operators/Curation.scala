@@ -106,7 +106,7 @@ object Curation {
     // re-opened after this scan no matter which stages are on.
     val base = qualityLangFilter(
       docs.select(col(idCol), col(textCol)), idCol, textCol, cfg)
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     // exact dedup: one row per content fingerprint (canonical = min id)
     val canon = base
       .select(col(idCol).as("__id"), md5(lower(trim(col(textCol)))).as("__fp"))
@@ -129,17 +129,17 @@ object Curation {
     // plan-only; the pipeline runs at the FIRST action and the
     // materialized survivors are shared by all three consumers
     val multiConsumer = cfg.trimSpans || cfg.perplexityFilter || cfg.classifierFilter
-    val unique = if (multiConsumer) unique0.localCheckpoint(false) else unique0
+    val unique = if (multiConsumer) unique0.transform(Materialize.stage(_)) else unique0
     // stage 4c — LM-perplexity cut over the deduped survivors;
     // materialize the post-cut set when a later stage re-consumes it
     val kept1raw = withPerplexityFilter(unique, idCol, textCol, cfg)
     val kept1 = if (cfg.perplexityFilter && (cfg.classifierFilter || cfg.trimSpans))
-      kept1raw.localCheckpoint(false) else kept1raw
+      kept1raw.transform(Materialize.stage(_)) else kept1raw
     // stage 4d — trained-classifier cut (the model trains on the
     // surviving corpus itself, so it runs over the post-LM set)
     val kept0 = withClassifierFilter(kept1, idCol, textCol, cfg)
     val kept = if (cfg.classifierFilter && cfg.trimSpans)
-      kept0.localCheckpoint(false) else kept0
+      kept0.transform(Materialize.stage(_)) else kept0
     val outCols =
       Seq(col(idCol), col("predicted_lang"), col("quality_score"), col("split")) ++
         (if (cfg.perplexityFilter) Seq(col("perplexity")) else Nil) ++
@@ -171,7 +171,7 @@ object Curation {
         QualityClassifier.DefaultNumFeatures,
         QualityClassifier.DefaultLowQ, QualityClassifier.DefaultHighQ,
         seedScoreCol = Some("quality_score"), labeledOnly = false)
-        .localCheckpoint(false)
+        .transform(Materialize.stage(_))
       val w = QualityClassifier.trainWeightsFromRows(
         rows.filter(col("y").isNotNull),
         QualityClassifier.DefaultNumFeatures,
@@ -213,7 +213,7 @@ object Curation {
       val perp = TextAnalysis.bigramPerplexity(
         survivors.select(col(idCol), col(textCol)), idCol, textCol, cfg.lmAlpha)
         .select(col(idCol), col("perplexity"))
-        .localCheckpoint(false)
+        .transform(Materialize.stage(_))
       val byVal = perp.groupBy("perplexity").agg(count(lit(1)).as("__c"))
       val win = org.apache.spark.sql.expressions.Window
         .orderBy("perplexity")

@@ -165,7 +165,7 @@ object Dedup {
         // positionalPosting recipe): the guard consumes it twice (the
         // doc-freq aggregate and the keep join), and without the pin
         // the full tokenize→shingle scan runs once per consumer
-        val shc = sh.localCheckpoint(false)
+        val shc = sh.transform(Materialize.stage(_))
         val keep = shc.groupBy("s").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(limitDf))
           .filter(col("df") <= col("df_limit")).select("s")
@@ -177,7 +177,7 @@ object Dedup {
     // the pin the whole posting pipeline executes twice per call
     // (dd_ngram_jaccard's first-ever wall clock, round 14: 7.96 s, was
     // dominated by exactly this)
-    val postingC = posting.localCheckpoint(false)
+    val postingC = posting.transform(Materialize.stage(_))
     val a = postingC.as("a")
     val b = postingC.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -283,7 +283,7 @@ object Dedup {
         // the checkpoint the eval tokenize→shingle→md5 scan runs once
         // per consumer (the round-13 verdict's measured cost shape for
         // this operator).
-        val e0c = e0.localCheckpoint(false)
+        val e0c = e0.transform(Materialize.stage(_))
         val keep = e0c.groupBy("h").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(limitDf))
           .filter(col("df") <= col("df_limit")).select("h")
@@ -691,10 +691,10 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .transform(Materialize.stage(_, eager = true))
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .localCheckpoint(true)
+      .transform(Materialize.stage(_, eager = true))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -705,7 +705,7 @@ object Dedup {
       val next = labels.withColumnRenamed("label", "old")
         .join(neighborMin, "doc")
         .select(col("doc"), least(col("old"), col("nlabel")).as("label"), col("old"))
-        .localCheckpoint(true)
+        .transform(Materialize.stage(_, eager = true))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("doc", "label")
       iter += 1
@@ -774,28 +774,28 @@ object Dedup {
     // (tiny × tiny) anti join on the probe result
     val nodes = newPairs.select(col("doc_a").as("doc"))
       .union(newPairs.select(col("doc_b").as("doc"))).distinct()
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val matched = lab.join(broadcast(nodes), Seq("doc"))
-      .localCheckpoint(false) // ≤ |nodes| rows
+      .transform(Materialize.stage(_)) // ≤ |nodes| rows
     val fresh = nodes
       .join(broadcast(matched.select(col("doc"))), Seq("doc"), "left_anti")
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val nodeLab = matched.select(col("doc"), col("cluster_id").as("lab"))
       .unionByName(fresh.select(col("doc"), col("doc").as("lab")))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     // label-level edges: tiny, so the iterative propagation is cheap
     val labelEdges = newPairs
       .join(broadcast(nodeLab.select(col("doc").as("doc_a"), col("lab").as("la"))), Seq("doc_a"))
       .join(broadcast(nodeLab.select(col("doc").as("doc_b"), col("lab").as("lb"))), Seq("doc_b"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b")).distinct()
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val mapping =
       if (labelEdges.isEmpty)
         labelEdges.select(col("doc_a").as("old_lab"), col("doc_b").as("new_lab"))
       else duplicateClusters(labelEdges, maxIters)
         .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
-        .localCheckpoint(false)
+        .transform(Materialize.stage(_))
     ClusterMergeParts(mapping, nodeLab, fresh)
   }
 
@@ -1384,7 +1384,7 @@ object Dedup {
       .join(broadcast(parts.mapping), col("lab") === col("old_lab"), "left")
       .select(col("doc").as("doc_id"),
         coalesce(col("new_lab"), col("lab")).as("cid"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val deltaRows = TextAnalysis.qualityScore(delta, idCol, textCol)
       .select(col(idCol).cast("long").as("doc_id"), col("quality_score"))
       .join(broadcast(nodeNew), Seq("doc_id"), "left")
@@ -1596,7 +1596,7 @@ object Dedup {
         // the dominant cost of every span gate at sf0.1). At corpus
         // scale the checkpoint is a disk-backed (doc, pos, h) spill of
         // ~24 B/shingle — strictly cheaper than re-hashing the corpus.
-        val shc = sh.localCheckpoint(false)
+        val shc = sh.transform(Materialize.stage(_))
         val limitDf = df.select(greatest(lit(MinDocFreqFloor.toDouble),
           count(lit(1)).cast("double") * f).as("df_limit"))
         val keep = shc.groupBy("h").agg(countDistinct("doc").as("df"))
@@ -1616,7 +1616,7 @@ object Dedup {
     // runs once per self-join side without this — the whole keep-join
     // executed twice per call
     val posting = positionalPosting(df, idCol, textCol, k, maxDocFreqFraction, fast)
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val a = posting.as("a")
     val b = posting.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
@@ -1736,18 +1736,22 @@ object Dedup {
       train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultSpanK, minSpanTokens: Int = DefaultMinSpanTokens,
       maxDocFreqFraction: Option[Double] = Some(DefaultMaxDocFreqFraction),
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false, broadcastEval: Boolean = true): DataFrame = {
     val t = positionalPosting(train, idCol, textCol, k, None, fast)
     val e = positionalPosting(evalCorpus, idCol, textCol, k, maxDocFreqFraction, fast)
     // t.doc =!= e.doc: an id collision across the two corpora would
     // otherwise report a full-length diagonal-0 self-span as
     // contamination (ids are disjoint in the gated split, but the
     // operator shouldn't rely on that).
-    // broadcast(e): the contaminationPairs asymmetry — eval/benchmark
-    // suites are orders of magnitude smaller than the training corpus
-    // and guard-pruned further, so the train posting (the 100 TB side)
-    // never shuffles for this join.
-    val matches = t.as("t").join(broadcast(e.as("e")),
+    // broadcast(e) by default: the contaminationPairs asymmetry —
+    // eval/benchmark suites are orders of magnitude smaller than the
+    // training corpus and guard-pruned further, so the train posting
+    // (the 100 TB side) never shuffles for this join. broadcastEval =
+    // false is the off-switch for a giant eval union that outgrows
+    // executor memory (mirrors contaminationPairs' knob): the join
+    // falls back to a hash-shuffle on h.
+    val eSide = if (broadcastEval) broadcast(e.as("e")) else e.as("e")
+    val matches = t.as("t").join(eSide,
         col("t.h") === col("e.h") && col("t.doc") =!= col("e.doc"))
       .select(
         col("t.doc").as("doc_a"), col("e.doc").as("doc_b"),

@@ -353,7 +353,7 @@ object HeavyHitters {
     val dCounts = dGrams.toDF()
       .join(broadcast(allCand), "gram")
       .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
 
     // New entrants need their exact corpus count (0 when absent) — the
     // only corpus access, restricted to a candidate-sized gram set.
@@ -370,7 +370,7 @@ object HeavyHitters {
       .join(dCounts, Seq("gram"))
       .filter(col("d_cnt") * lit(m.capacity.toLong) > lit(dTotal))
       .select("gram")
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val corpusCounts =
       if (freshDf.isEmpty) idx
       else {
@@ -415,7 +415,7 @@ object HeavyHitters {
     val dCounts = dGrams.toDF()
       .join(broadcast(allCand), "gram")
       .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
 
     // fresh possible crossers: bounded (≤ the delta sketch size), so
     // the collect is model-state-sized — and empty means NO corpus job

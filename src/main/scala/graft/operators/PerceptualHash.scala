@@ -414,7 +414,7 @@ object PerceptualHash {
       .select(posexplode_outer(col("coefs")).as(Seq("i", "v")))
       .filter(col("i").isNotNull)
       .groupBy("i", "v").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val n = hist.filter(col("i") === 0).agg(sum("c")).head.getLong(0)
     require(n > 0, "phashMedians needs at least one decodable image")
     val k = (n + 1L) / 2L

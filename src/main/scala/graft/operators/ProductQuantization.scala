@@ -83,30 +83,79 @@ object ProductQuantization {
         (cid, v.slice(mi * sub, (mi + 1) * sub))
       })
 
-    for (_ <- 1 to iters) {
-      // ONE distributed pass updates every subspace's codebook: project
-      // all m assignments, stack (subspace, cluster, subvector), then a
-      // single map-side-combinable component-mean aggregate.
-      val assigned = e.select(
-        col("v") +: (0 until m).map(mi =>
-          argminCell(books(mi), subVec(col("v"), mi, sub)).getField("cid")
-            .as(s"c_$mi")): _*)
-      val stacked = assigned
-        .select(explode(array((0 until m).map(mi => struct(
-          lit(mi).as("sub_m"), col(s"c_$mi").as("cluster"),
-          subVec(col("v"), mi, sub).as("sv"))): _*)).as("t"))
-        .select(col("t.sub_m"), col("t.cluster"), posexplode(col("t.sv")).as(Seq("pos", "x")))
-      val means = stacked
-        .groupBy("sub_m", "cluster", "pos")
-        .agg(roundFixed(avg(col("x")), roundDp).as("mn"))
-        .groupBy("sub_m", "cluster")
-        .agg(reassembleByPos(col("pos"), col("mn")).as("c"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
-        .toMap
-      books = books.zipWithIndex.map { case (book, mi) =>
-        book.map { case (cid, old) => (cid, means.getOrElse((mi, cid), old)) }
-      }
+    // Lloyd rounds as ONE pinned pass + per-round mapPartitions folds
+    // (the QualityClassifier.trainWeights recipe, round-15 verdict item):
+    // the former per-round DataFrame (m plan-literal argmaxes → double
+    // explode → two groupBys) re-paid Catalyst analysis + Janino codegen
+    // of a k·m-literal plan EVERY round — measured as pure job-count
+    // overhead (ss_ann_pq cross-SF 1.3 at 4.8× DuckDB). Here the slim
+    // vector column pins once; each round is a single closure job whose
+    // shuffle is one driver reduce of m·k·(sub+1) doubles (~KB) —
+    // corpus-size-independent, exactly the map-side-combine volume the
+    // old aggregate claimed. Arithmetic is kept BIT-IDENTICAL to the
+    // declarative form (and so to the DuckDB oracle): sequential
+    // left-to-right dot, − halfNormSq(c) (same driver-computed value),
+    // first-strict-max scan over cid-ascending cells = the argminCell
+    // (negs, cid) tie order, floor(x·10^dp + 0.5)/10^dp means.
+    if (iters > 0) {
+      val vecs = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val scale = math.pow(10, roundDp)
+        for (_ <- 1 to iters) {
+          val cells: Array[Array[Array[Double]]] = // (mi)(ci) -> centroid
+            books.map(_.map(_._2).toArray).toArray
+          val halfNorms: Array[Array[Double]] =
+            cells.map(_.map(Clustering.halfNormSq))
+          val width = sub + 1 // component sums + count
+          val acc = vecs.mapPartitions { it =>
+            val a = Array.fill(m, k, width)(0.0)
+            it.foreach { v =>
+              var mi = 0
+              while (mi < m) {
+                val off = mi * sub
+                var best = 0; var bestScore = Double.NegativeInfinity
+                var ci = 0
+                while (ci < k) {
+                  val c = cells(mi)(ci)
+                  var d = 0.0; var j = 0
+                  while (j < sub) { d += v(off + j) * c(j); j += 1 }
+                  val s = d - halfNorms(mi)(ci)
+                  if (s > bestScore) { bestScore = s; best = ci } // tie → smaller cid
+                  ci += 1
+                }
+                val slot = a(mi)(best)
+                var j = 0
+                while (j < sub) { slot(j) += v(off + j); j += 1 }
+                slot(sub) += 1.0
+                mi += 1
+              }
+            }
+            Iterator.single(a)
+          }.reduce { (x, y) =>
+            var mi = 0
+            while (mi < m) {
+              var ci = 0
+              while (ci < k) {
+                var j = 0
+                while (j <= sub) { x(mi)(ci)(j) += y(mi)(ci)(j); j += 1 }
+                ci += 1
+              }
+              mi += 1
+            }
+            x
+          }
+          books = books.zipWithIndex.map { case (book, mi) =>
+            book.zipWithIndex.map { case ((cid, old), ci) =>
+              val slot = acc(mi)(ci)
+              val n = slot(sub)
+              if (n == 0.0) (cid, old) // empty cell keeps its centroid
+              else (cid, Array.tabulate(sub)(j =>
+                math.floor(slot(j) / n * scale + 0.5) / scale))
+            }
+          }
+        }
+      } finally vecs.unpersist(blocking = false)
     }
     books
   }
@@ -174,7 +223,7 @@ object ProductQuantization {
       // corpus-rows × 16 bytes spread across executors (memory+disk),
       // the width the two-level reduction already assumes.
       val slim = scored.select(col("vec_id").cast("long"), col("score"))
-        .localCheckpoint(false)
+        .transform(Materialize.stage(_))
       val ids = slim.as[(Long, Double)]
         .mapPartitions(heapTop(_, rerank))
         .repartition(PoolFanIn)
@@ -394,7 +443,7 @@ object ProductQuantization {
           argminCell(books(mi), subVec(col("v"), mi, sub)).getField("idx")): _*)
           .as("codes"),
         argminCell(cents, col("v")).getField("cid").as("cell"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     enc.select("vec_id", "codes", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     // drift baseline: mean squared reconstruction error over the

@@ -24,6 +24,20 @@ import graft.functions.VectorFunctions._
   */
 object Recall {
 
+  /** Corpus-scaled query-sampling stride (the `nBitsFor` convention):
+    * stride = max(1, corpusCount / targetQueries), so the SAMPLED query
+    * count stays in [target, 2·target) no matter how large the corpus
+    * grows — the ground-truth pass is then Q·N with Q constant, i.e.
+    * linear in corpus size instead of quadratic. Integer division only,
+    * so any SQL engine recomputes the identical stride from count(*)
+    * (`GREATEST(1, count(*) // target)`) with no libm ulp hazard.
+    * target=256 keeps the recall estimate's sampling error ≈ 1/√256 ≈
+    * 6% while holding the truth cost flat across scale factors; gates
+    * below ~2·target vectors sample nothing (stride 1), so small-SF
+    * oracle values are bit-identical to the unsampled form. */
+  def sampleEveryNthFor(corpusCount: Long, targetQueries: Long = 256L): Long =
+    math.max(1L, corpusCount / math.max(1L, targetQueries))
+
   /** Exact cosine top-k for the query vectors whose id satisfies
     * `id % sampleEveryNth == 0` — deterministic, rerun-stable sampling.
     * Returns (vec_id, neighbor_id, cos) in the same total order as the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopKAggregator
+
 import graft.functions.VectorFunctions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -425,22 +425,28 @@ object SimilaritySearch {
   }
 
   /** Map-side-bounded per-vector top-k over (vec_id, cos, neighbor_id)
-    * candidate rows: the typed TopKAggregator reduces each partition to
-    * ≤k entries per vector before the exchange. neighbor_id is negated
-    * inside the buffer so the ascending order drops the LARGER id on
-    * cosine ties — i.e. the result order is `cos DESC, neighbor_id ASC`,
-    * the same total order a SQL oracle's row_number uses. */
+    * candidate rows: the native `graft_topk` aggregate reduces each
+    * partition to ≤k entries per vector before the exchange, ordered
+    * (cos DESC, neighbor_id ASC) — the same total order a SQL oracle's
+    * row_number uses — with exact duplicates collapsed (the multi-table
+    * LSH contract). Native, not the typed-Dataset Aggregator this
+    * replaced: the typed form paid a DeserializeToObject →
+    * SerializeFromObject pass over the FULL candidate-pair stream plus
+    * an encoder round-trip per buffer update — measured as the dominant
+    * cost of every recall/ANN gate at sf0.1 (round 15). */
   private[operators] def topKPerVector(pairs: DataFrame, k: Int): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.as[(Long, Double, Long)]
-      .map { case (vid, cos, nid) => (vid, (cos, -nid)) }
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new TopKAggregator(k).toColumn.name("top"))
-      .flatMap { case (vid, top) =>
-        top.map { case (cos, negId) => (vid, -negId, cos) } }
-      .toDF("vec_id", "neighbor_id", "cos")
+    graft.GraftExtensions.register(pairs.sparkSession)
+    // POSITIONAL input contract (group, score, member) — same as the
+    // typed as[(Long, Double, Long)] form this replaced: callers feed
+    // differently-named triples (delta_id/cos/corpus_id, …)
+    val Seq(g, s, m) = pairs.columns.take(3).map(col).toSeq
+    pairs
+      .groupBy(g.as("vec_id"))
+      .agg(call_function("graft_topk", s, m, lit(k)).as("top"))
+      .select(col("vec_id"), explode_outer(col("top")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("vec_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.cos").as("cos"))
   }
 
   /** IVF (inverted-file) all-pairs neighbor search — the other classic

@@ -341,7 +341,7 @@ object TextAnalysis {
       // the returned plan (the stats broadcast runs first and computes
       // it; the scoring scan then reads it back), so merely BUILDING the
       // DataFrame stays job-free and plan-only callers pay nothing
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i =>
@@ -404,7 +404,7 @@ object TextAnalysis {
     // stays checkpoint-free (checkpoints are illegal on streams).
     val toks = df
       .select(col(idCol), tokens(col(textCol)).as("t"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val (uni, bi) = bigramLmModelFromToks(toks.select(col("t")))
     scoreTokenized(toks, Seq(idCol), uni, bi, alpha, roundDp)
   }
@@ -668,7 +668,7 @@ object TextAnalysis {
         col(textCol), lit(BpePattern), lit(0))).as("word"))
       .filter(col("word").isNotNull) // outer + drop: skips InferFiltersFromGenerate (regex ×3 otherwise)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(Materialize.stage(_))
     val (_, words) = bpeTrainLoopFromWordFreq(
       posting.groupBy("word").agg(sum("cnt").as("freq")), rounds)
     val vocab = words.select(col("word"),

@@ -23,16 +23,35 @@ object TrainingDataQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Collision-safe identifier suffix for per-data-dir shared state
+    * (persisted index tables/paths, memo keys): sanitized path tail +
+    * length + full hex hashCode. The previous abs-hashCode
+    * convention could collide two dirs in one JVM (and
+    * math.abs(Int.MinValue) is negative), silently serving one dir's
+    * persisted index to the other until an oracle gate tripped. */
+  private def dirSlug(dir: String): String = {
+    val san = dir.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
+    val tail = if (san.length > 40) san.substring(san.length - 40) else san
+    s"${tail}_${dir.length}_${java.lang.Integer.toHexString(dir.hashCode)}"
+  }
+
   /** Reduce a (truth, approx) row-set pair to the single (hits,
     * total_truth, <metric>) row every recall gate emits — the DataFrame
     * twin of Recall.recallAtK/pairRecall, shared so the three gates
     * cannot drift in casts, null handling, or column names. */
   private def recallRow(truth: DataFrame, approx: DataFrame,
       joinCols: Seq[String], metricName: String): DataFrame = {
-    val hits = truth.join(approx, joinCols, "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    val total = truth.agg(count(lit(1)).as("total_truth"))
-    hits.crossJoin(total)
+    // ONE plan over ONE evaluation of truth: the naive hits/total pair
+    // (semi-join count × plain count) evaluates the brute-force truth
+    // subtree twice — the expensive half of every recall gate. A left
+    // join against the DISTINCT approx pairs (distinct restores the
+    // semi-join's no-duplication semantics) lets a single aggregate
+    // produce both counts from the same pass.
+    val marked = approx.select(joinCols.map(col): _*).distinct()
+      .withColumn("__hit", lit(1L))
+    truth.join(marked, joinCols, "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total_truth"))
       .select(col("hits"), col("total_truth"),
         (col("hits").cast("double") / col("total_truth")).as(metricName))
   }
@@ -325,7 +344,7 @@ object TrainingDataQueries {
     val docs = Tables.documents(s, dir)
     // table name unique per corpus dir: a shared name would let one
     // dir's DROP/overwrite invalidate another's in-flight scan
-    val table = s"graft_span_idx_${math.abs(dir.hashCode)}"
+    val table = s"graft_span_idx_${dirSlug(dir)}"
     // unlike the filesystem indexes above, the table lives in the
     // SESSION catalog — memo per (session, dir) so a new session
     // rebuilds instead of trusting a dead catalog entry
@@ -945,7 +964,7 @@ object TrainingDataQueries {
   val ddDecontaminateIdx: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_eval_idx_${math.abs(dir.hashCode)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_eval_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"evalidx:${System.identityHashCode(s)}:$dir", {
       Dedup.evalPostingIndex(
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
@@ -1061,7 +1080,7 @@ object TrainingDataQueries {
     * dd_spans_idx_bucketed convention. */
   val ddMinhashIdxBucketed: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val table = s"graft_mh_idx_${math.abs(dir.hashCode)}"
+    val table = s"graft_mh_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"mhidx:${System.identityHashCode(s)}:$dir", {
       s.sql(s"DROP TABLE IF EXISTS $table")
       Dedup.writeMinhashBandIndexBucketed(
@@ -1255,7 +1274,7 @@ object TrainingDataQueries {
     * layout-independent by sharing dd_simhash_incremental's oracle. */
   val ddSimhashIdxBucketed: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val table = s"graft_sh_idx_${math.abs(dir.hashCode)}"
+    val table = s"graft_sh_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"shidx:${System.identityHashCode(s)}:$dir", {
       s.sql(s"DROP TABLE IF EXISTS $table")
       Dedup.writeSimhashBandIndexBucketed(
@@ -1570,21 +1589,35 @@ object TrainingDataQueries {
     * cross-engine, the recall METRIC itself must hash-match — the
     * oracle doesn't just replay the index, it certifies the measured
     * quality number (RecallSpec asserts posture floors at sf0.1; this
-    * gates the measurement machinery at sf0.01). Truth is the full
-    * query set (every vector): at gate scale the quadratic brute force
-    * is cheap, and the metric needs no sampling error. nBits is pinned
-    * to nBitsFor(500) = 1 — the corpus-scaled bucket rule at gate
-    * scale — so the gated number is a representative single-table
-    * recall, not an over-bucketed fixture artifact (the oracle text is
-    * static, so the SAME literal plane is used at any SF the gate runs
-    * at; the hash match is SF-independent). */
+    * gates the measurement machinery at sf0.01). Truth queries are
+    * CORPUS-SCALED-sampled (Recall.sampleEveryNthFor — stride =
+    * max(1, N/256), recomputed by the oracle from count(*) with the
+    * same integer division), so the ground-truth pass stays Q·N with
+    * Q bounded and the gate's cost grows linearly, not quadratically,
+    * with corpus size; below ~512 vectors the stride is 1 and the
+    * value is bit-identical to the unsampled form. nBits is
+    * CORPUS-SCALED via the same SF-adaptive static-SQL recipe as the
+    * t8 gate (plane h depends only on (seed, h), so any nBits bucket
+    * is a PREFIX of the 10-bit plane string, and the oracle re-derives
+    * the bit count from count(*)): at the gated sf0.01 nBitsFor(500)
+    * = 1 — identical to the nBits = 1 pin this replaces — while
+    * larger SFs keep the expected bucket at ~256 members, so the
+    * approx side is linear in corpus size too, not O(N²/2) as the
+    * pinned single-bit plane was. */
+  private val LshT8Tables = 8
+  private val LshT8MaxBits = 10
+
   val ssRecallLsh: Q = (s, dir) => {
     import graft.operators.{Recall, SimilaritySearch}
     val emb = Tables.embeddings(s, dir)
-    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3)
+    val n = embeddingsCount(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3,
+      sampleEveryNth = Recall.sampleEveryNthFor(n))
       .select(col("vec_id"), col("neighbor_id"))
+    val bits = math.min(LshT8MaxBits,
+      SimilaritySearch.nBitsFor(math.max(1L, n)))
     val approx = SimilaritySearch.lshNeighbors(
-      emb, "vec_id", "embedding", dim = 64, nBits = 1, k = 3)
+      emb, "vec_id", "embedding", dim = 64, nBits = bits, k = 3)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
     recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
@@ -1592,14 +1625,21 @@ object TrainingDataQueries {
 
   val ssRecallLshOracle: String = {
     import graft.functions.VectorFunctions.{hyperplanes, hyperplaneBitsSql}
-    val bucket = hyperplaneBitsSql("v", hyperplanes(1, 64))
+    val bits10 = hyperplaneBitsSql("v", hyperplanes(LshT8MaxBits, 64))
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), nb AS (
+       |  SELECT GREATEST(1, LEAST($LshT8MaxBits, CAST(ceil(
+       |    ln(GREATEST(CAST(count(*) AS DOUBLE) / 256.0, 1.0)) / ln(2.0)) AS INT))) AS nbits
+       |  FROM e
+       |), nthq AS (
+       |  SELECT GREATEST(1, count(*) // 256) AS nth FROM e
        |), bf AS (
        |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
        |    list_dot_product(a.v, c.v) /
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
        |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |  WHERE a.vec_id % (SELECT nth FROM nthq) = 0
        |), bfr AS (
        |  SELECT vec_id, neighbor_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -1607,7 +1647,7 @@ object TrainingDataQueries {
        |), truth AS (
        |  SELECT vec_id, neighbor_id FROM bfr WHERE rn <= 3
        |), b AS (
-       |  SELECT vec_id, v, $bucket AS bucket FROM e
+       |  SELECT vec_id, v, substr($bits10, 1, (SELECT nbits FROM nb)) AS bucket FROM e
        |), p AS (
        |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
        |    list_dot_product(a.v, c.v) /
@@ -1640,19 +1680,18 @@ object TrainingDataQueries {
     * `nbits` itself is recomputed from count(*) with the same formula
     * as nBitsFor (tested corpus sizes sit far from the ceil(log2)
     * boundaries where libm ulps could flip the bit count). */
-  private val LshT8Tables = 8
-  private val LshT8MaxBits = 10
-
   val ssRecallLshT8: Q = (s, dir) => {
     import graft.operators.{Recall, SimilaritySearch}
     val emb = Tables.embeddings(s, dir)
-    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3)
+    val n = embeddingsCount(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = 3,
+      sampleEveryNth = Recall.sampleEveryNthFor(n))
       .select(col("vec_id"), col("neighbor_id"))
     // corpus-scaled bits, clamped to the oracle's plane-string width on
     // BOTH sides (the substr can't extend past LshT8MaxBits, so the
     // Spark side must saturate identically for >~260k-vector corpora)
     val bits = math.min(LshT8MaxBits,
-      SimilaritySearch.nBitsFor(math.max(1L, emb.count())))
+      SimilaritySearch.nBitsFor(math.max(1L, n)))
     val approx = SimilaritySearch.lshNeighbors(
       emb, "vec_id", "embedding", dim = 64, nBits = bits, k = 3, nTables = LshT8Tables)
       .select(col("vec_id").cast("long").as("vec_id"),
@@ -1675,11 +1714,14 @@ object TrainingDataQueries {
        |  SELECT GREATEST(1, LEAST($LshT8MaxBits, CAST(ceil(
        |    ln(GREATEST(CAST(count(*) AS DOUBLE) / 256.0, 1.0)) / ln(2.0)) AS INT))) AS nbits
        |  FROM e
+       |), nthq AS (
+       |  SELECT GREATEST(1, count(*) // 256) AS nth FROM e
        |), bf AS (
        |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
        |    list_dot_product(a.v, c.v) /
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
        |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |  WHERE a.vec_id % (SELECT nth FROM nthq) = 0
        |), bfr AS (
        |  SELECT vec_id, neighbor_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -2200,28 +2242,70 @@ object TrainingDataQueries {
        |ORDER BY vec_id, neighbor_id""".stripMargin
 
   /** ss_recall_ivf — IVF retrieval quality under the cross-engine gate
-    * (same design as ss_recall_lsh): recall@k of the gated IVF config
-    * vs in-plan brute-force truth, one (hits, total, recall) row. */
+    * (same design as ss_recall_lsh): recall@k of the machinery-gate IVF
+    * config (sampled unrefined quantizer, nProbe = 2) vs in-plan
+    * brute-force truth, one (hits, total, recall) row. The cell count
+    * is CORPUS-SCALED (nCentroidsFor, re-derived by the oracle from
+    * count(*) with the same ceil(N/128) rule the p8 oracle uses) so the
+    * candidate work stays nProbe·128 per vector at any SF — a pinned
+    * cell count made this gate's approx side O(N²/cells), the one
+    * residual superlinearity after the truth-sampling fix. */
   val ssRecallIvf: Q = (s, dir) => {
     import graft.operators.{Recall, SimilaritySearch}
     val emb = Tables.embeddings(s, dir)
-    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK)
+    val n = embeddingsCount(s, dir)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK,
+      sampleEveryNth = Recall.sampleEveryNthFor(n))
       .select(col("vec_id"), col("neighbor_id"))
+    val nc = SimilaritySearch.nCentroidsFor(n)
     val approx = SimilaritySearch.ivfNeighbors(
       emb, "vec_id", "embedding", dim = 64,
-      nCentroids = IvfCentroids, nProbe = IvfProbe, k = IvfK)
+      nCentroids = nc, nProbe = math.min(IvfProbe, nc), k = IvfK)
       .select(col("vec_id").cast("long").as("vec_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
     recallRow(truth, approx, Seq("vec_id", "neighbor_id"), "recall")
   }
 
   val ssRecallIvfOracle: String =
-    s"""$ivfOracleCtes,
-       |bf AS (
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ncq AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 128.0) AS INT)) AS nc
+       |  FROM e
+       |), cents AS (
+       |  SELECT cid, c FROM (
+       |    SELECT vec_id AS cid, v AS c,
+       |      row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= (SELECT nc FROM ncq)
+       |), sims AS (
+       |  SELECT e.vec_id, e.v, cents.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid ASC) AS rnk
+       |  FROM e CROSS JOIN cents
+       |), assign AS (
+       |  SELECT vec_id, v, cid AS cell FROM sims WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id, v, cid AS bucket FROM sims
+       |  WHERE rnk <= LEAST($IvfProbe, (SELECT nc FROM ncq))
+       |), cand AS (
+       |  SELECT p.vec_id, m.vec_id AS neighbor_id,
+       |    list_dot_product(p.v, m.v) /
+       |    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(m.v, m.v))) AS cos
+       |  FROM probes p JOIN assign m ON m.cell = p.bucket AND m.vec_id <> p.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM cand
+       |),
+       |nthq AS (
+       |  SELECT GREATEST(1, count(*) // 256) AS nth FROM e
+       |), bf AS (
        |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
        |    list_dot_product(a.v, c.v) /
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
        |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |  WHERE a.vec_id % (SELECT nth FROM nthq) = 0
        |), bfr AS (
        |  SELECT vec_id, neighbor_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -2254,8 +2338,10 @@ object TrainingDataQueries {
   val ssRecallIvfP8: Q = (s, dir) => {
     import graft.operators.{Recall, SimilaritySearch}
     val emb = Tables.embeddings(s, dir)
-    val nc = SimilaritySearch.nCentroidsFor(emb.count())
-    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK)
+    val n = embeddingsCount(s, dir)
+    val nc = SimilaritySearch.nCentroidsFor(n)
+    val truth = Recall.bruteForceNeighbors(emb, "vec_id", "embedding", k = IvfK,
+      sampleEveryNth = Recall.sampleEveryNthFor(n))
       .select(col("vec_id"), col("neighbor_id"))
     val approx = SimilaritySearch.ivfNeighbors(
       emb, "vec_id", "embedding", dim = 64, nCentroids = nc,
@@ -2319,11 +2405,14 @@ object TrainingDataQueries {
        |  SELECT vec_id, neighbor_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
        |  FROM cand
+       |), nthq AS (
+       |  SELECT GREATEST(1, count(*) // 256) AS nth FROM e
        |), bf AS (
        |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
        |    list_dot_product(a.v, c.v) /
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
        |  FROM e a JOIN e c ON a.vec_id <> c.vec_id
+       |  WHERE a.vec_id % (SELECT nth FROM nthq) = 0
        |), bfr AS (
        |  SELECT vec_id, neighbor_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -2584,7 +2673,7 @@ object TrainingDataQueries {
     * dd_phash gate (the oracle enumerates uncapped band candidates). */
   val ddPhashIdxBucketed: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0)
-    val table = s"graft_ph_idx_${math.abs(dir.hashCode)}"
+    val table = s"graft_ph_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"phidx:${System.identityHashCode(s)}:$dir", {
       s.sql(s"DROP TABLE IF EXISTS $table")
       graft.operators.PerceptualHash.writePhashBandIndexBucketed(
@@ -2854,7 +2943,7 @@ object TrainingDataQueries {
     * dd_embedding_incremental's oracle verbatim. */
   val ddEmbeddingIdxBucketed: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val table = s"graft_emb_idx_${math.abs(dir.hashCode)}"
+    val table = s"graft_emb_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"embidx:${System.identityHashCode(s)}:$dir", {
       s.sql(s"DROP TABLE IF EXISTS $table")
       graft.operators.SimilaritySearch.writeEmbBucketIndexBucketed(
@@ -2871,22 +2960,55 @@ object TrainingDataQueries {
       .orderBy("delta_id", "corpus_id")
   }
 
-  /** sk_sketches — approximate aggregates (HLL++ distinct count,
-    * approximate percentiles): the constant-memory alternative to exact
-    * distinct/percentile at 100 TB. Sketch INTERNALS are engine-specific,
-    * so raw sketch values can't hash-match DuckDB — instead the query
-    * emits exact aggregates alongside deterministic WITHIN-BOUND booleans
-    * (|approx−exact| inside the sketch's guarantee), and the oracle
-    * recomputes the exact columns with literal TRUEs: if Spark's sketch
-    * ever violates its bound the boolean flips and the hash gate fails.
-    * Bounds are generous multiples of the configured guarantees (rsd
-    * 0.02 → 0.1 cap; accuracy 1000 → ±0.1% rank → ±5%/±0.5% windows) so
-    * partition-order wobble in the quantile summary can't flake the
-    * gate. */
-  val skSketches: Q = (s, dir) => {
+  /** sk_sketches — approximate aggregates (HLL++ distinct count) next
+    * to their exact twins: the constant-memory alternative to exact
+    * distinct at 100 TB. Sketch INTERNALS are engine-specific, so raw
+    * sketch values can't hash-match DuckDB — instead the query emits
+    * exact aggregates alongside a deterministic WITHIN-BOUND boolean
+    * (|approx−exact| inside the sketch's guarantee, rsd 0.02 → 0.1
+    * cap), and the oracle recomputes the exact columns with a literal
+    * TRUE: if Spark's HLL ever violates its bound the boolean flips and
+    * the hash gate fails. ONE aggregation over ONE scan — this is the
+    * cost a user pays.
+    *
+    * The KLL-percentile within-bound check (approx percentile between
+    * exact interpolated p±5%/±0.5% rank values) lives in
+    * [[skSketchesVerified]], asserted per-round by SketchSpec at two
+    * SFs rather than inside this gate: its exact-order-statistics
+    * harness (window-rank sort) cost 5-6× the production aggregate in
+    * rounds 13-14 and is a VERIFIER, not an operator a user runs —
+    * the round-14 verdict's explicit alternative ("gate exact columns
+    * only and move bound-checks to the spec"). */
+  val skSketches: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .select(
+        col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("approx_users_ok"))
+      .orderBy("event_type")
+
+  /** The FULL sketch verifier (spec surface, not driver-gated): the
+    * gate's columns plus the KLL percentile_approx values checked
+    * against exact window-rank interpolated bounds — see the
+    * [[skSketches]] scaladoc for why this is a spec, not a gate. */
+  val skSketchesVerified: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+    // ONE events scan, shared: the verifier's exact-percentile pipeline
+    // (vals → ranked/marks → bounds) and the production sketch aggregate
+    // previously each re-scanned `events` — the round-14 verdict's
+    // double-scan call-out, and at 100 TB the scan IS the cost. The
+    // 3-column projection is pinned once (Materialize.stage — column-
+    // pruned to exactly what both consumers need) and every subtree
+    // below reads the pin.
+    val base = graft.operators.Materialize.stage(
+      Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("value").cast("double").as("x")))
     // The VERIFIER's exact bound windows ride the q23 window-rank exact
     // percentile (one spillable sort per group + boundary-rank
     // interpolation), NOT Spark's `percentile` value-buffer aggregate —
@@ -2896,35 +3018,41 @@ object TrainingDataQueries {
     // interpolation formula (pos = (n−1)·p, lo + (hi−lo)·frac over the
     // sorted multiset), so the within-bound booleans are unchanged.
     val ps = Seq(0.45 -> "b45", 0.55 -> "b55", 0.985 -> "b985", 0.995 -> "b995")
-    val vals = ev.filter(col("value").isNotNull)
-      .select(col("event_type"), col("value").cast("double").as("x"))
-    val ranked = vals.withColumn("rn",
-      row_number().over(Window.partitionBy("event_type").orderBy("x")))
-    val marks = vals.groupBy("event_type").agg(count(lit(1)).as("nv"))
-      .select(col("event_type") +: col("nv") +: ps.map { case (p, nm) =>
-        floor((col("nv") - 1) * lit(p)).cast("long").as(s"lo_$nm") }: _*)
-    val needed = ps.map { case (_, nm) =>
-      col("rn") === col(s"lo_$nm") + 1 || col("rn") === col(s"lo_$nm") + 2 }
-      .reduce(_ || _)
+    val vals = base.filter(col("x").isNotNull)
+      .select(col("event_type"), col("x"))
+    // ONE window pass carries BOTH the rank and the group size: count()
+    // over the unordered partition frame shares the rank window's
+    // exchange + sort, which deletes the former separate `marks`
+    // aggregate AND its broadcast join (two whole stages of the
+    // verifier — the round-14 "6× its own production cost" residue).
+    // Boundary positions lo = floor((nv−1)·p) are then in-row
+    // expressions and the interpolation folds into one tiny
+    // per-event_type aggregate over just the boundary rows.
+    val win = Window.partitionBy("event_type")
+    val ranked = vals.select(col("event_type"), col("x"),
+      row_number().over(win.orderBy("x")).as("rn"),
+      count(lit(1)).over(win).as("nv"))
+    def lo(p: Double): Column = floor((col("nv") - 1) * lit(p)).cast("long")
+    val needed = ps.map { case (p, _) =>
+      col("rn") === lo(p) + 1 || col("rn") === lo(p) + 2 }.reduce(_ || _)
     def interp(p: Double, nm: String): Column = {
-      val frac = (col("nv") - 1) * lit(p) - col(s"lo_$nm").cast("double")
-      val vlo = max(when(col("rn") === col(s"lo_$nm") + 1, col("x")))
-      val vhi = max(when(col("rn") === col(s"lo_$nm") + 2, col("x")))
+      val frac = (max(col("nv")) - 1) * lit(p) -
+        floor((max(col("nv")) - 1) * lit(p))
+      val vlo = max(when(col("rn") === lo(p) + 1, col("x")))
+      val vhi = max(when(col("rn") === lo(p) + 2, col("x")))
       (vlo + (coalesce(vhi, vlo) - vlo) * frac).as(nm)
     }
-    val bounds = ranked.join(broadcast(marks), "event_type")
-      .filter(needed)
-      .groupBy(col("event_type"), col("nv"),
-        col("lo_b45"), col("lo_b55"), col("lo_b985"), col("lo_b995"))
+    val bounds = ranked.filter(needed)
+      .groupBy(col("event_type"))
       .agg(interp(0.45, "b45"), interp(0.55, "b55"),
         interp(0.985, "b985"), interp(0.995, "b995"))
       .select("event_type", "b45", "b55", "b985", "b995")
-    ev.groupBy("event_type")
+    base.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+        percentile_approx(col("x"), array(lit(0.5), lit(0.99)),
           lit(1000)).as("pap"))
       .join(bounds, Seq("event_type"), "left")
       .select(
@@ -2940,9 +3068,7 @@ object TrainingDataQueries {
     """SELECT event_type,
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT user_id) AS exact_users,
-      |  TRUE AS approx_users_ok,
-      |  TRUE AS p50_ok,
-      |  TRUE AS p99_ok
+      |  TRUE AS approx_users_ok
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -2985,7 +3111,7 @@ object TrainingDataQueries {
     val docs = Tables.documents(s, dir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_${math.abs(dir.hashCode)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"hhidx:${System.identityHashCode(s)}:$dir", {
       graft.operators.HeavyHitters.buildIndex(corpus, "text", path)
       path
@@ -3004,7 +3130,7 @@ object TrainingDataQueries {
     * change results. */
   val skHeavyHittersIdx: Q = (s, dir) => {
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_full_${math.abs(dir.hashCode)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_hh_idx_full_${dirSlug(dir)}"
     indexMemo.getOrElseUpdate(s"hhidxfull:${System.identityHashCode(s)}:$dir", {
       graft.operators.HeavyHitters.buildIndex(
         Tables.documents(s, dir), "text", path)
@@ -3277,6 +3403,15 @@ object TrainingDataQueries {
     * copy into the temp dir per execution. */
   private val indexMemo =
     new scala.collection.concurrent.TrieMap[String, AnyRef]
+
+  /** Memoized embeddings row count per (session, dir) — the corpus-scaled
+    * knobs (nBitsFor / nCentroidsFor / sampleEveryNthFor) all need it and
+    * the gates re-run many times per bench session. */
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    indexMemo.getOrElseUpdate(
+      s"embcount:${System.identityHashCode(s)}:$dir",
+      java.lang.Long.valueOf(Tables.embeddings(s, dir).count())
+    ).asInstanceOf[java.lang.Long].longValue()
 
   val ssAnnIvfPqPruned: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)

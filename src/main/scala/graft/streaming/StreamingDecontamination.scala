@@ -42,20 +42,26 @@ object StreamingDecontamination {
       evalIndexPath: String,
       sink: (DataFrame, DataFrame, Long) => Unit,
       n: Int = Dedup.DefaultShingleN, threshold: Double = 0.5,
-      fast: Boolean = false): DataStreamWriter[Row] = {
+      fast: Boolean = false, broadcastEval: Boolean = true): DataStreamWriter[Row] = {
     require(docs.isStreaming, "gate expects a streaming document frame")
     val spark = docs.sparkSession
     // the frozen index loads once on the driver side of the plan; each
-    // micro-batch broadcasts the (guarded, pruned) posting rows
+    // micro-batch broadcasts the (guarded, pruned) posting rows —
+    // broadcastEval = false is the giant-eval-union off-switch, passed
+    // straight through to the batch operator
     val evalIndex = spark.read.parquet(evalIndexPath)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = Dedup.contaminationPairsFromIndex(
-          batch, evalIndex, idCol, textCol, n, threshold, fast)
+          batch, evalIndex, idCol, textCol, n, threshold, fast, broadcastEval)
           .localCheckpoint() // both halves of the split read it
+        // alias the pairs side: a caller whose idCol is literally named
+        // "train_id" would otherwise make batch(idCol) === col("train_id")
+        // ambiguous
+        val gatedIds = pairs.select(col("train_id").as("__contaminated_id"))
+          .distinct()
         val survivors = batch.join(
-          pairs.select(col("train_id")).distinct(),
-          batch(idCol) === col("train_id"), "left_anti")
+          gatedIds, batch(idCol) === gatedIds("__contaminated_id"), "left_anti")
         sink(survivors, pairs, batchId)
       }
   }
@@ -67,8 +73,10 @@ object StreamingDecontamination {
       evalIndexPath: String,
       sink: (DataFrame, DataFrame, Long) => Unit, checkpointDir: String,
       n: Int = Dedup.DefaultShingleN, threshold: Double = 0.5,
-      fast: Boolean = false)(implicit spark: SparkSession): Unit = {
-    val q = gate(docs, idCol, textCol, evalIndexPath, sink, n, threshold, fast)
+      fast: Boolean = false, broadcastEval: Boolean = true)(
+      implicit spark: SparkSession): Unit = {
+    val q = gate(docs, idCol, textCol, evalIndexPath, sink, n, threshold,
+      fast, broadcastEval)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

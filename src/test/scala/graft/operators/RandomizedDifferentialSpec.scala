@@ -68,6 +68,33 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     assert(got === naive)
   }
 
+  test("native graft_topk (topKPerVector) equals sort-take-k with dup collapse on random scores") {
+    // the native TypedImperativeAggregate replacing the typed
+    // TopKAggregator (round 15): same total order (score DESC, id ASC),
+    // same exact-duplicate collapse — checked against a naive driver
+    // reduction over random pairs INCLUDING injected exact duplicates
+    val rnd = new scala.util.Random(0xA11CE)
+    val base = (1 to 3000).map(_ =>
+      ((rnd.nextInt(25)).toLong, rnd.nextInt(40).toDouble, rnd.nextInt(200).toLong))
+    val rows = base ++ base.take(300) // exact dups must not take two slots
+    val k = 4
+    val got = SimilaritySearch.topKPerVector(
+      rows.toDF("vec_id", "cos", "neighbor_id"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(x => (x._3, x._2)).toList }
+    val naive = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).distinct
+        .sorted(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])).take(k).toList
+    }
+    assert(got === naive)
+    // output arrives in the ranked order per group
+    val ranked = SimilaritySearch.topKPerVector(
+      rows.toDF("vec_id", "cos", "neighbor_id"), k)
+      .filter($"vec_id" === 3L).collect()
+      .map(r => (r.getDouble(2), r.getLong(1))).toList
+    assert(ranked === naive(3L))
+  }
+
   test("multi-table lshNeighbors equals the naive all-pairs formulation (the one ANN path with no DuckDB oracle)") {
     import graft.functions.VectorFunctions.hyperplanes
     val rnd = new scala.util.Random(0x15AC)
