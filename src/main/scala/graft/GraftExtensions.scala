@@ -141,9 +141,19 @@ object GraftExtensions {
       graft.plans.TopKPairsAgg(args(0), args(1), k)
     })
 
+  /** graft_md5w60(s) — first 60 bits of md5(s) as one long (native twin
+    * of conv(substring(md5(s),1,15),16,10)). */
+  private val md5w60Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5w60"),
+    new ExpressionInfo(classOf[graft.plans.Md5Word60].getName, "graft_md5w60"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_md5w60(s)")
+      graft.plans.Md5Word60(args.head)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
     nearestCenterFunction, nearestCentersFunction, simhashFunction,
-    ngramMaxMultFunction, topkFunction)
+    ngramMaxMultFunction, topkFunction, md5w60Function)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

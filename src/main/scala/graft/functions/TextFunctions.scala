@@ -55,9 +55,13 @@ object TextFunctions {
     * without a cross-engine gate should run fast mode; LSH statistics are
     * identical, only the concrete pairs near the threshold wobble). */
   private[graft] val P = 2147483647L // 2^31 - 1, prime
+  // md5 path: the NATIVE graft_md5w60 expression — same value as
+  // conv(substring(md5(s),1,15),16,10) (differential-spec'd), without
+  // materializing and re-parsing a 32-char hex string per shingle (the
+  // hottest expression of the span/minhash posting passes, round 15)
   def baseHash(s: Column, fast: Boolean = false): Column =
     if (fast) pmod(xxhash64(s), lit(P))
-    else pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+    else pmod(md5w60(s), lit(P))
 
   /** 60-bit shingle JOIN key — `baseHash` without the mod-P fold, for
     * equi-joins on shingles (the span-dedup family): a k-token shingle
@@ -71,7 +75,15 @@ object TextFunctions {
     * 64-bit) for production corpora without a cross-engine gate. */
   def shingleKey(s: Column, fast: Boolean = false): Column =
     if (fast) xxhash64(s)
-    else conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    else md5w60(s)
+
+  // direct expression construction (no FunctionRegistry dependence —
+  // baseHash/shingleKey run inside operators that may not have called
+  // GraftExtensions.register on the session)
+  private def md5w60(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.Md5Word60(ColumnBridge.expression(s)))
+  }
 
   /** MinHash signature: `k` independent min-hashes over `shingleArr`.
     * Component i is min over shingles of universal-hash_i(baseHash(shingle)).

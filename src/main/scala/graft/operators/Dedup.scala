@@ -1608,6 +1608,14 @@ object Dedup {
 
   /** Corpus self-join shingle matches (doc_a < doc_b), on the hashed
     * shingle key. */
+  /** Profiling taps for tools.SpanProfile (diagnostic surface only). */
+  private[graft] def selfSpanMatchesForProfile(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    selfSpanMatches(df, idCol, textCol, DefaultSpanK,
+      Some(DefaultMaxDocFreqFraction))
+  private[graft] def spanFoldForProfile(matches: DataFrame): DataFrame =
+    spanFold(matches, DefaultSpanK, DefaultMinSpanTokens)
+
   private def selfSpanMatches(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {

@@ -45,6 +45,22 @@ object SpanProfile {
       noop(Dedup.positionalPosting(docs, "doc_id", "text",
         Dedup.DefaultSpanK, Some(Dedup.DefaultMaxDocFreqFraction), fast = true))
     }
+    // decompose the non-posting half: raw posting pin → guard →
+    // guarded pin → self-join matches → (pair, diag) fold
+    time("matches (join, md5)") {
+      noop(Dedup.selfSpanMatchesForProfile(docs, "doc_id", "text"))
+    }
+    locally {
+      // fold alone, from pre-materialized matches (parquet round-trip
+      // so the join cost is fully excluded)
+      val p = java.nio.file.Files.createTempDirectory("graft-spanprof").toString
+      Dedup.selfSpanMatchesForProfile(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      val m = spark.read.parquet(p)
+      time("fold only (pinned matches)") {
+        noop(Dedup.spanFoldForProfile(m))
+      }
+    }
     spark.stop()
   }
 }

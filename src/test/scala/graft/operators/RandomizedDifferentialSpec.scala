@@ -68,6 +68,20 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     assert(got === naive)
   }
 
+  test("native graft_md5w60 equals conv(substring(md5(s),1,15),16,10) on random strings") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val rnd = new scala.util.Random(0x5EED)
+    val strs = (1 to 500).map(_ =>
+      rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "a b c", "ünïcode ßtríng", "\t\n")
+    val df = strs.toDF("s")
+    val got = df.select(
+      graft.functions.TextFunctions.shingleKey(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("native graft_topk (topKPerVector) equals sort-take-k with dup collapse on random scores") {
     // the native TypedImperativeAggregate replacing the typed
     // TopKAggregator (round 15): same total order (score DESC, id ASC),
