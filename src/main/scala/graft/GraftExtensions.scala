@@ -151,9 +151,27 @@ object GraftExtensions {
       graft.plans.Md5Word60(args.head)
     })
 
+  /** graft_span_keys(tokens, k, fast) — positional shingle keys as one
+    * native array<long> (span-posting hot path). */
+  private val spanKeysFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_span_keys"),
+    new ExpressionInfo(classOf[graft.plans.SpanKeys].getName, "graft_span_keys"),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, "graft_span_keys(tokens, k, fast)")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_span_keys k must be an int literal, got $other")
+      }
+      val fast = args(2) match {
+        case Literal(v: Boolean, _) => v
+        case other => sys.error(s"graft_span_keys fast must be a bool literal, got $other")
+      }
+      graft.plans.SpanKeys(args.head, k, fast)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
     nearestCenterFunction, nearestCentersFunction, simhashFunction,
-    ngramMaxMultFunction, topkFunction, md5w60Function)
+    ngramMaxMultFunction, topkFunction, md5w60Function, spanKeysFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

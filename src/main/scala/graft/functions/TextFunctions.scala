@@ -85,6 +85,18 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.Md5Word60(ColumnBridge.expression(s)))
   }
 
+  /** Positional shingle keys — element i = shingleKey of the k-token
+    * window at position i, as ONE native array<long>
+    * (plans.SpanKeys): bit-identical to
+    * `shingleKey(positionalShingles(tok, k)(i), fast)` without the
+    * interpreted per-position concat_ws lambda or the intermediate
+    * shingle strings (differential-spec'd). The span-posting hot path;
+    * < k tokens → empty array. */
+  def positionalShingleKeys(tok: Column, k: Int, fast: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.SpanKeys(ColumnBridge.expression(tok), k, fast))
+  }
+
   /** MinHash signature: `k` independent min-hashes over `shingleArr`.
     * Component i is min over shingles of universal-hash_i(baseHash(shingle)).
     *

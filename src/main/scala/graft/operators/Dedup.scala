@@ -1574,15 +1574,19 @@ object Dedup {
       maxDocFreqFraction: Option[Double], fast: Boolean = false): DataFrame = {
     // posexplode_OUTER + null-drop (the ngramJaccardPairs rationale):
     // the non-outer form feeds InferFiltersFromGenerate, whose pushed
-    // (size > 0, isnotnull) filter re-evaluates the positional-shingle
-    // tree with split() re-inlined per element_at — k extra
-    // tokenizations per position per row. Outer emits one null row for
-    // a shingle-less doc, dropped here.
+    // (size > 0, isnotnull) filter re-evaluates the key array twice
+    // more per row. Outer emits one null row for a shingle-less doc,
+    // dropped here. The keys come from the NATIVE positionalShingleKeys
+    // (plans.SpanKeys — round 15): same values as the former
+    // shingleKey(positionalShingles(...)) composition, without the
+    // interpreted per-position concat_ws lambda or the intermediate
+    // shingle strings.
     val sh = df
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), posexplode_outer(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
-      .filter(col("s").isNotNull)
-      .select(col("doc"), col("pos"), shingleKey(col("s"), fast).as("h"))
+      .select(col("doc"),
+        posexplode_outer(positionalShingleKeys(col("toks"), k, fast)).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc"), col("pos"), col("h"))
     maxDocFreqFraction match {
       case None => sh
       case Some(f) =>

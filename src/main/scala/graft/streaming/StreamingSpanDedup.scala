@@ -72,11 +72,12 @@ object StreamingSpanDedup {
         tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("event_time"),
         // outer + null-drop: skips InferFiltersFromGenerate's
-        // re-tokenizing pushed filter (see Dedup.positionalPosting)
-        posexplode_outer(positionalShingles(col("toks"), k)).as(Seq("pos", "s")))
-      .filter(col("s").isNotNull)
-      .select(shingleKey(col("s"), fast).as("h"),
-        col("doc_id"), col("event_time"), col("pos"))
+        // re-tokenizing pushed filter; native positionalShingleKeys =
+        // the batch posting's exact key values (see
+        // Dedup.positionalPosting)
+        posexplode_outer(positionalShingleKeys(col("toks"), k, fast)).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("h"), col("doc_id"), col("event_time"), col("pos"))
       .as[PostRow]
 
     posted

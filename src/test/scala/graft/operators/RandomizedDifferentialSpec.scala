@@ -82,6 +82,32 @@ class RandomizedDifferentialSpec extends SparkSpecBase {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
   }
 
+  test("native graft_span_keys equals shingleKey∘positionalShingles (both hash modes, corpus + degenerate)") {
+    import org.apache.spark.sql.functions.{col, posexplode_outer}
+    import graft.functions.TextFunctions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    for (fast <- Seq(false, true); k <- Seq(2, 5)) {
+      val mismatches = docs.select(col("doc_id"),
+        positionalShingleKeys(col("toks"), k, fast).as("nat"),
+        org.apache.spark.sql.functions.transform(
+          positionalShingles(col("toks"), k),
+          s => shingleKey(s, fast)).as("comp"))
+        .filter(!(col("nat") <=> col("comp")))
+        .count()
+      assert(mismatches === 0L, s"fast=$fast k=$k")
+    }
+    // degenerate: short docs (< k tokens) and null tokens (concat_ws
+    // skips nulls — the native form must too)
+    import spark.implicits._
+    val edge = Seq(Seq("a"), Seq[String](), Seq("a", null, "b", "c")).toDF("toks")
+    val got = edge.select(positionalShingleKeys(col("toks"), 2).as("nat"),
+      org.apache.spark.sql.functions.transform(
+        positionalShingles(col("toks"), 2), s => shingleKey(s)).as("comp"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString))
+  }
+
   test("native graft_topk (topKPerVector) equals sort-take-k with dup collapse on random scores") {
     // the native TypedImperativeAggregate replacing the typed
     // TopKAggregator (round 15): same total order (score DESC, id ASC),
