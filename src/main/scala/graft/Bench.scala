@@ -432,6 +432,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.FATAL)
+    // Two more known-benign WARN floods that drowned the round-15
+    // driver tail (same rationale — real failures surface in the JSON
+    // `failures` field, never via these loggers):
+    //  - WindowExec "No Partition Defined" — the DELIBERATE tiny
+    //    single-partition windows (token-budget base offsets, boundary
+    //    ranks over ≤32 rows), each individually documented at its site
+    //  - BlockManager "Block ... already exists" — the benign re-add
+    //    race when interleaved reps re-pin the same localCheckpoint
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
 
     def exec(name: String, dir: String): Unit =
       SparkEntry.queries.getOrElse(name, benchOnly(name))(spark, dir)
@@ -468,11 +482,42 @@ object Bench {
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
+    // Per-query JVM health rides along with every timed rep (round-15
+    // verdict item 3 — the interleaved-drift attribution): GC time spent
+    // INSIDE the rep, heap used after it, and Janino compilations inside
+    // it. A query whose median creeps while its gc_ms share grows is
+    // machine/GC fatigue; one whose codegen count is nonzero on every
+    // rep is re-compiling a plan that should be cached.
+    def gcMsNow(): Long = {
+      var s = 0L
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    def heapMbNow(): Long =
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
+    def codegenCount(): Long =
+      try org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+      catch { case _: Throwable => -1L }
+    // name -> (gc_ms inside rep, heap MB after, codegen compiles inside)
+    val jvmSamples =
+      scala.collection.mutable.Map.empty[String, Vector[(Long, Long, Long)]]
     // A failed query records -1, never its elapsed-time-to-failure — a
     // fast crash must not masquerade as a fast success in the JSON line.
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { exec(name, sfDir); (System.nanoTime() - t0) / 1e9 }
+      val gc0 = gcMsNow(); val cg0 = codegenCount()
+      try {
+        exec(name, sfDir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        jvmSamples(name) = jvmSamples.getOrElse(name, Vector.empty) :+
+          ((gcMsNow() - gc0, heapMbNow(),
+            if (cg0 < 0) -1L else codegenCount() - cg0))
+        dt
+      }
       catch { case e: Throwable =>
         failures(name) = reasonOf(e)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -581,9 +626,15 @@ object Bench {
       catch { case _: Throwable => None }
     def baseOf(s: String): String =
       Option(java.nio.file.Paths.get(s).getFileName).map(_.toString).getOrElse(s)
+    def normAbs(s: String): String =
+      java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
     def sameSf(a: String, b: String): Boolean = (realOf(a), realOf(b)) match {
       case (Some(x), Some(y)) => x == y
-      case _ => baseOf(a) == baseOf(b) // stale recorded path: match on sf name
+      // one side unresolvable (e.g. recorded dir deleted): require the
+      // normalized absolute paths to agree, not just the trailing sf name
+      // — two corpora named .../a/sf0.1 and .../b/sf0.1 are NOT the same
+      // scale factor (round-15 ADVICE)
+      case _ => normAbs(a) == normAbs(b)
     }
     val duck = duckSf match {
       case Some(s) if !sameSf(s, sfDir) =>
@@ -615,7 +666,15 @@ object Bench {
     // so the methodology stays identical to round 14 — round-over-round
     // comparisons are like-for-like, and fresh-JVM numbers are recorded
     // separately where a gate's letter turns on them.
-    val isolated = derivedWeak.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_ISOLATE names extra gates to isolate beyond the
+    // derived weak set (round-15 verdict item 4: heavy-context gates
+    // whose interleaved time crossed the previous round's number need an
+    // isolated entry in the artifact so regression-vs-context is
+    // adjudicable); unknown names are ignored
+    val forcedIsolate = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+      .filter(n => SparkEntry.queries.contains(n) || benchOnly.contains(n))
+    val isolated = (derivedWeak ++ forcedIsolate).toSeq.sorted.map { name =>
       val ts = Vector.fill(math.max(1, reps))(timeOnce(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
@@ -682,7 +741,17 @@ object Bench {
     // tail capture, and a ~3 KB stderr echo printed after the minimal
     // stdout line pushed that line out of the window in round 11
     // (BENCH_r11.json parsed:null, 5th recurrence).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
+    // per-query JVM health: [gc_ms_median, heap_mb_max, codegen_median]
+    // across this run's timed reps (interleaved + isolated) — the
+    // drift-attribution evidence (round-15 verdict item 3)
+    val jvmJson = names.filter(jvmSamples.contains).map { name =>
+      val v = jvmSamples(name)
+      val gcMed = v.map(_._1).sorted.apply(v.size / 2)
+      val heapMax = v.map(_._2).max
+      val cgMed = v.map(_._3).sorted.apply(v.size / 2)
+      "\"" + name + s"""":[$gcMed,$heapMax,$cgMed]"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"jvm":$jvmJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -39,8 +39,18 @@ object Materialize {
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "disk" =>
         val p = df.persist(StorageLevel.DISK_ONLY_2)
-        if (eager) p.count()
-        p
+        if (eager) {
+          // eager call sites are ROUND LOOPS (label propagation, Lloyd):
+          // persist alone keeps the logical plan, so each iteration's
+          // plan nests the last — O(iters) analysis cost on the driver.
+          // Re-rooting on the persisted RDD cuts Catalyst lineage to a
+          // single LogicalRDD per round (localCheckpoint gives the same
+          // truncation for free); the RDD still reads the 2×-replicated
+          // disk blocks, so the durability posture is unchanged
+          // (round-15 ADVICE)
+          p.count()
+          df.sparkSession.createDataFrame(p.rdd, p.schema)
+        } else p
       case "reliable" => df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }

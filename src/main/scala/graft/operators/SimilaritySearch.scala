@@ -438,7 +438,11 @@ object SimilaritySearch {
     graft.GraftExtensions.register(pairs.sparkSession)
     // POSITIONAL input contract (group, score, member) — same as the
     // typed as[(Long, Double, Long)] form this replaced: callers feed
-    // differently-named triples (delta_id/cos/corpus_id, …)
+    // differently-named triples (delta_id/cos/corpus_id, …). Preserve
+    // that form's fail-fast arity check: extra/missing columns mean the
+    // caller's frame is not the triple this contract aggregates
+    require(pairs.columns.length == 3,
+      s"topKPerVector expects exactly (group, score, member); got ${pairs.columns.mkString("(", ", ", ")")}")
     val Seq(g, s, m) = pairs.columns.take(3).map(col).toSeq
     pairs
       .groupBy(g.as("vec_id"))

@@ -37,7 +37,11 @@ final class TopKPairsBuffer(val k: Int) {
     // find insertion point among the ≤k kept entries (linear: k is tiny)
     var pos = 0
     while (pos < n && stronger(scores(pos), ids(pos), s, id)) pos += 1
-    if (pos < n && scores(pos) == s && ids(pos) == id) return // exact dup
+    // exact dup: bit-image equality (boxed java.lang.Double semantics, the
+    // contract of the typed aggregator this replaced) — NaN dups collapse,
+    // (+0.0,-0.0) pairs do NOT
+    if (pos < n && ids(pos) == id &&
+        java.lang.Double.doubleToLongBits(scores(pos)) == java.lang.Double.doubleToLongBits(s)) return
     if (pos >= k) return
     val last = math.min(n, k - 1) // index that shifts out (or the append slot)
     var i = last

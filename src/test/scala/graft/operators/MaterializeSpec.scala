@@ -26,6 +26,24 @@ class MaterializeSpec extends SparkSpecBase {
     }
   }
 
+  test("disk + eager cuts Catalyst lineage (loop plans must not nest)") {
+    import spark.implicits._
+    spark.conf.set(Materialize.ConfKey, "disk")
+    try {
+      // simulate a round loop: each iteration derives from the last pin;
+      // with lineage kept the analyzed plan depth grows per round
+      var df = Seq(1L, 2L, 3L).toDF("x")
+      for (_ <- 1 to 5)
+        df = Materialize.stage(df.withColumn("x", col("x") + 1), eager = true)
+      assert(df.collect().map(_.getLong(0)).sorted === Array(6L, 7L, 8L))
+      // the staged frame's plan must be a flat scan (LogicalRDD), not a
+      // 5-deep Project chain over persisted children
+      val planStr = df.queryExecution.analyzed.toString
+      assert(planStr.contains("LogicalRDD"),
+        s"expected lineage-cut LogicalRDD root, got:\n$planStr")
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
   test("stage() honors eager flag and unknown modes fall back to local") {
     import spark.implicits._
     spark.conf.set(Materialize.ConfKey, "definitely-not-a-mode")

@@ -47,6 +47,19 @@ class TopKPairsAggExprSpec extends SparkSpecBase {
     assert(back.ids.take(back.n).toSeq === Seq(7L, 1L, 2L, 4L, 9L))
   }
 
+  test("dup collapse is bit-image equality: NaN dups collapse, ±0.0 don't") {
+    // boxed java.lang.Double semantics — the contract of the typed
+    // aggregator this replaced (round-15 ADVICE): primitive == kept NaN
+    // dups apart (NaN != NaN) and wrongly merged (+0.0, -0.0)
+    val buf = new TopKPairsBuffer(5)
+    Seq((Double.NaN, 7L), (Double.NaN, 7L), (0.0, 3L), (-0.0, 3L))
+      .foreach { case (s, id) => buf.insert(s, id) }
+    assert(buf.n === 3, "NaN dup must collapse; +0.0/-0.0 are distinct")
+    assert(buf.ids.take(buf.n).toSeq === Seq(7L, 3L, 3L))
+    assert(buf.scores.take(buf.n).map(java.lang.Double.doubleToRawLongBits).toSeq
+      === Seq(Double.NaN, 0.0, -0.0).map(java.lang.Double.doubleToRawLongBits))
+  }
+
   test("merge of two full buffers keeps the global strongest k") {
     val a = new TopKPairsBuffer(3); val b = new TopKPairsBuffer(3)
     Seq((5.0, 1L), (4.0, 2L), (3.0, 3L)).foreach { case (s, i) => a.insert(s, i) }

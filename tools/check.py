@@ -24,6 +24,12 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 # quadratic-oracle set when cross-checking at sf0.1)
 skip = set(filter(None, (sys.argv[3] if len(sys.argv) > 3 else "").split(",")))
 n_pass = n_fail = 0
+# per-query pass/fail map -> JSON artifact (CHECK_local_r{N}.json):
+# the round's correctness evidence must be self-contained in the repo
+# even when the driver's own CORRECTNESS artifact fails (round-15:
+# CORRECTNESS_r15.json came back {} on a green tree)
+res = {}
+json_out = os.environ.get("CHECK_JSON_OUT", "")
 
 
 def tclass(col):
@@ -85,28 +91,33 @@ def norm(col):
 for name in sorted(oracle):
     if name in skip:
         print(f"SKIP {name}")
+        res[name] = {"status": "skip"}
         continue
     sql = oracle[name]
     try:
         sdf = pd.read_parquet(f"{out}/{name}")
     except Exception as e:
         print(f"FAIL {name}: spark result unreadable: {e}")
+        res[name] = {"status": "fail", "detail": f"spark result unreadable: {e}"}
         n_fail += 1
         continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
+        res[name] = {"status": "fail", "detail": f"oracle SQL error: {e}"}
         n_fail += 1
         continue
     sdf = sdf[sorted(sdf.columns)]
     odf = odf[sorted(odf.columns)]
     if list(sdf.columns) != list(odf.columns):
         print(f"FAIL {name}: cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+        res[name] = {"status": "fail", "detail": f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}"}
         n_fail += 1
         continue
     if len(sdf) != len(odf):
         print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+        res[name] = {"status": "fail", "detail": f"rows spark={len(sdf)} oracle={len(odf)}"}
         n_fail += 1
         continue
     bad = []
@@ -129,10 +140,17 @@ for name in sorted(oracle):
                 bad.append(f"{c} (first bad row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r})")
     if bad:
         print(f"FAIL {name}: value mismatch: {'; '.join(bad)}")
+        res[name] = {"status": "fail", "rows": len(sdf), "detail": f"value mismatch: {'; '.join(bad)}"}
         n_fail += 1
     else:
         print(f"PASS {name} ({len(sdf)} rows)")
+        res[name] = {"status": "pass", "rows": len(sdf)}
         n_pass += 1
 
 print(f"\n{n_pass} pass, {n_fail} fail")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf": sf, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": res}, f, indent=0, sort_keys=True)
+    print(f"wrote {json_out}")
 sys.exit(1 if n_fail else 0)
