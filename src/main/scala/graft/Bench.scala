@@ -411,6 +411,37 @@ object Bench {
     out
   }
 
+  /** Deterministic CPU microbenchmark — the machine-speed yardstick the
+    * artifact needs to separate code regressions from host drift
+    * (round-15 verdict item 3: suite medians crept 1.26× on unchanged
+    * plans, and DuckDB — code-identical across rounds — crept 1.16×
+    * median on the same artifacts, so the drift is the shared host, not
+    * the engine). SHA-256 over a fixed 1 MiB buffer, ~300 ms measured
+    * window after a warmup: returns (single-thread MB/s, all-thread
+    * aggregate MB/s). Fixed instruction mix, no allocation in the loop —
+    * rounds compare machine_st/machine_mt before comparing medians. */
+  private def cpuYardstick(threads: Int): (Double, Double) = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    def mbPerSec(): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      var n = 0L
+      md.digest(buf) // warm
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 300e6.toLong) { md.digest(buf); n += 1 }
+      n * 1.0 / ((System.nanoTime() - t0) / 1e9) // MiB/s (1 MiB per digest)
+    }
+    val st = mbPerSec()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = (1 to threads).map(_ =>
+      pool.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = mbPerSec()
+      }))
+    val mt = futs.map(_.get()).sum
+    pool.shutdown()
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -751,7 +782,14 @@ object Bench {
       val cgMed = v.map(_._3).sorted.apply(v.size / 2)
       "\"" + name + s"""":[$gcMed,$heapMax,$cgMed]"""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"jvm":$jvmJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
+    // machine yardstick LAST (after the suite) so it cannot perturb the
+    // timed reps; both are comparable round-over-round
+    val (machSt, machMt) =
+      try cpuYardstick(cpus.toInt) catch { case _: Throwable => (-1.0, -1.0) }
+    val machJson = String.format(java.util.Locale.ROOT,
+      """{"sha256_st_mbs":%.1f,"sha256_mt_mbs":%.1f,"threads":%s}""",
+      Double.box(machSt), Double.box(machMt), cpus)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"jvm":$jvmJson,"machine":$machJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
