@@ -393,17 +393,32 @@ object Dedup {
       case None => allPairs(col("ms"))
       case Some(cap) =>
         // struct sort = doc ascending (doc is the first field), so the
-        // survivor set and the representative are order-independent
-        val sorted = array_sort(col("ms"))
+        // survivor set and the representative are order-independent.
+        // `__mss` is a MATERIALIZED projection, not an inline
+        // array_sort: an inline `sorted` re-evaluates at every
+        // reference inside the pair-walk lambdas — a re-SORT of the
+        // whole bucket per chained element, O(m²·log m) on exactly the
+        // hot buckets the cap exists for (measured: the capped walk ran
+        // 2× the UNCAPPED walk on 2.2-2.9k-member buckets, round 16)
+        val sorted = col("__mss")
         when(size(col("ms")) <= cap, allPairs(col("ms")))
           .otherwise(concat(
             allPairs(slice(sorted, 1, cap)),
             transform(slice(sorted, lit(cap + 1), size(col("ms")) - cap),
               x => pair(element_at(sorted, 1), x))))
     }
-    banded.groupBy("band", "bkey")
+    val grouped = banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
+    // the sorted image is computed once per OVER-cap bucket (the when()
+    // leaves it null below the cap), so dormant-cap plans pay one size()
+    // test per bucket and results there stay bit-identical
+    val staged = maxBucket match {
+      case None => grouped
+      case Some(cap) => grouped.withColumn("__mss",
+        when(size(col("ms")) > cap, array_sort(col("ms"))))
+    }
+    staged
       // outer + null-drop: a non-outer explode's inferred filter
       // (InferFiltersFromGenerate) re-evaluates the whole pair-
       // enumeration lambda twice more per bucket row (see
@@ -980,17 +995,32 @@ object Dedup {
       case None => allPairs(col("ms"))
       case Some(cap) =>
         // struct sort = doc ascending (doc is the first field), so the
-        // survivor set and the representative are order-independent
-        val sorted = array_sort(col("ms"))
+        // survivor set and the representative are order-independent.
+        // `__mss` is a MATERIALIZED projection, not an inline
+        // array_sort: an inline `sorted` re-evaluates at every
+        // reference inside the pair-walk lambdas — a re-SORT of the
+        // whole bucket per chained element, O(m²·log m) on exactly the
+        // hot buckets the cap exists for (measured: the capped walk ran
+        // 2× the UNCAPPED walk on 2.2-2.9k-member buckets, round 16)
+        val sorted = col("__mss")
         when(size(col("ms")) <= cap, allPairs(col("ms")))
           .otherwise(concat(
             allPairs(slice(sorted, 1, cap)),
             transform(slice(sorted, lit(cap + 1), size(col("ms")) - cap),
               x => pair(element_at(sorted, 1), x))))
     }
-    banded.groupBy("band", "bkey")
+    val grouped = banded.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
+    // the sorted image is computed once per OVER-cap bucket (the when()
+    // leaves it null below the cap), so dormant-cap plans pay one size()
+    // test per bucket and results there stay bit-identical
+    val staged = maxBucket match {
+      case None => grouped
+      case Some(cap) => grouped.withColumn("__mss",
+        when(size(col("ms")) > cap, array_sort(col("ms"))))
+    }
+    staged
       // outer + null-drop: a non-outer explode's inferred filter
       // (InferFiltersFromGenerate) re-evaluates the whole pair-
       // enumeration lambda twice more per bucket row (see

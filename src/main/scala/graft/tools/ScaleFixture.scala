@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   *   - document TOKENS get a per-copy suffix (space-tokenizer-safe),
   *     so shingle/minhash/simhash postings are DISJOINT across copies:
   *     dedup workloads grow 10× linearly instead of quadratically
-  *     exploding on 10 exact replicas of every document;
+  *     exploding on 10 exact replicas of every document. The suffix
+  *     length VARIES with token position and copy (1–3 repeats): a
+  *     uniform suffix is a uniform stretch of the synthetic image's
+  *     byte rows, which survives pHash's resize+DCT — round 16
+  *     measured cross-copy image near-dup pairs growing ×136 per ×10
+  *     docs (mm_curate 22× per decade) under the uniform suffix;
+  *     position-dependent jitter decorrelates the low-frequency
+  *     texture so the image workload scales linearly too;
   *   - embeddings rotate components by the copy index (norm- and
   *     within-copy-cosine-preserving, cross-copy decorrelated).
   */
@@ -70,10 +77,24 @@ object ScaleFixture {
     stack("documents", (df, i) =>
       if (i == 0) df
       else {
-        val tagged = array_join(
-          transform(split(col("text"), " "), t => concat(t, lit(s"q$i"))), " ")
+        // suffix every token (shingle disjointness) AND circularly
+        // rotate the token sequence by i/copies of its length: the
+        // suffix alone leaves the synthetic image's low-frequency byte
+        // profile ~unchanged (uniform stretch + mean-preserving bytes
+        // survive pHash's resize+DCT — measured ×136 cross-copy pair
+        // growth), while a copy-dependent rotation gives each copy a
+        // random-phase profile, pairwise-decorrelated across copies
+        val toks = transform(split(col("text"), " "),
+          (t, j) => concat(t,
+            array_join(array_repeat(lit(s"q$i"),
+              (pmod(j * (i + 1), lit(3)) + 1).cast("int")), "")))
+        val n = size(toks)
+        val kk = pmod(floor(n * lit(i) / lit(copies)).cast("int"),
+          greatest(n, lit(1)))
+        val rotated = concat(
+          slice(toks, kk + 1, n - kk), slice(toks, lit(1), kk))
         df.withColumn("doc_id", shift("doc_id", i))
-          .withColumn("text", tagged)
+          .withColumn("text", array_join(rotated, " "))
           .withColumn("n_chars", length(col("text")))
       })
     stack("embeddings", (df, i) =>
