@@ -42,6 +42,7 @@ object Bench {
     "ta_dup_fraction", "dd_minhash_incremental", "tx_canonicalize",
     "tp_trim_spans",
     "dd_exact", "dd_minhash", "dd_minhash_xx", "dd_spans_xx", "dd_phash",
+    "dd_minhash_capped", "dd_phash_capped",
     "dd_phash_idx_bucketed", "dd_phash_debiased",
     "dd_phash_multiprobe", "dd_phash_multiprobe_idx", "dd_simhash_multiprobe",
     "mh_sig_md5", "mh_sig_xx", "ta_token_stats",
@@ -81,7 +82,7 @@ object Bench {
     * the 2× denominator is a floor either way. */
   val heavyHeadline: Seq[String] = Seq(
     "tp_curate", "tp_curate_trim", "tp_curate_lm", "tp_curate_clf",
-    "mm_curate", "tp_decontaminated",
+    "mm_curate", "mm_curate_capped", "tp_decontaminated",
     "dd_clusters", "dd_clusters_incremental",
     "dd_keep_best", "dd_keep_best_incremental",
     "dd_simhash", "dd_simhash_incremental", "dd_simhash_idx_bucketed",
@@ -92,6 +93,33 @@ object Bench {
     // recorded Spark time in the committed quiet artifact.
     "dd_ngram_jaccard", "dd_minhash_verified", "dd_recall_minhash",
     "ss_recall_ivf", "ss_recall_ivf_p8", "ss_recall_lsh", "ss_recall_lsh_t8")
+
+  /** FIXED isolated set (round-16 verdict item 5): the recurring weak
+    * members (every gate the round-16 weak-set computation flagged —
+    * >2× DuckDB and >1 s wall on the committed artifacts) plus the
+    * heavy-context watchlist, DECLARED here and kept stable across
+    * rounds, run back-to-back at a deterministic position — immediately
+    * after warm-up, BEFORE the interleaved suite. Round 16's confound:
+    * isolated blocks ran end-of-suite and the isolated SET was derived
+    * per run (4 gates in r15, 31 in r16), so isolated-to-isolated
+    * deltas across rounds mixed position effects with real movement.
+    * With the set and position fixed, those deltas mean something.
+    * Gates derived weak at run time that are NOT in this set still get
+    * an end-of-suite isolated entry (artifact field `isolated_post`
+    * names them) — but cross-round comparisons should use only the
+    * fixed members. Growing this list is allowed (new recurring weak
+    * members join it); reordering or repositioning it is not. */
+  val isolatedSet: Seq[String] = Seq(
+    "dd_embedding", "ds_token_budget_incremental", "mm_features_img",
+    "op_merge_scd2", "q23_percentiles", "q24_cube", "q28_window_suite",
+    "sk_heavy_hitters", "sk_heavy_hitters_incremental", "sk_sketches",
+    "ss_ann_ivf_native", "ss_ann_lsh_multi", "ss_ann_pq", "ss_ann_pq_codes",
+    "ss_recall_ivf", "ss_recall_ivf_p8", "ss_recall_lsh", "ss_recall_lsh_t8",
+    "ta_bpe_encode", "ta_perplexity", "ta_quality_clf",
+    "ta_quality_clf_incremental", "ta_tfidf",
+    // heavy-context watchlist (round-15 spikes, round-16 reversals)
+    "dd_minhash", "dd_minhash_verified", "dd_minhash_incremental",
+    "ds_semantic_cap")
 
   /** Floor of the cross-SF scaling sweep: the historically-weak set
     * (round-9 VERDICT letter). The ACTUAL sweep set is DERIVED at run
@@ -153,7 +181,11 @@ object Bench {
       val m = entry.findAllMatchIn(text).map { m =>
         m.group(1) -> (if (m.group(2) == "\"TIMEOUT\"") cap
                        else m.group(2).toDouble)
-      }.toMap -- Seq("cap_sec", "total", "n_timeout")
+      }.toMap -- Seq("cap_sec", "total", "n_timeout",
+        // non-query scalar keys of the round-17+ artifact shape
+        // (median-of-reps + machine yardstick); the dispersion map's
+        // array values never match the scalar-entry regex
+        "reps", "sha256_st_mbs")
       if (m.isEmpty)
         System.err.println(s"[bench] duck baseline $p parsed to an EMPTY " +
           "query map — derived weak set will be the static floor only")
@@ -186,6 +218,21 @@ object Bench {
         graft.operators.Dedup.minhashPairs(
           graft.sources.Tables.documents(s, dir), "doc_id", "text", fast = true)
           .orderBy("doc_a", "doc_b")),
+      // mm_curate at the PRODUCTION posture — hot-bucket cap ON at the
+      // default 2048 (the gated mm_curate pins maxBucket=None for
+      // oracle exactness, which walks the sf1 fixture's quadratic pair
+      // density uncapped at 19.8×/decade). This row makes the guard's
+      // bounded growth a committed sf1 artifact instead of SURVEY prose
+      // (round-16 verdict item 2); the capped OUTPUT semantics are
+      // gated by dd_phash_capped/dd_minhash_capped.
+      "mm_curate_capped" -> ((s, dir) =>
+        graft.operators.PerceptualHash.curateImages(
+          graft.operators.Multimodal.syntheticImagesFromText(
+            graft.sources.Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(3)) === 0),
+            "doc_id", "text"))
+          .select(col("media_id"), col("cluster_size"), col("pixels"))
+          .orderBy("media_id")),
       // the span family's production mode (xxhash64 shingle keys — no
       // DuckDB twin exists, spec-anchored): benched to track how much
       // of dd_spans' >2x-DuckDB residual is the md5 verifiability term
@@ -420,7 +467,14 @@ object Bench {
     * window after a warmup: returns (single-thread MB/s, all-thread
     * aggregate MB/s). Fixed instruction mix, no allocation in the loop —
     * rounds compare machine_st/machine_mt before comparing medians. */
-  private def cpuYardstick(threads: Int): (Double, Double) = {
+  private def cpuYardstick(threadsReq: Int): (Double, Double, Int) = {
+    // clamp to the REAL core count: SPARK_GRAFT_CPUS sizes the Spark
+    // local[n] pool, and when it overstates the machine the unclamped
+    // pool would measure oversubscription, not aggregate throughput —
+    // breaking the yardstick's cross-host comparability (round-16
+    // ADVICE). Both the requested and used counts land in the artifact.
+    val threads =
+      math.max(1, math.min(threadsReq, Runtime.getRuntime.availableProcessors))
     val buf = new Array[Byte](1 << 20)
     java.util.Arrays.fill(buf, 0x5a.toByte)
     def mbPerSec(): Double = {
@@ -439,7 +493,7 @@ object Bench {
       }))
     val mt = futs.map(_.get()).sum
     pool.shutdown()
-    (st, mt)
+    (st, mt, threads)
   }
 
   def main(args: Array[String]): Unit = {
@@ -476,6 +530,15 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
+    // Third benign flood, surfaced once the two above were silenced
+    // (round-16 verdict item 8): AccumulatorContext "Attempted to access
+    // garbage collected accumulator" — the heartbeat reporting metrics
+    // for stages whose accumulators the ContextCleaner already
+    // reclaimed, routine across a 100+-query suite in one JVM. Same
+    // rationale: real failures surface in the JSON `failures` field.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.AccumulatorContext",
       org.apache.logging.log4j.Level.ERROR)
 
     def exec(name: String, dir: String): Unit =
@@ -557,6 +620,19 @@ object Bench {
     }
     // Reps are interleaved ROUND-ROBIN across the whole suite (rep 1 of
     // every query, then rep 2, …) rather than back-to-back per query: a
+    // FIXED isolated block FIRST (round-16 verdict item 5): the declared
+    // recurring-weak set runs back-to-back reps at this deterministic
+    // pre-suite position every round, so isolated-to-isolated deltas
+    // across rounds compare like positions (the r15→r16 confound: the
+    // isolated set was derived per run AND ran end-of-suite, so its
+    // size/position moved between rounds). Running it here also means
+    // these gates' interleaved medians below get a few extra warm
+    // executions — a constant of the methodology from this round on.
+    val fixedIso = isolatedSet.filter(names.contains)
+    val isolatedPre = fixedIso.map { name =>
+      val ts = Vector.fill(math.max(1, reps))(timeOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }
     // contended window on a shared machine then skews at most one rep of
     // each query instead of ALL reps of whichever queries it covers —
     // back-to-back reps let the median inherit the contention (round-4
@@ -705,13 +781,24 @@ object Bench {
     val forcedIsolate = sys.env.get("SPARK_GRAFT_ISOLATE")
       .map(_.split(',').toSet).getOrElse(Set.empty)
       .filter(n => SparkEntry.queries.contains(n) || benchOnly.contains(n))
-    val isolated = (derivedWeak ++ forcedIsolate).toSeq.sorted.map { name =>
+    // end-of-suite isolation ONLY for run-time-derived weak gates not
+    // already covered by the fixed pre-suite block; their position is
+    // confounded by construction, so the artifact names them separately
+    // (isolated_post) and cross-round grading should ignore them until
+    // they join the fixed set
+    val postNames =
+      ((derivedWeak ++ forcedIsolate) -- fixedIso.toSet).toSeq.sorted
+    val isolatedPost = postNames.map { name =>
       val ts = Vector.fill(math.max(1, reps))(timeOnce(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
-    val isolatedJson = isolated
+    val isolatedJson = (isolatedPre ++ isolatedPost)
       .map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
+    val isolatedFixedJson =
+      fixedIso.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isolatedPostJson =
+      postNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val autoScalingDir =
       if (envScalingDir.isDefined) None
       else {
@@ -784,12 +871,13 @@ object Bench {
     }.mkString("{", ",", "}")
     // machine yardstick LAST (after the suite) so it cannot perturb the
     // timed reps; both are comparable round-over-round
-    val (machSt, machMt) =
-      try cpuYardstick(cpus.toInt) catch { case _: Throwable => (-1.0, -1.0) }
+    val (machSt, machMt, machThreads) =
+      try cpuYardstick(cpus.toInt) catch { case _: Throwable => (-1.0, -1.0, 0) }
     val machJson = String.format(java.util.Locale.ROOT,
-      """{"sha256_st_mbs":%.1f,"sha256_mt_mbs":%.1f,"threads":%s}""",
-      Double.box(machSt), Double.box(machMt), cpus)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"jvm":$jvmJson,"machine":$machJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
+      """{"sha256_st_mbs":%.1f,"sha256_mt_mbs":%.1f,"threads":%d,"threads_req":%s,"cores":%d}""",
+      Double.box(machSt), Double.box(machMt), Int.box(machThreads), cpus,
+      Int.box(Runtime.getRuntime.availableProcessors))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"bench_only":$benchOnlyList,"dispersion":$disp,"failures":$fails,"isolated":$isolatedJson,"isolated_fixed":$isolatedFixedJson,"isolated_post":$isolatedPostJson,"isolated_position":"fixed set pre-suite after warm-up; isolated_post end-of-suite","jvm":$jvmJson,"machine":$machJson,"recall":$recall$scalingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -707,9 +707,10 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .transform(Materialize.stage(_, eager = true))
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-      .transform(Materialize.stage(_, eager = true))
+    var (labels, releaseLabels) = Materialize.staged(
+      edges.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc")),
+      eager = true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -717,12 +718,20 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc"))
         .agg(min("label").as("nlabel"))
-      val next = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, "doc")
-        .select(col("doc"), least(col("old"), col("nlabel")).as("label"), col("old"))
-        .transform(Materialize.stage(_, eager = true))
+      val (next, releaseNext) = Materialize.staged(
+        labels.withColumnRenamed("label", "old")
+          .join(neighborMin, "doc")
+          .select(col("doc"), least(col("old"), col("nlabel")).as("label"), col("old")),
+        eager = true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
+      // the superseded round's pin is released only AFTER its successor
+      // is eagerly materialized — under the `disk` posture a persist()
+      // pin otherwise lives in the CacheManager for the app lifetime,
+      // one replicated block set per round (round-16 ADVICE); the FINAL
+      // round's pin stays, the caller reads it
+      releaseLabels()
       labels = next.select("doc", "label")
+      releaseLabels = releaseNext
       iter += 1
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))

@@ -36,9 +36,33 @@ object Materialize {
     * loops that MUST cut lineage before the next iteration), false
     * defers to the first action. */
   def stage(df: DataFrame, eager: Boolean = false): DataFrame =
+    staged(df, eager)._1
+
+  /** [[stage]] plus a RELEASE handle for the pin it creates. Round
+    * loops (label propagation, Lloyd) stage every iteration and must
+    * release the superseded round's pin once its successor is
+    * materialized: under `disk` a Dataset.persist registers in the
+    * CacheManager, which holds the reference — without an explicit
+    * unpersist the replicated disk blocks of EVERY round accumulate for
+    * the app lifetime (round-16 ADVICE; the eager re-root of round 16
+    * had additionally hidden the persisted handle the unpersist needs,
+    * which this API restores). Under `local`/`reliable` release is a
+    * no-op by design: a localCheckpoint's blocks are reclaimed by the
+    * ContextCleaner once the superseded frame is unreferenced (no
+    * CacheManager entry pins them — an explicit unpersist there would
+    * race reads of a frame a caller still holds), and a reliable
+    * checkpoint's files are the durability contract itself.
+    *
+    * The `disk`+eager pin is read back through a Row↔InternalRow
+    * round trip (createDataFrame over p.rdd — the public re-rooting
+    * surface): a per-read serde cost that is the documented price of
+    * the replicated-durability posture; `local` (the default) re-roots
+    * serde-free via localCheckpoint. */
+  def staged(df: DataFrame, eager: Boolean = false): (DataFrame, () => Unit) =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "disk" =>
         val p = df.persist(StorageLevel.DISK_ONLY_2)
+        val release = () => { p.unpersist(); () }
         if (eager) {
           // eager call sites are ROUND LOOPS (label propagation, Lloyd):
           // persist alone keeps the logical plan, so each iteration's
@@ -49,9 +73,9 @@ object Materialize {
           // disk blocks, so the durability posture is unchanged
           // (round-15 ADVICE)
           p.count()
-          df.sparkSession.createDataFrame(p.rdd, p.schema)
-        } else p
-      case "reliable" => df.checkpoint(eager)
-      case _ => df.localCheckpoint(eager)
+          (df.sparkSession.createDataFrame(p.rdd, p.schema), release)
+        } else (p, release)
+      case "reliable" => (df.checkpoint(eager), () => ())
+      case _ => (df.localCheckpoint(eager), () => ())
     }
 }

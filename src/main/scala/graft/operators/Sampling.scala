@@ -303,7 +303,18 @@ object Sampling {
             "must be non-NULL and >= 0 in group "),
           col(groupCol).cast("string"))))
         .otherwise(takenTok)
-      tk.groupBy(col(groupCol)).agg(sum(guardedTaken).as("__base0"))
+      // "only the prior fill's per-group totals enter the plan" made
+      // literal: the totals are staged EAGERLY (≤ |groups| rows), so the
+      // incremental plan Catalyst analyzes roots on a LogicalRDD instead
+      // of embedding the whole prior fill's plan tree — which cost
+      // 0.8-1.0 s of DRIVER analysis per execution when `taken` was the
+      // full corpus-fill twin (round-16 FloorProfile), a fixed tax at
+      // any data scale. The guard inside the aggregation still fires at
+      // staging time; the materialized bytes are identical, so every
+      // oracle gate hashes unchanged.
+      Materialize.stage(
+        tk.groupBy(col(groupCol)).agg(sum(guardedTaken).as("__base0")),
+        eager = true)
     }
     val bases0 = keyed
       .groupBy(col(groupCol), col("__st"))

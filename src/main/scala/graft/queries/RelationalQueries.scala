@@ -890,26 +890,74 @@ object RelationalQueries {
     *
     * Deliberately NOT Spark's `percentile` aggregate: that collects a
     * per-group value buffer (ObjectHashAggregate) — 3.7s at sf0.1 and an
-    * OOM at 100 TB group sizes. This is the sort-based closed form: one
-    * window rank per group (a sort-shuffle, spillable at any scale),
-    * keep only the 2 boundary ranks per requested percentile, then
-    * linear interpolation `lo + (hi − lo)·frac` — the same formula as
-    * DuckDB's quantile_cont, with both sides through roundFixed(6) (the
-    * shared fixed-point idiom) so FP term-order differences collapse;
-    * the oracle gate certifies the concrete values. */
+    * OOM at 100 TB group sizes. And since round 17, deliberately not
+    * the full per-group window SORT either (n·log n over every row —
+    * the round-16 floor ledger's two ~350 ms sort jobs and the sf1
+    * sweep's 4.9×/decade slope): exact SELECTION via a two-pass
+    * histogram. Pass 1 aggregates per-group (count, min, max); pass 2
+    * histograms each group into 1024 value-range buckets (one
+    * map-side-combinable aggregation, ≤ |groups|·1024 rows) whose
+    * exclusive prefix counts locate the bucket holding each wanted
+    * boundary rank; only rows in those ≤ 6 buckets per group (expected
+    * 6·n/1024 rows) are ranked — global rank = bucket prefix +
+    * in-bucket row_number, valid because the bucket index is monotone
+    * in x and ties share a bucket. Every pass is a scan or a tiny
+    * shuffle: no corpus-sized sort anywhere, at any group size. The
+    * boundary values then interpolate as before — `lo + (hi − lo)·frac`,
+    * the same formula as DuckDB's quantile_cont, with both sides
+    * through roundFixed(6) (the shared fixed-point idiom) so FP
+    * term-order differences collapse; the oracle gate certifies the
+    * concrete values. A single-valued group (min = max) degrades to
+    * one bucket = the old full-group rank — correct, just not pruned. */
   val q23Percentiles: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.roundFixed
     val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val nBuckets = 1024
     val l = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
-    // row_number ties on equal x are arbitrary, but the rank→value map
-    // over a sorted multiset is deterministic regardless
-    val ranked = l.withColumn("rn",
-      row_number().over(Window.partitionBy("rf").orderBy("x")))
-    val marks = l.groupBy("rf").agg(count(lit(1)).as("n"))
-      .select(col("rf") +: col("n") +: ps.map { case (p, nm) =>
-        floor((col("n") - 1) * lit(p)).cast("long").as(s"lo_$nm") }: _*)
+    // pass 1: per-group count + value range; boundary ranks lo_*+1 and
+    // lo_*+2 (1-based) bracket each percentile as before
+    val marks = l.groupBy("rf")
+      .agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+      .select(col("rf") +: col("n") +: col("mn") +: col("mx") +:
+        ps.map { case (p, nm) =>
+          floor((col("n") - 1) * lit(p)).cast("long").as(s"lo_$nm") }: _*)
+    val range = marks.select("rf", "mn", "mx")
+    // deterministic bucket of x — a pure function of (x, mn, mx), so the
+    // histogram pass and the rank pass assign identically; monotone in x
+    def bucketOf(x: Column): Column = {
+      val xd = x.cast("double"); val mn = col("mn").cast("double")
+      val w = (col("mx").cast("double") - mn) / nBuckets
+      when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((xd - mn) / w).cast("long"), lit(nBuckets - 1L)))
+    }
+    // pass 2: per-(group, bucket) counts → exclusive prefix over the
+    // TINY histogram (a window over ≤ |groups|·1024 rows, never the
+    // corpus); keep only buckets containing a wanted boundary rank
+    val hist = l.join(broadcast(range), "rf")
+      .groupBy(col("rf"), bucketOf(col("x")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", coalesce(sum("cnt").over(
+        Window.partitionBy("rf").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = hist.join(broadcast(marks.drop("mn", "mx")), "rf")
+      .filter(ps.map { case (_, nm) =>
+        (col(s"lo_$nm") + 1 > col("cum") &&
+          col(s"lo_$nm") + 1 <= col("cum") + col("cnt")) ||
+        (col(s"lo_$nm") + 2 > col("cum") &&
+          col(s"lo_$nm") + 2 <= col("cum") + col("cnt")) }
+        .reduce(_ || _))
+      .select(col("rf"), col("b"), col("cum"))
+    // pass 3: rank ONLY inside target buckets; row_number ties on equal
+    // x are arbitrary, but the rank→value map over a sorted multiset is
+    // deterministic regardless
+    val ranked = l.join(broadcast(range), "rf")
+      .withColumn("b", bucketOf(col("x")))
+      .drop("mn", "mx")
+      .join(broadcast(targets), Seq("rf", "b"))
+      .withColumn("rn", col("cum") + row_number().over(
+        Window.partitionBy("rf", "b").orderBy("x")))
     val needed = ps.map { case (_, nm) =>
       col("rn") === col(s"lo_$nm") + 1 || col("rn") === col(s"lo_$nm") + 2 }
       .reduce(_ || _)
@@ -919,7 +967,7 @@ object RelationalQueries {
       val vhi = max(when(col("rn") === col(s"lo_$nm") + 2, col("x")))
       roundFixed(vlo + (coalesce(vhi, vlo) - vlo) * frac, 6).as(nm)
     }
-    ranked.join(broadcast(marks), "rf")
+    ranked.join(broadcast(marks.drop("mn", "mx")), "rf")
       .filter(needed)
       // lo_* are functions of rf; grouping by them keeps the frac terms
       // legal outside aggregate functions

@@ -1035,6 +1035,66 @@ object TrainingDataQueries {
        |WHERE est_jaccard >= ${Dedup.DefaultMinhashThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The shared capped-walk oracle tail over `banded` + a per-pair
+    * score join: mirrors Dedup.bucketPairs' PRODUCTION posture — the
+    * hot-bucket guard ON — exactly, because its survivor-chain
+    * semantics are deterministic. A pair (a < b) surfaces iff, at its
+    * FIRST colliding band (the `keep` suppression both engines agree
+    * on), the bucket admits it under the cap: every pair when the
+    * bucket has ≤ cap members; otherwise all pairs among the `cap`
+    * lowest-id members (rank(b) ≤ cap, since rank(a) < rank(b)) plus
+    * the representative chains (rank(a) = 1). Round 16 proved this
+    * posture both load-bearing and bug-prone — an O(m²·log m) re-sort
+    * survived three rounds because every gate pinned maxBucket=None —
+    * so the guard itself is now cross-engine-gated (round-16 verdict
+    * item 1); HotBucketGuardSpec is secondary evidence. */
+  private def cappedEmitCtes(cap: Int): String =
+    s"""fb AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, min(a.band) AS fband
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT band, bkey, doc_id,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY band, bkey) AS m
+       |  FROM banded
+       |), emit AS (
+       |  SELECT f.doc_a, f.doc_b
+       |  FROM fb f
+       |  JOIN rk ra ON ra.band = f.fband AND ra.doc_id = f.doc_a
+       |  JOIN rk rb ON rb.band = f.fband AND rb.bkey = ra.bkey
+       |            AND rb.doc_id = f.doc_b
+       |  WHERE ra.m <= $cap OR rb.rk <= $cap OR ra.rk = 1
+       |)""".stripMargin
+
+  /** dd_minhash_capped — dd_minhash with the hot-bucket guard ON (the
+    * 100 TB production posture every other gate pins OFF for oracle
+    * exactness). The cap is pinned to 2 — the smallest legal value —
+    * so the sf0.01 fixture's 3-member band buckets (13 of them,
+    * measured) actually cross it and the survivor-chain branch runs
+    * under the cross-engine gate, not just under its unit spec. */
+  private val MinhashCappedCap = 2
+
+  val ddMinhashCapped: Q = (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxBucket = Some(MinhashCappedCap))
+      .orderBy("doc_a", "doc_b")
+
+  val ddMinhashCappedOracle: String = {
+    val k = Dedup.DefaultMinhashK
+    s"""$minhashOraclePrefix,
+       |${cappedEmitCtes(MinhashCappedCap)}
+       |SELECT e.doc_a, e.doc_b,
+       |  CAST(len(list_filter(range($k), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / $k AS est_jaccard
+       |FROM emit e
+       |JOIN sig sa ON sa.doc_id = e.doc_a
+       |JOIN sig sb ON sb.doc_id = e.doc_b
+       |WHERE CAST(len(list_filter(range($k), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / $k
+       |      >= ${Dedup.DefaultMinhashThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** dd_minhash_incremental — new-batch-vs-corpus MinHash dedup
     * (Dedup.minhashPairsIncremental): docs with id%5 = 0 are the
     * incoming delta, the rest the standing corpus; pairs are
@@ -2661,6 +2721,38 @@ object TrainingDataQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** dd_phash_capped — dd_phash with the hot-bucket guard ON at cap 8:
+    * the synthetic image corpus's band buckets reach 37 members at
+    * sf0.01 (measured), so MANY buckets cross the cap and the capped
+    * walk's survivor-pairs + representative-chains + first-band
+    * suppression all execute under the cross-engine gate — exactly the
+    * production path that harbored the round-16 O(m²·log m) re-sort
+    * through three rounds of green maxBucket=None gates. The oracle
+    * mirrors the deterministic semantics via the shared capped-emit
+    * CTEs (see [[cappedEmitCtes]]); the Hamming filter is the last
+    * word on both sides, as in dd_phash. */
+  private val PhashCappedCap = 8
+
+  val ddPhashCapped: Q = (s, dir) =>
+    graft.operators.PerceptualHash.phashPairs(
+      Multimodal.syntheticImagesFromText(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "text"),
+      maxBucket = Some(PhashCappedCap))
+      .orderBy("doc_a", "doc_b")
+
+  val ddPhashCappedOracle: String = {
+    import graft.operators.PerceptualHash.{DefaultMaxHamming => MaxHam}
+    s"""$phashSigCtes, ${cappedEmitCtes(PhashCappedCap)}
+      |SELECT e.doc_a, e.doc_b,
+      |  len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) AS hamming
+      |FROM emit e
+      |JOIN sig sa ON sa.doc_id = e.doc_a
+      |JOIN sig sb ON sb.doc_id = e.doc_b
+      |WHERE len(list_filter(range(63), i -> sa.sig[i+1] <> sb.sig[i+1])) <= $MaxHam
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** dd_phash_idx_bucketed — the O(Δ) pHash ingest against the BUCKETED
     * persisted band index (PerceptualHash.writePhashBandIndexBucketed),
     * completing the bucketed-index family across every dedup modality
@@ -4087,6 +4179,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImg,
     "mm_curate" -> mmCurate,
     "dd_phash" -> ddPhash,
+    "dd_phash_capped" -> ddPhashCapped,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketed,
     "dd_phash_multiprobe" -> ddPhashMultiprobe,
     "dd_phash_multiprobe_idx" -> ddPhashMultiprobeIdx,
@@ -4139,6 +4232,7 @@ object TrainingDataQueries {
     "dd_decontaminate" -> ddDecontaminate,
     "dd_decontaminate_idx" -> ddDecontaminateIdx,
     "dd_minhash" -> ddMinhash,
+    "dd_minhash_capped" -> ddMinhashCapped,
     "dd_minhash_verified" -> ddMinhashVerified,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_multiprobe" -> ddSimhashMultiprobe,
@@ -4184,6 +4278,7 @@ object TrainingDataQueries {
     "mm_features_img" -> mmFeaturesImgOracle,
     "mm_curate" -> mmCurateOracle,
     "dd_phash" -> ddPhashOracle,
+    "dd_phash_capped" -> ddPhashCappedOracle,
     "dd_phash_idx_bucketed" -> ddPhashIdxBucketedOracle,
     "dd_phash_multiprobe" -> ddPhashOracle,
     "dd_phash_multiprobe_idx" -> ddPhashIdxBucketedOracle,
@@ -4236,6 +4331,7 @@ object TrainingDataQueries {
     "dd_embedding_incremental" -> ddEmbeddingIncrementalOracle,
     "dd_embedding_idx_bucketed" -> ddEmbeddingIncrementalOracle,
     "dd_minhash" -> ddMinhashOracle,
+    "dd_minhash_capped" -> ddMinhashCappedOracle,
     "dd_minhash_verified" -> ddMinhashVerifiedOracle,
     "dd_simhash" -> ddSimhashOracle,
     "dd_simhash_multiprobe" -> ddSimhashOracle,

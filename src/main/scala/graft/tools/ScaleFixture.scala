@@ -84,10 +84,15 @@ object ScaleFixture {
         // survive pHash's resize+DCT — measured ×136 cross-copy pair
         // growth), while a copy-dependent rotation gives each copy a
         // random-phase profile, pairwise-decorrelated across copies
+        // jitter term pmod(j + i, 3): varies with token position j for
+        // EVERY copy i — the previous j*(i+1) form collapsed to a
+        // constant whenever (i+1) % 3 == 0 (copies 2, 5, 8 of the
+        // default 10), silently reinstating the uniform-suffix stretch
+        // the rotation exists to decorrelate (round-16 ADVICE)
         val toks = transform(split(col("text"), " "),
           (t, j) => concat(t,
             array_join(array_repeat(lit(s"q$i"),
-              (pmod(j * (i + 1), lit(3)) + 1).cast("int")), "")))
+              (pmod(j + lit(i), lit(3)) + 1).cast("int")), "")))
         val n = size(toks)
         val kk = pmod(floor(n * lit(i) / lit(copies)).cast("int"),
           greatest(n, lit(1)))

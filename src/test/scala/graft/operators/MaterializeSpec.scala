@@ -44,6 +44,38 @@ class MaterializeSpec extends SparkSpecBase {
     } finally spark.conf.unset(Materialize.ConfKey)
   }
 
+  test("staged() release drops the disk pin; round loops cannot accumulate pins") {
+    import spark.implicits._
+    spark.conf.set(Materialize.ConfKey, "disk")
+    try {
+      // lazy posture: the handle IS the persisted frame — release must
+      // clear its storage registration (round-16 ADVICE: without the
+      // handle, a loop's DISK_ONLY_2 pins live for the app lifetime)
+      val (p, release) = Materialize.staged(Seq(1L, 2L).toDF("x"))
+      p.count()
+      assert(p.storageLevel.useDisk, "expected a DISK_ONLY_2 pin")
+      release()
+      assert(p.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "release() must unpersist the pin")
+      // eager posture (the round-loop form): the pin is hidden behind
+      // the LogicalRDD re-root, so count persistent RDDs across a
+      // simulated loop that releases each superseded round — the
+      // steady-state pin count must not grow with iterations
+      def pinned(): Int = spark.sparkContext.getPersistentRDDs.size
+      val before = pinned()
+      var (df, rel) = Materialize.staged(Seq(1L, 2L, 3L).toDF("x"), eager = true)
+      for (_ <- 1 to 5) {
+        val (next, relNext) =
+          Materialize.staged(df.withColumn("x", col("x") + 1), eager = true)
+        rel(); df = next; rel = relNext
+      }
+      assert(df.collect().map(_.getLong(0)).sorted === Array(6L, 7L, 8L))
+      assert(pinned() <= before + 1,
+        s"pins grew with loop rounds: $before -> ${pinned()}")
+      rel()
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
   test("stage() honors eager flag and unknown modes fall back to local") {
     import spark.implicits._
     spark.conf.set(Materialize.ConfKey, "definitely-not-a-mode")
