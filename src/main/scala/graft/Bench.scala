@@ -505,6 +505,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized for a RESIDENT engine running a
+      // 100+-query workload (static conf, so it must be set here, before
+      // the session exists; override: SPARK_GRAFT_CODEGEN_CACHE). The
+      // default 100 entries thrash under this suite's several hundred
+      // WholeStageCodegen/ordering/serde units: the round-17 phase
+      // profile measured 4–50 Janino recompiles PER REP per query in
+      // suite context (the artifact's own jvm:[..,..,janino] field) vs 0
+      // in single-query context, and raising the cap dropped the 25-gate
+      // weak-subset total 26.8 → 20.6 s with every per-rep compile count
+      // at 0. Workload-sized, not machine-sized: the cache is keyed by
+      // generated source and lives per JVM — the same value is right on
+      // a cluster driver/executor regardless of core count or data
+      // scale, so this is engine configuration, not a local[32] tune.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Silence the known-benign AQE/accumulator-GC race ("Failed to
@@ -669,7 +684,8 @@ object Bench {
     // knobs, not of this machine's load); a failure records an empty
     // object rather than poisoning the throughput line
     val recall =
-      try measureRecall(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_SKIP_RECALL")) "{}"
+      else try measureRecall(spark, sfDir)
         // Locale.ROOT, not the f interpolator: a comma-decimal default
         // locale would render 0,9000 and corrupt the JSON line
         .map { case (k, v) =>

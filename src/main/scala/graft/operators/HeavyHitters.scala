@@ -179,7 +179,7 @@ object HeavyHitters {
     import spark.implicits._
     val thr = math.ceil(phi * total).toLong
     grams.toDF()
-      .join(broadcast(candidates.toDF("gram")), "gram")
+      .join(broadcast(candidates.toDF("gram")), Seq("gram"), "left_semi")
       .groupBy("gram")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
@@ -348,10 +348,13 @@ object HeavyHitters {
     val (dTotal, dCandSeq) = collectSummaries(dGrams, m.capacity)
     val dCand = dCandSeq.toDF("gram")
 
-    // one delta scan counts the union candidate set exactly
-    val allCand = idx.select("gram").union(dCand).distinct()
+    // one delta scan counts the union candidate set exactly — LEFT SEMI
+    // against the (possibly overlapping) union: the semi join keeps each
+    // gram occurrence at most once however many candidate rows match, so
+    // the former `.distinct()` exchange+job over the union is free to go
+    val allCand = idx.select("gram").union(dCand)
     val dCounts = dGrams.toDF()
-      .join(broadcast(allCand), "gram")
+      .join(broadcast(allCand), Seq("gram"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
       .transform(Materialize.stage(_))
 
@@ -408,12 +411,14 @@ object HeavyHitters {
     val bound = m.total / m.capacity
 
     // one delta scan counts BOTH the indexed grams and the delta's own
-    // candidates exactly (their union is the complete crosser superset)
+    // candidates exactly (their union is the complete crosser superset);
+    // LEFT SEMI keeps each occurrence at most once under overlapping
+    // candidate rows, so the union needs no `.distinct()` exchange
     import spark.implicits._
     val dCand = dCandSeq.toDF("gram")
-    val allCand = idx.select("gram").union(dCand).distinct()
+    val allCand = idx.select("gram").union(dCand)
     val dCounts = dGrams.toDF()
-      .join(broadcast(allCand), "gram")
+      .join(broadcast(allCand), Seq("gram"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("d_cnt"))
       .transform(Materialize.stage(_))
 

@@ -171,19 +171,95 @@ object MediaCodec {
     * (not per-pixel getRGB — a color-model conversion per call) and
     * the stream is memory-backed (`MemoryCacheImageInputStream`), so
     * no per-decode temp file is created on the hot path. */
+  // ---- per-thread codec instance cache -------------------------------
+  // `ImageIO.getImageReaders` / `getImageWritersByFormatName` walk the
+  // static IIORegistry and INSTANTIATE a fresh codec per call; measured
+  // in mm_features_img / the pHash family, that per-image machinery
+  // dominated the codec jobs, and because the registry is shared JVM
+  // state, 32 concurrent codec tasks multiplied total task time several
+  // fold on lock contention. Readers/writers are reusable (setInput /
+  // setOutput swaps the stream) but not thread-safe, so each executor
+  // thread keeps its own instance per format: the container format is
+  // probed from the magic bytes for the three formats this engine emits
+  // (PNG/JPEG/BMP); anything else falls back to the registry probe,
+  // per-call instance and dispose — the exact prior behavior. The codec
+  // CLASS is unchanged either way, so decoded pixels and encoded bytes
+  // are bit-identical.
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageReader]()
+    }
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageWriter]()
+    }
+
+  private def magicFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
+
+  private def cachedReader(fmt: String): Option[javax.imageio.ImageReader] = {
+    val m = readerCache.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return None
+      r = it.next()
+      m.put(fmt, r)
+    }
+    Some(r)
+  }
+
+  private[operators] def cachedWriter(fmt: String): javax.imageio.ImageWriter = {
+    val m = writerCache.get()
+    var w = m.get(fmt)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO writer for format '$fmt'")
+      w = it.next()
+      m.put(fmt, w)
+    }
+    w
+  }
+
+  /** Run `f` with a reader positioned on `bytes`: the cached per-thread
+    * instance when the magic bytes name a known format, else the
+    * registry-probe fallback (fresh instance, disposed after). Returns
+    * None when no reader exists for the payload. */
+  private def withReader[T](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => T): Option[T] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      magicFormat(bytes).flatMap(cachedReader) match {
+        case Some(r) =>
+          try { r.setInput(iis, true, true); Some(f(r)) }
+          finally r.setInput(null)
+        case None =>
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis, true, true); Some(f(r)) }
+            finally r.dispose()
+          }
+      }
+    } finally iis.close()
+  }
+
   def decodeImageIO(bytes: Array[Byte]): Option[ImageIOInfo] =
     try {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+      withReader(bytes) { reader =>
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+        else {
           val img = reader.read(0)
           val row = new Array[Int](w)
           var sum = 0L
@@ -199,8 +275,8 @@ object MediaCodec {
             y += 1
           }
           Some(ImageIOInfo(w, h, sum.toDouble / (3.0 * w * h)))
-        } finally reader.dispose()
-      } finally iis.close()
+        }
+      }.flatten
     } catch { case scala.util.control.NonFatal(_) => None }
 
   case class RgbImage(width: Int, height: Int, rgb: Array[Int])
@@ -212,17 +288,11 @@ object MediaCodec {
     * returned `rgb` is row-major packed 0xRRGGBB. */
   def decodeRgb(bytes: Array[Byte]): Option[RgbImage] =
     try {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+      withReader(bytes) { reader =>
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+        else {
           val img = reader.read(0)
           val rgb = new Array[Int](w * h)
           var y = 0
@@ -231,8 +301,8 @@ object MediaCodec {
             y += 1
           }
           Some(RgbImage(w, h, rgb))
-        } finally reader.dispose()
-      } finally iis.close()
+        }
+      }.flatten
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Render width×height pixels (3 bytes per pixel, row-major, same
@@ -262,8 +332,21 @@ object MediaCodec {
   private def writeImage(
       img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, format, out)
-    require(ok, s"no ImageIO writer for format '$format'")
+    // MEMORY-backed output stream, explicitly: `ImageIO.write(_, _, out)`
+    // wraps the target via createImageOutputStream, which under the
+    // default `ImageIO.getUseCache = true` is a FileCacheImageOutputStream
+    // — a disk temp file created+deleted PER ENCODED IMAGE. Measured in
+    // mm_features_img at sf0.1: the temp-file churn dominated the encode
+    // job single-task, and under 32 concurrent codec tasks the filesystem
+    // contention multiplied total task time ~30×. The encoded bytes are
+    // identical either way (the stream backing never reaches the codec's
+    // output), so every oracle/spec is unaffected.
+    val writer = cachedWriter(format)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 
@@ -287,16 +370,19 @@ object MediaCodec {
       quality: Float): Array[Byte] = {
     require(quality > 0f && quality <= 1f, "quality must be in (0, 1]")
     val img = toImage(width, height, pixels)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val writer = cachedWriter("jpg")
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // memory-backed, not createImageOutputStream: the default-useCache
+    // file-backed stream costs a disk temp file per image (see
+    // writeImage) — bytes identical either way
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 

@@ -231,7 +231,25 @@ object Multimodal {
       df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // Size-adaptive WIDENING (the inverse of QualityClassifier's round
+    // coalesce): the imageio encode below — and the decode every
+    // consumer chains onto it — costs orders of magnitude more CPU per
+    // byte than the scan, so its parallelism must track cores, not
+    // input bytes. A small corpus arrives as one scan split (ONE task
+    // ran the whole codec path; measured 2 × ~600 ms single-task jobs
+    // in mm_features_img at sf0.1 on 32 idle cores), so
+    // hash-repartition the lightweight (id, text) rows by id —
+    // deterministic key, never rand() — up to default parallelism. At
+    // 100 TB the scan already carries ≥ cores partitions and the
+    // exchange is skipped. The map below is per-row deterministic, so
+    // layout cannot change any consumer's rows.
+    val src = df.select(
+      col(idCol).cast("long").as("mid"), col(textCol).cast("string").as("mtext"))
+    val target = spark.sparkContext.defaultParallelism
+    val widened =
+      if (src.rdd.getNumPartitions < target) src.repartition(target, col("mid"))
+      else src
+    widened
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")

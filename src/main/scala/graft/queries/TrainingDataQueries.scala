@@ -3072,11 +3072,23 @@ object TrainingDataQueries {
     * the round-14 verdict's explicit alternative ("gate exact columns
     * only and move bound-checks to the spec"). */
   val skSketches: Q = (s, dir) =>
+    // Two-level aggregate instead of `countDistinct` alongside the other
+    // aggs: Spark plans mixed distinct/non-distinct aggregation as an
+    // Expand ×2 of every input row (one replica per grouping id) through
+    // the partial aggregate — the q24 CUBE-over-base argument, and ×2
+    // the shuffle volume at 100 TB. Level 1 collapses to (event_type,
+    // user_id) pair counts map-side; level 2 re-derives every column
+    // exactly: n_events = Σ pair counts, exact_users = count of non-null
+    // user_id groups, and the HLL sketch is DUPLICATE-INSENSITIVE (same
+    // value ⇒ same register update), so approx_users over the deduped
+    // pairs is bit-identical to the raw-stream sketch. Oracle unchanged.
     Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("pair_events"))
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("exact_users"),
+        sum(col("pair_events")).as("n_events"),
+        count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .select(
         col("event_type"), col("n_events"), col("exact_users"),
