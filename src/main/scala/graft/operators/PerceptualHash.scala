@@ -399,13 +399,22 @@ object PerceptualHash {
     * bounded partitions — never a per-position value list in one
     * buffer), so the build is one linear pass + one histogram-sized
     * sort however large the corpus. */
-  def phashMedians(media: Dataset[Multimodal.MediaRow]): Array[Long] = {
+  def phashMedians(media: Dataset[Multimodal.MediaRow]): Array[Long] =
+    phashMediansFromCoefs(acTable(media))
+
+  /** The (media_id, coefs) AC-coefficient table — ONE decode+DCT pass;
+    * the de-biased entry points below stage it so medians and
+    * signatures share a single decode of the corpus. */
+  private def acTable(media: Dataset[Multimodal.MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val coefs = media.mapPartitions(_.flatMap { m =>
+    media.mapPartitions(_.flatMap { m =>
       MediaCodec.decodeRgb(Option(m.bytes).getOrElse(Array.emptyByteArray))
         .map(img => (m.media_id, acOfRgb(img)))
     }).toDF("media_id", "coefs")
+  }
+
+  private def phashMediansFromCoefs(coefs: DataFrame): Array[Long] = {
+    import org.apache.spark.sql.expressions.Window
     val hist = coefs
       // outer + null-drop: skips InferFiltersFromGenerate (a non-outer
       // generate's inferred filter re-reads the coefs attribute cheaply
@@ -490,10 +499,36 @@ object PerceptualHash {
   def phashPairsDebiased(media: Dataset[Multimodal.MediaRow],
       bands: Int = DefaultPhashBands,
       maxHamming: Int = DefaultMaxHamming,
-      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
+      maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame = {
+    // ONE decode+DCT pass: the former composition ran the full
+    // decode+AC pipeline TWICE per execution — once inside
+    // phashMedians' histogram and again for the signatures. At the
+    // sf0.1 fixture the gate is pair-walk-dominated so the wall is
+    // unchanged (~0.3 s decode job saved, A/B measured a wash), but the
+    // decode is the term that is LINEAR in corpus bytes — at 100 TB
+    // this halves it, while the walk stays bucket-cap-bounded. The
+    // 63-long coefficient table (~0.5 KB/image) stages once and feeds
+    // both. Medians and the (ac_i > med_i) packing are
+    // formula-identical, so pairs — and the DuckDB gate hash — are
+    // unchanged; the frozen-model entry points (phashMedians +
+    // phashSignaturesWithMedians) keep their one-pass-each contracts
+    // for the incremental posture.
+    val coefs = acTable(media).transform(Materialize.stage(_))
+    val meds = phashMediansFromCoefs(coefs)
+    val sig = (0 until PhashBits).map { i =>
+      when(element_at(col("coefs"), i + 1) > lit(meds(i)), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    // the sig projection is STAGED before the banded walk: projection
+    // collapse would otherwise re-inline the 63-term packing into every
+    // band slice and pair comparison downstream (the §18
+    // Generate-filter lesson — measured as 2 extra ~1 s jobs here);
+    // 16 bytes/row, one cheap pin
+    val sigs = coefs.select(col("media_id"), sig.as("sig"))
+      .transform(Materialize.stage(_))
     Dedup.packedSignaturePairs(
-      phashSignaturesWithMedians(media, phashMedians(media)),
-      "media_id", "sig", PhashBits, bands, maxBucket)
+      sigs, "media_id", "sig", PhashBits, bands, maxBucket)
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
+  }
 }
