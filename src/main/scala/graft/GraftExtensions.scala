@@ -169,9 +169,61 @@ object GraftExtensions {
       graft.plans.SpanKeys(args.head, k, fast)
     })
 
+  /** graft_packed_pairs(ms, band, r, cap, maxScore) — native banded
+    * Hamming pair walk over packed long signatures (cap/maxScore < 0 =
+    * off). */
+  private val packedPairsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_packed_pairs"),
+    new ExpressionInfo(classOf[graft.plans.PackedBucketPairs].getName, "graft_packed_pairs"),
+    (args: Seq[Expression]) => {
+      require(args.size == 5, "graft_packed_pairs(ms, band, r, cap, maxScore)")
+      val Seq(r, cap, maxScore) = args.drop(2).map {
+        case Literal(v: Int, _) => v
+        case other => sys.error(
+          s"graft_packed_pairs r/cap/maxScore must be int literals, got $other")
+      }
+      graft.plans.PackedBucketPairs(args(0), args(1), r, cap, maxScore)
+    })
+
+  /** graft_jaccard_pairs(ms, band, r, cap, minScore) — native banded
+    * estimated-Jaccard pair walk over array<long> signatures (cap < 0 /
+    * minScore < 0 = off). */
+  private val jaccardPairsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaccard_pairs"),
+    new ExpressionInfo(classOf[graft.plans.JaccardBucketPairs].getName, "graft_jaccard_pairs"),
+    (args: Seq[Expression]) => {
+      require(args.size == 5, "graft_jaccard_pairs(ms, band, r, cap, minScore)")
+      val (r, cap) = (args(2), args(3)) match {
+        case (Literal(rv: Int, _), Literal(cv: Int, _)) => (rv, cv)
+        case other => sys.error(
+          s"graft_jaccard_pairs r/cap must be int literals, got $other")
+      }
+      val minScore = args(4) match {
+        case Literal(v: Double, _) => v
+        case other => sys.error(
+          s"graft_jaccard_pairs minScore must be a double literal, got $other")
+      }
+      graft.plans.JaccardBucketPairs(args(0), args(1), r, cap, minScore)
+    })
+
+  /** graft_score_topk(vs, pool, k) — native visitor×pool cosine scoring
+    * with per-visitor top-k (the LSH/IVF bucket-walk hot loop). */
+  private val scoreTopkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_score_topk"),
+    new ExpressionInfo(classOf[graft.plans.ScoreTopK].getName, "graft_score_topk"),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, "graft_score_topk(vs, pool, k)")
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => sys.error(s"graft_score_topk k must be an int literal, got $other")
+      }
+      graft.plans.ScoreTopK(args(0), args(1), k)
+    })
+
   private val all = Seq(minhashFunction, dotFunction, maxMultFunction,
     nearestCenterFunction, nearestCentersFunction, simhashFunction,
-    ngramMaxMultFunction, topkFunction, md5w60Function, spanKeysFunction)
+    ngramMaxMultFunction, topkFunction, md5w60Function, spanKeysFunction,
+    packedPairsFunction, jaccardPairsFunction, scoreTopkFunction)
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the dot-product rewrite via the

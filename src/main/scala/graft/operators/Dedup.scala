@@ -488,9 +488,40 @@ object Dedup {
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val banded = minhashBanded(df, idCol, textCol, n, k, bands, native, fast)
-    bucketPairs(banded, k / bands, estJaccard, maxBucket)
+    jaccardBucketPairs(banded, k / bands, maxBucket, Some(threshold))
       .filter(col("score") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("score").as("est_jaccard"))
+  }
+
+  /** [[bucketPairs]] with the estimated-Jaccard score, NATIVE when the
+    * banded frame carries (doc: long, sig: array<long>) — the MinHash
+    * production shape (see [[packedBucketPairs]]'s native-walk note;
+    * the HOF walk interprets a zip_with+aggregate tree per candidate
+    * pair). `minScore` pushes the caller's `score >= minScore` filter
+    * inside the walk; emitted pairs are unchanged. Exotic schemas fall
+    * back to the generic HOF walk (then `minScore` is a no-op and the
+    * caller's downstream Filter does the work). */
+  private def jaccardBucketPairs(banded: DataFrame, r: Int,
+      maxBucket: Option[Int], minScore: Option[Double] = None): DataFrame = {
+    maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val nativeTypes =
+      banded.schema("doc").dataType == LongType &&
+        (banded.schema("sig").dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        })
+    if (!nativeTypes) return bucketPairs(banded, r, estJaccard, maxBucket)
+    graft.GraftExtensions.register(banded.sparkSession)
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode_outer(call_function("graft_jaccard_pairs",
+        col("ms"), col("band"), lit(r), lit(maxBucket.getOrElse(-1)),
+        lit(minScore.getOrElse(-1.0)))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.score").as("score"))
   }
 
   /** INCREMENTAL MinHash dedup: near-duplicate pairs between a NEW
@@ -951,12 +982,15 @@ object Dedup {
     * banded candidate walk ([[bucketPairs]]'s semantics — one bucket
     * pass, first-colliding-band dedup, hot-bucket cap) with slices and
     * score fused into long bit arithmetic. Output (doc_a, doc_b, score =
-    * Hamming distance). */
+    * Hamming distance). `maxScore` (when set) pushes the caller's
+    * `score <= maxScore` filter inside the walk so non-qualifying pairs
+    * are never materialized as rows — emitted pairs are unchanged. */
   def packedSignaturePairs(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, bands: Int,
-      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+      maxBucket: Option[Int] = Some(DefaultMaxBucket),
+      maxScore: Option[Int] = None): DataFrame =
     packedBucketPairs(packedSignatureBanded(sigs, idCol, sigCol, bits, bands),
-      bits / bands, maxBucket)
+      bits / bands, maxBucket, maxScore)
 
   /** [[signatureBandIndex]] over packed signatures: a persistable
     * (doc, sig, band, bkey) index — three longs and an int per row. */
@@ -977,10 +1011,42 @@ object Dedup {
 
   /** [[bucketPairs]] specialized to packed long signatures: band slices
     * are shift+mask, the score is bit_count(xor). Same candidate and
-    * survivor semantics (see [[bucketPairs]]'s cap scaladoc). */
+    * survivor semantics (see [[bucketPairs]]'s cap scaladoc).
+    *
+    * NATIVE walk (round 18): when the banded frame carries (doc: long,
+    * sig: long) — every production caller — the in-row pair enumeration
+    * runs as the compiled `graft_packed_pairs` expression
+    * (plans.PackedBucketPairs) instead of nested Catalyst HOF lambdas:
+    * higher-order functions are not whole-stage-codegen'd, so the HOF
+    * walk paid an interpreted lambda eval + struct allocation per
+    * candidate pair (~800 ns/pair measured at sf0.1 — ≈2 s of
+    * dd_phash's 2.6-3.7 s wall on ~2.5M in-bucket pairs). Pair set,
+    * survivor/chain semantics and scores are bit-identical
+    * (differential-spec'd in BucketPairsNativeSpec; oracle-gated by the
+    * dd_phash/dd_simhash families including the cap-engaged capped
+    * gates). Exotic schemas keep the HOF walk. */
   private def packedBucketPairs(banded: DataFrame, r: Int,
-      maxBucket: Option[Int]): DataFrame = {
+      maxBucket: Option[Int], maxScore: Option[Int] = None): DataFrame = {
     maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
+    val nativeTypes =
+      banded.schema("doc").dataType == org.apache.spark.sql.types.LongType &&
+        banded.schema("sig").dataType == org.apache.spark.sql.types.LongType
+    if (nativeTypes) {
+      graft.GraftExtensions.register(banded.sparkSession)
+      val grouped = banded.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      return grouped
+        // outer + null-drop: an empty pair array (all pairs suppressed
+        // or thresholded) becomes one null row, dropped here — the HOF
+        // walk's explode_outer convention
+        .select(explode_outer(call_function("graft_packed_pairs",
+          col("ms"), col("band"), lit(r), lit(maxBucket.getOrElse(-1)),
+          lit(maxScore.getOrElse(-1)))).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.score").as("score"))
+    }
     val mask = (1L << r) - 1
     def bandSlice(sig: Column, b: Column): Column =
       call_function("shiftright", sig, (b * r).cast("int")).bitwiseAND(lit(mask))
@@ -1087,12 +1153,16 @@ object Dedup {
     * plus every key within `flips` bit-flips). Output (doc, sig, band,
     * bkey) like the exact form — `bkey` now enumerates probe targets. */
   private def packedSignatureMultiprobed(sigs: DataFrame, idCol: String,
-      sigCol: String, bits: Int, bands: Int, flips: Int): DataFrame = {
-    val r = bits / bands
+      sigCol: String, bits: Int, bands: Int, flips: Int): DataFrame =
+    multiprobeExpand(packedSignatureBanded(sigs, idCol, sigCol, bits, bands),
+      bits / bands, flips)
+
+  /** The probe expansion alone, over an ALREADY-banded frame. */
+  private def multiprobeExpand(banded: DataFrame, r: Int, flips: Int): DataFrame = {
     val masks = typedLit(0L +: flipMasks(r, flips).toSeq)
     // outer + null-drop (see signatureBanded); the mask array is a
     // non-empty literal, so nothing drops
-    packedSignatureBanded(sigs, idCol, sigCol, bits, bands)
+    banded
       .select(col("doc"), col("sig"), col("band"),
         explode_outer(transform(masks, m => col("bkey").bitwiseXOR(m))).as("bkey"))
       .filter(col("bkey").isNotNull)
@@ -1110,12 +1180,18 @@ object Dedup {
   def packedMultiprobePairs(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, bands: Int, flips: Int,
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    // the banded projection is STAGED and shared by the exact and probe
+    // sides: both subtrees otherwise re-run the full signature lineage —
+    // for pHash that is the corpus DECODE pass, measured as ~7 s of
+    // dd_phash_multiprobe's ~10 s task time at sf0.1 (Spark reuses
+    // exchanges, not projection subtrees — the Curation/debiased-pHash
+    // convention). 24 B/row, one cheap pin; rows and scores unchanged.
     val banded = packedSignatureBanded(sigs, idCol, sigCol, bits, bands)
+      .transform(Materialize.stage(_))
     val exact = capBandBuckets(banded, maxBucket)
       .select(col("doc").as("doc_e"), col("sig").as("sig_e"),
         col("band"), col("bkey"))
-    val probes = packedSignatureMultiprobed(
-      sigs, idCol, sigCol, bits, bands, flips)
+    val probes = multiprobeExpand(banded, bits / bands, flips)
       .select(col("doc").as("doc_p"), col("sig").as("sig_p"),
         col("band"), col("bkey"))
     probes.join(exact, Seq("band", "bkey"))
@@ -1169,7 +1245,7 @@ object Dedup {
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
     packedSignaturePairs(
       simhashPackedSigs(df, idCol, textCol, bits, minTokens),
-      "doc", "sig", bits, bands, maxBucket)
+      "doc", "sig", bits, bands, maxBucket, maxScore = Some(maxHamming))
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 

@@ -233,7 +233,8 @@ object PerceptualHash {
       maxHamming: Int = DefaultMaxHamming,
       maxBucket: Option[Int] = Some(Dedup.DefaultMaxBucket)): DataFrame =
     Dedup.packedSignaturePairs(
-      phashSignatures(media), "media_id", "sig", PhashBits, bands, maxBucket)
+      phashSignatures(media), "media_id", "sig", PhashBits, bands, maxBucket,
+      maxScore = Some(maxHamming))
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
 
@@ -254,7 +255,7 @@ object PerceptualHash {
       if (plan.flips == 0)
         Dedup.packedSignaturePairs(
           phashSignatures(media), "media_id", "sig", PhashBits, plan.bands,
-          maxBucket)
+          maxBucket, maxScore = Some(maxHamming))
       else
         Dedup.packedMultiprobePairs(
           phashSignatures(media), "media_id", "sig", PhashBits, plan.bands,
@@ -527,7 +528,8 @@ object PerceptualHash {
     val sigs = coefs.select(col("media_id"), sig.as("sig"))
       .transform(Materialize.stage(_))
     Dedup.packedSignaturePairs(
-      sigs, "media_id", "sig", PhashBits, bands, maxBucket)
+      sigs, "media_id", "sig", PhashBits, bands, maxBucket,
+      maxScore = Some(maxHamming))
       .filter(col("score") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("score").as("hamming"))
   }

@@ -47,9 +47,20 @@ object Recall {
       k: Int, sampleEveryNth: Long = 1L): DataFrame = {
     require(k >= 1 && sampleEveryNth >= 1)
     graft.GraftExtensions.register(corpus.sparkSession)
-    val base = corpus
+    val base0 = corpus
       .select(col(idCol).cast("long").as("id"), asDoubles(col(vecCol)).as("v"))
       .select(col("id"), col("v"), norm(col("v")).as("nrm"))
+    // Size-adaptive widening (SimilaritySearch.widenIfNarrow's
+    // rationale): the Q·N scoring below is compute-dense per byte, and
+    // a small corpus arrives as ONE scan split — the whole ground-truth
+    // pass then runs on one task (measured ~0.3-0.4 s single-task jobs
+    // inside every ss_recall_* gate at sf0.1 on 32 idle cores).
+    // Deterministic key, never rand(); at 100 TB the scan arrives with
+    // ≥ cores partitions and this is a no-op.
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (base0.rdd.getNumPartitions < target) base0.repartition(target, col("id"))
+      else base0
     val queries = base
       .filter(col("id") % sampleEveryNth === 0)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))

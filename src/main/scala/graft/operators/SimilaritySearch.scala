@@ -170,6 +170,27 @@ object SimilaritySearch {
           struct(xxhash64(m.getField("id")).as("h"), m.as("m")))), 1, cap),
         s => s.getField("m")))
 
+  /** Size-adaptive widening of a compute-dense bucket walk (the
+    * Multimodal.syntheticImagesFromText convention, round 18): the
+    * visitor×pool scoring after a bucket groupBy costs orders of
+    * magnitude more CPU per byte than the rows weigh, so AQE's
+    * byte-keyed partition coalescing collapses it onto 1-2 tasks at
+    * small inputs (measured: ss_recall_lsh_t8 ran ~5 s of task time on
+    * 12 tasks over 32 idle cores — the whole 8-table walk on a
+    * byte-tiny shuffle). When the pre-groupBy rows arrive NARROWER than
+    * default parallelism, hash-repartition them by the group key
+    * (deterministic — never rand(); explicit numPartitions, which AQE
+    * leaves uncoalesced); the groupBy then reuses this partitioning
+    * (ClusteredDistribution is satisfied), so no extra exchange exists
+    * in the plan — the one shuffle the aggregation was always going to
+    * pay simply keeps `target` partitions. At 100 TB the scan arrives
+    * with ≥ cores partitions and this is a no-op, leaving AQE to govern
+    * (the scale-adaptive posture the guide mandates). */
+  private def widenIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   /** Visitor slices of ≤ `chunk` members: the in-row expansion then
     * peaks at chunk·|pool| structs per row instead of m·|pool|. Pure
     * re-sharding — every visitor appears in exactly one slice, so the
@@ -230,7 +251,8 @@ object SimilaritySearch {
     val bits = if (nBits == 0) nBitsFor(postureCount(corpus)) else nBits
     // table t's planes draw from a disjoint splitmix64 input range
     val bucketCols = lshBucketCols(dim, bits, nTables)
-    val grouped = bucketedMembers(corpus, idCol, vecCol, bucketCols)
+    val grouped = widenIfNarrow(
+      bucketedMembers(corpus, idCol, vecCol, bucketCols), col("bucket"))
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -246,6 +268,14 @@ object SimilaritySearch {
     val pooled = grouped.select(col("ms"),
       maxBucket.fold(col("ms"))(cap => candidatePool(col("ms"), cap)).as("pool"))
 
+    // NATIVE visitor×pool scoring + per-visitor top-k (round 18,
+    // plans.ScoreTopK — see its scaladoc for the equivalence argument):
+    // the HOF tree interprets a lambda per candidate; ids here are
+    // longs on every production corpus, so the guard below is about
+    // exotic callers only (they keep the HOF walk).
+    val nativeIds = corpus.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+
     if (nTables == 1) {
       // single table ⇒ all of a's candidates sit in this one group row:
       // sort + slice k INSIDE the group — the whole query is one
@@ -253,6 +283,12 @@ object SimilaritySearch {
       // this path's in-row peak is O(m + pool), no visitor chunking
       // needed; the pool cap bounds the O(m·pool) TIME a hot bucket
       // would otherwise spend on m² dot products in one task.
+      if (nativeIds)
+        return pooled.select(explode_outer(call_function("graft_score_topk",
+          col("ms"), col("pool"), lit(k))).as("p"))
+          .filter(col("p").isNotNull)
+          .select(col("p.vec_id").as("vec_id"),
+            col("p.neighbor_id").as("neighbor_id"), col("p.cos"))
       val topk = transform(col("ms"), a =>
         transform(
           slice(array_sort(scored(col("pool"), a), byCosDescIdAsc), 1, k),
@@ -281,14 +317,24 @@ object SimilaritySearch {
           explode_outer(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
           .filter(col("vs").isNotNull)
       }
-      val pairs = rows.select(explode_outer(flatten(transform(col("vs"), a =>
-        transform(scored(col("pool"), a), c => struct(
-          a.getField("id").as("vec_id"),
-          c.getField("neighbor_id").as("neighbor_id"),
-          c.getField("cos").as("cos")))))).as("p"))
-        .filter(col("p").isNotNull)
-        .select(col("p.vec_id").cast("long").as("vec_id"),
-          col("p.cos").as("cos"), col("p.neighbor_id").cast("long").as("neighbor_id"))
+      // native: ≤ k candidates per (visitor, bucket row) reach the
+      // aggregator instead of the whole scored pool — lossless for the
+      // global top-k (ScoreTopK scaladoc), duplicates still collapse
+      val pairs =
+        if (nativeIds)
+          rows.select(explode_outer(call_function("graft_score_topk",
+            col("vs"), col("pool"), lit(k))).as("p"))
+            .filter(col("p").isNotNull)
+            .select(col("p.vec_id").as("vec_id"),
+              col("p.cos").as("cos"), col("p.neighbor_id").as("neighbor_id"))
+        else rows.select(explode_outer(flatten(transform(col("vs"), a =>
+          transform(scored(col("pool"), a), c => struct(
+            a.getField("id").as("vec_id"),
+            c.getField("neighbor_id").as("neighbor_id"),
+            c.getField("cos").as("cos")))))).as("p"))
+          .filter(col("p").isNotNull)
+          .select(col("p.vec_id").cast("long").as("vec_id"),
+            col("p.cos").as("cos"), col("p.neighbor_id").cast("long").as("neighbor_id"))
       topKPerVector(pairs, k)
     }
   }
@@ -485,7 +531,7 @@ object SimilaritySearch {
     maxBucket.foreach(cap => require(cap >= 2, "maxBucket must be >= 2"))
     val base = ivfMembers(corpus, idCol, vecCol, dim, nCentroids, nProbe,
       literalMaxTerms, refineIters)
-    val grouped = base
+    val grouped = widenIfNarrow(base, col("bucket"))
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"), col("is_member"))).as("ms"))
     // candidates are the cell's MEMBERS (home-cell rows), pool-capped;
@@ -500,18 +546,31 @@ object SimilaritySearch {
         explode_outer(visitorChunks(col("ms"), VisitorChunk)).as("vs"), col("pool"))
         .filter(col("vs").isNotNull)
     }
-    val pairs = rows
-      .select(explode_outer(flatten(transform(col("vs"), a =>
-        transform(
-          filter(col("pool"), b => b.getField("id") =!= a.getField("id")),
-          b => struct(
-            a.getField("id").as("vec_id"),
-            b.getField("id").as("neighbor_id"),
-            (dot(a.getField("v"), b.getField("v")) /
-              (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
-        col("p.neighbor_id").as("neighbor_id"))
+    // NATIVE visitor×pool scoring + per-visitor top-k (plans.ScoreTopK —
+    // the lshNeighbors convention; extra struct fields like is_member
+    // ride along untouched). Lossless for the cross-cell top-k merge:
+    // a visitor's global top-k candidate survives every per-cell cut.
+    val nativeIds = corpus.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val pairs =
+      if (nativeIds)
+        rows.select(explode_outer(call_function("graft_score_topk",
+          col("vs"), col("pool"), lit(k))).as("p"))
+          .filter(col("p").isNotNull)
+          .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
+            col("p.neighbor_id").as("neighbor_id"))
+      else rows
+        .select(explode_outer(flatten(transform(col("vs"), a =>
+          transform(
+            filter(col("pool"), b => b.getField("id") =!= a.getField("id")),
+            b => struct(
+              a.getField("id").as("vec_id"),
+              b.getField("id").as("neighbor_id"),
+              (dot(a.getField("v"), b.getField("v")) /
+                (a.getField("nrm") * b.getField("nrm"))).as("cos")))))).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("p.vec_id").as("vec_id"), col("p.cos").as("cos"),
+          col("p.neighbor_id").as("neighbor_id"))
     topKPerVector(pairs, k)
   }
 
